@@ -1,0 +1,63 @@
+"""Small filesystem / misc helpers shared across the framework.
+
+Covers the utility surface of the reference's ``sr_tools/helper_functions.py`` (directory
+management, image discovery, natural sorting, metadata reading).  Model-checkpoint management
+helpers live in :mod:`sisr_tpu.tools.helper_cli`.
+"""
+from csv import DictReader
+import glob
+import os
+import re
+
+
+def atoi(text):
+    return int(text) if text.isdigit() else text
+
+
+def natural_keys(text):
+    """Human-order sort key (ref: helper_functions.py:67-72)."""
+    return [atoi(c) for c in re.split(r'(\d+)', text)]
+
+
+def create_dir_if_empty(*directories):
+    for directory in directories:
+        os.makedirs(directory, exist_ok=True)
+
+
+def extract_image_names_from_folder(folder, sorted=True, recursive=False):
+    """Find all images in a folder (ref: helper_functions.py:167-177)."""
+    filenames = []
+    for extension in ['*.jpg', '*.png', '*.bmp', '*.tif']:
+        if recursive:
+            glob_path = os.path.join(folder, '**', extension)
+        else:
+            glob_path = os.path.join(folder, extension)
+        filenames.extend(glob.glob(glob_path, recursive=recursive))
+    if sorted:
+        filenames.sort()
+    return filenames
+
+
+def read_metadata(file):
+    """Read a one-line CSV metadata file into a dict (ref: helper_functions.py:129-138)."""
+    with open(file) as mfile:
+        reader = DictReader(mfile)
+        data = next(reader)
+    return data
+
+
+def read_metadata_list(metadata_file):
+    """Read a text file of metadata key names, one per line (ref: net_train.py:10-13)."""
+    with open(metadata_file, 'r') as f:
+        return [label.rstrip() for label in f.readlines()]
+
+
+def generate_range(limits, subdivisions):
+    """Split a numeric range into subdivision boundaries (ref: helper_functions.py:94-101)."""
+    diff = limits[1] - limits[0]
+    step = int(diff / subdivisions)
+    steps = [limits[0] + (i * step) for i in range(subdivisions + 1)]
+    if steps[-1] != limits[1]:
+        steps[-1] = limits[1]
+    steps[-1] += 1
+    return steps

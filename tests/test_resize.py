@@ -1,0 +1,43 @@
+import numpy as np
+import pytest
+from PIL import Image
+
+from sisr_tpu.ops.resize import resize_uint8, resize_float, resize_bicubic
+
+
+SIZES = [((64, 48), (16, 12)), ((17, 23), (68, 92)), ((128, 128), (32, 32)),
+         ((33, 47), (132, 188)), ((100, 80), (25, 20)), ((56, 56), (224, 224))]
+
+
+@pytest.mark.parametrize('in_size,out_size', SIZES)
+def test_uint8_bit_exact_vs_pil(rng, in_size, out_size):
+    """The fixed-point path must be bit-identical to Pillow BICUBIC."""
+    img = rng.randint(0, 256, (*in_size, 3)).astype(np.uint8)
+    pil = np.array(Image.fromarray(img).resize(out_size[::-1], resample=Image.BICUBIC))
+    ours = resize_uint8(img, out_size[::-1])
+    assert np.array_equal(pil, ours)
+
+
+@pytest.mark.parametrize('in_size,out_size', SIZES[:3])
+def test_float_path_close_to_pil(rng, in_size, out_size):
+    img = rng.randint(0, 256, (*in_size, 3)).astype(np.uint8)
+    pil = np.array(Image.fromarray(img).resize(out_size[::-1], resample=Image.BICUBIC)).astype(np.float64)
+    ours = np.clip(np.round(resize_float(img.astype(np.float64), out_size[::-1])), 0, 255)
+    # float path skips the intermediate-pass clamping; only ringing pixels can deviate
+    assert np.mean(np.abs(pil - ours)) < 0.5
+
+
+@pytest.mark.parametrize('in_size,out_size', SIZES[:4])
+def test_jax_matches_float_path(rng, in_size, out_size):
+    img = rng.rand(2, *in_size, 3).astype(np.float32)
+    dev = np.asarray(resize_bicubic(img, out_size[0], out_size[1]))
+    host = np.stack([resize_float(img[i], out_size[::-1]) for i in range(2)])
+    np.testing.assert_allclose(dev, host, atol=2e-5)
+
+
+def test_grayscale_and_identity(rng):
+    img = rng.randint(0, 256, (40, 40)).astype(np.uint8)
+    out = resize_uint8(img, (40, 40))
+    assert np.array_equal(out, img)  # no resampling pass should run
+    pil = np.array(Image.fromarray(img).resize((10, 10), resample=Image.BICUBIC))
+    assert np.array_equal(pil, resize_uint8(img, (10, 10)))
