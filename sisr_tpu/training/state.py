@@ -1,0 +1,108 @@
+"""Functional training state + pure train/eval steps.
+
+The reference's stateful ``BaseModel`` (optimizer/scheduler/criterion attached to an
+nn.Module, ref: Code/SISR/models/__init__.py:257-575) becomes a flax ``TrainState``
+pytree and jitted pure step functions:
+
+* optimizer: optax adam (optionally with betas, ref: models/__init__.py:292-300),
+  chained with global-norm gradient clipping (ref: models/__init__.py:484-485);
+* the LR schedule advances once per optimizer step == once per batch, the reference's
+  per-batch ``scheduler.step()`` semantics (models/__init__.py:488-489);
+* buffers are donated so parameter memory is reused in place on device.
+"""
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .schedulers import build_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any = None
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, apply_fn, params, tx, batch_stats=None):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), batch_stats=batch_stats,
+                   apply_fn=apply_fn, tx=tx)
+
+
+def build_optimizer(lr=1e-4, scheduler=None, scheduler_params=None, optimizer_params=None,
+                    grad_clip=None):
+    """adam (+betas) with per-step schedule and optional global-norm clipping."""
+    schedule = build_schedule(lr, scheduler, scheduler_params)
+    if optimizer_params is not None:
+        betas = (optimizer_params['beta_1'], optimizer_params['beta_2'])
+    else:
+        betas = (0.9, 0.999)
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.adam(learning_rate=schedule, b1=betas[0], b2=betas[1]))
+    return optax.chain(*chain), schedule
+
+
+def make_train_step(loss_fn, prep_fn, has_batch_stats=False, donate=True):
+    """Build a jitted train step.
+
+    :param loss_fn: (pred, target) -> scalar.
+    :param prep_fn: pure fn (batch dict of arrays) -> (x, target, metadata-or-None):
+        handler-specific metadata masking / expansion / concatenation, traced into the
+        same XLA program as the model.
+    :param has_batch_stats: thread a mutable batch_stats collection (BatchNorm models).
+    """
+
+    def step(state, batch):
+        x, y, metadata = prep_fn(batch)
+
+        def compute_loss(params):
+            variables = {'params': params}
+            kwargs = {}
+            if metadata is not None:
+                kwargs['metadata'] = metadata
+            if has_batch_stats:
+                variables['batch_stats'] = state.batch_stats
+                out, mutated = state.apply_fn(variables, x, train=True,
+                                              mutable=['batch_stats'], **kwargs)
+                new_stats = mutated['batch_stats']
+            else:
+                out = state.apply_fn(variables, x, **kwargs)
+                new_stats = state.batch_stats
+            return loss_fn(out, y), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt_state, batch_stats=new_stats)
+        return new_state, loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(loss_fn, prep_fn, has_batch_stats=False):
+    """Build a jitted eval step: (state, batch) -> (sr_output, loss)."""
+
+    def step(state, batch):
+        x, y, metadata = prep_fn(batch)
+        variables = {'params': state.params}
+        kwargs = {}
+        if metadata is not None:
+            kwargs['metadata'] = metadata
+        if has_batch_stats:
+            variables['batch_stats'] = state.batch_stats
+            kwargs['train'] = False
+        out = state.apply_fn(variables, x, **kwargs)
+        loss = loss_fn(out, y) if y is not None else jnp.zeros(())
+        return out, loss
+
+    return jax.jit(step)
