@@ -1,0 +1,393 @@
+"""SuperResImages dataset: host-side index building + per-item loading.
+
+Faithful port of the reference's single do-everything dataset
+(ref: Code/sr_tools/data_handler.py:20-528) producing H,W,C float32 numpy arrays
+(channel-last — the framework's TPU-native layout) instead of torch CHW tensors:
+
+* image discovery with `_qN` group-tag filtering, recursive search;
+* split selection (hardcoded dataset splits / custom ranges / shortlist files);
+* blacklist removal; degradation-metadata CSV parsing (JSON-list columns, QPI
+  normalization to the fixed (20,40) range); CelebA attribute merging;
+* online degradation mode (random gaussian blur + PCA code + bicubic downscale);
+* optional matched random crops / flip-rotate augments, YCbCr conversion.
+"""
+from collections import OrderedDict, deque
+import copy
+import json
+import os
+import re
+from itertools import compress
+
+import numpy as np
+import pandas as pd
+import PIL.Image
+
+from ..configuration.constants import data_splits
+from ..utils.helpers import extract_image_names_from_folder
+from ..ops.colorspace import RGBtoYCbCrConverter
+from ..ops import degradations as g_utils
+from ..ops.transforms import (center_crop, downsample, pil_to_float, float_to_pil,
+                              random_flip_rotate, random_matched_crop)
+
+
+def read_celeba_attributes(attributes_loc, image_dict, selected_metadata='all',
+                           attribute_amplification=None):
+    """(ref: data_handler.py:20-58)"""
+    full_dict = image_dict.copy()
+    celeb_data = pd.read_csv(attributes_loc, skiprows=1, sep=r'\s+')
+
+    if attribute_amplification is not None:
+        celeb_data[celeb_data < 0] = -2
+        celeb_data[celeb_data > 0] = 2
+    else:
+        celeb_data[celeb_data < 0] = 0
+
+    if selected_metadata != 'all':
+        if 'age' in selected_metadata:
+            celeb_data.rename(columns={'Young': 'age'}, inplace=True)
+        if 'gender' in selected_metadata:
+            celeb_data.rename(columns={'Male': 'gender'}, inplace=True)
+        celeb_data = celeb_data[selected_metadata]
+
+    final_keys = list(celeb_data.columns)
+    final_keys.reverse()
+    for key in sorted(full_dict):
+        added_data = [celeb_data.loc[key.split('_')[0].split('.')[0] + '.jpg'][data_key]
+                      for data_key in final_keys]
+        full_dict[key] = np.concatenate((added_data, full_dict[key]))
+    return full_dict, final_keys
+
+
+def read_augmentation_list(metadata_file, filenames=None, normalize=True,
+                           legacy_blur_kernels=None, data_attributes=None,
+                           attributes_loc=None, attribute_amplification=None,
+                           force_qpi_range=True, qpi_selection=None):
+    """Degradation-metadata CSV parser (ref: data_handler.py:62-144)."""
+    keys = deque()
+    qpi_cutoffs = bool(qpi_selection) and None not in qpi_selection
+
+    if metadata_file is not None:
+        aug_data = pd.read_csv(metadata_file, header=0, index_col=0)
+        for col in aug_data:
+            if pd.api.types.is_object_dtype(aug_data[col]) \
+                    or pd.api.types.is_string_dtype(aug_data[col]):
+                aug_data[col] = aug_data[col].apply(json.loads)
+                keys.extend([col.lower()] * len(aug_data[col].iloc[0]))
+            elif pd.api.types.is_integer_dtype(aug_data[col]):
+                aug_data[col] = aug_data[col].astype(float)
+                keys.append(col.lower())
+                minimum = 20 if (col == 'QPI' and force_qpi_range) else aug_data[col].min()
+                maximum = 40 if (col == 'QPI' and force_qpi_range) else aug_data[col].max()
+                if normalize:
+                    aug_data[col] = (aug_data[col] - minimum) / (maximum - minimum)
+                    if col == 'QPI' and qpi_cutoffs:
+                        qpi_selection = [(q - minimum) / (maximum - minimum)
+                                         for q in qpi_selection]
+            elif pd.api.types.is_float_dtype(aug_data[col]):
+                keys.append(col.lower())
+            else:
+                raise RuntimeError('Unidentified datatype in metadata file.')
+
+        all_image_dict = aug_data.T.to_dict('list')
+        augmentation_dict = {}
+        for key in filenames:
+            data = []
+            for v in all_image_dict[key]:
+                if type(v) == list:
+                    data.extend(v)
+                else:
+                    data.append(v)
+            augmentation_dict[key] = np.array(data)
+    else:
+        augmentation_dict = {image: np.array([]) for image in filenames}
+
+    if attributes_loc is not None and data_attributes is not None:
+        augmentation_dict, attribute_keys = read_celeba_attributes(
+            attributes_loc, augmentation_dict, selected_metadata=data_attributes,
+            attribute_amplification=attribute_amplification)
+        keys.extendleft(reversed(attribute_keys))
+
+    if legacy_blur_kernels is not None:
+        kernels = np.load(legacy_blur_kernels)
+        keys.extendleft(['blur_kernel'] * len(kernels[0]))
+        for index, key in enumerate(sorted(augmentation_dict)):
+            augmentation_dict[key] = np.concatenate((kernels[index],
+                                                     augmentation_dict[key]))
+
+    if qpi_cutoffs:
+        qpi_pos = list(keys).index('qpi')
+        accepted = [im for im, md in augmentation_dict.items()
+                    if qpi_selection[0] <= md[qpi_pos] <= qpi_selection[-1]]
+        augmentation_dict = {im: augmentation_dict[im] for im in accepted}
+
+    return augmentation_dict, list(keys)
+
+
+class SuperResImages:
+    """(ref: data_handler.py:147-528).  Indexable dataset yielding per-image dicts."""
+
+    def __init__(self, lr_dir=None, hr_dir=None, dataset=None, split=None,
+                 custom_split=None, recursive_search=False, image_shortlist=None,
+                 input='interp', colorspace='ycbcr', y_only=True, conv_type='jpg',
+                 scale=4, mask_data=None, group_select=None,
+                 attribute_amplification=None, halfway_data=None, blacklist=None,
+                 degradation_metadata_file=None, qpi_selection=None,
+                 data_attributes=None, metadata=None, legacy_blur_kernels=None,
+                 qpi_sort=False, random_augments=None, random_crop=None,
+                 online_degradations=None, online_degradation_params=None,
+                 request_crops=None, **kwargs):
+
+        if split not in ['train', 'eval', 'test', 'all', None]:
+            raise RuntimeError('"Split" must be one of: train | eval | test | all | None')
+        if input not in ['interp', 'unmodified']:
+            raise RuntimeError('"lr_type" must be one of: interp | unmodified')
+
+        self.split = split
+        self.scale = scale
+        self.lr_type = input
+        self.patch_crop = random_crop
+        self.random_augment = random_augments
+        self.request_crops = request_crops
+        self.metadata_keys = []
+        if group_select is not None and type(group_select) != list:
+            group_select = [group_select]
+        self.online_degradations = online_degradations
+
+        self.hr_base = hr_dir
+        self.mask_base = mask_data
+        self.halfway_base = halfway_data
+
+        if not online_degradations:
+            main_dir = lr_dir
+            self.lr_base = lr_dir
+        else:
+            if hr_dir is None:
+                raise RuntimeError('Cannot synthesize LR images without HR images.')
+            main_dir = hr_dir
+            self.lr_base = None
+            self.lr_filenames = None
+            # 30k random kernels -> PCA(10) (ref: data_handler.py:221-238)
+            batch_ker = g_utils.random_batch_kernel(batch=30000)
+            pca_matrix = g_utils.pca_matrix(batch_ker.reshape(30000, -1), k=10)
+            if online_degradation_params is None:
+                self.degrader = g_utils.OnlineDegrader(pca_matrix, random=True, kernel=21,
+                                                       rate_iso=1.0, sig_min=0.2,
+                                                       sig_max=4.0, noise=False,
+                                                       noise_high=0.0)
+            else:
+                self.degrader = g_utils.OnlineDegrader(pca_matrix, random=True,
+                                                       **online_degradation_params)
+
+        main_filenames = self.filter_names(main_dir, recursive_search, group_select)
+        main_filenames = self.dataset_split(main_filenames, custom_split, image_shortlist,
+                                            split, dataset, main_dir)
+        main_filenames = self.blacklist_removal(main_filenames, blacklist)
+
+        if not online_degradations:
+            main_list, base_list = [], []
+            for key, val in main_filenames.items():
+                for file_name in val:
+                    main_list.append(file_name)
+                    base_list.append(key)
+            self.lr_filenames = main_list
+            if len(main_filenames) == 0:
+                raise RuntimeError('No images were supplied or all images were '
+                                   'filtered out!')
+            self.base_filenames = base_list
+        else:
+            self.base_filenames = list(main_filenames.keys())
+
+        if degradation_metadata_file is not None or metadata is not None:
+            meta_names = self.base_filenames if online_degradations else self.lr_filenames
+            att_dict, meta_keys = read_augmentation_list(
+                degradation_metadata_file, attributes_loc=data_attributes,
+                data_attributes=metadata, qpi_selection=qpi_selection,
+                attribute_amplification=attribute_amplification, filenames=meta_names,
+                legacy_blur_kernels=legacy_blur_kernels)
+            self.metadata_keys = meta_keys
+            if qpi_selection is not None and not online_degradations:
+                pairs = [(lr, base) for lr, base in zip(self.lr_filenames,
+                                                        self.base_filenames)
+                         if lr in att_dict]
+                self.lr_filenames, self.base_filenames = map(list, zip(*pairs))
+                meta_names = self.lr_filenames
+            metadata_list = [att_dict[image] for image in meta_names]
+
+            if qpi_sort and not online_degradations:
+                qpi_vals = [m[meta_keys.index('qpi')] for m in metadata_list]
+                sorted_data = sorted(zip(self.lr_filenames, self.base_filenames,
+                                         metadata_list, qpi_vals),
+                                     key=lambda vals: vals[-1])
+                self.lr_filenames, self.base_filenames, self.metadata, _ = \
+                    map(list, zip(*sorted_data))
+            else:
+                self.metadata = metadata_list
+        else:
+            self.metadata = None
+
+        self.image_count = len(self.lr_filenames) if not online_degradations \
+            else len(self.base_filenames)
+
+        if online_degradations:
+            if len(self.metadata_keys) == 0:
+                self.metadata_keys = ['blur_kernel'] * self.degrader.para_in
+            else:
+                self.metadata_keys.extend(['blur_kernel'] * self.degrader.para_in)
+
+        self.colorspace = colorspace
+        self.y_only = y_only
+        self.conv_type = conv_type
+        self._ycbcr = RGBtoYCbCrConverter(y_only=y_only, im_type=conv_type) \
+            if colorspace == 'ycbcr' else None
+
+        print('Initialized %s data with %d image%s.' % (
+            dataset if dataset is not None else 'image', self.image_count,
+            's' if self.image_count > 1 else ''))
+
+    # --- index building (ref: data_handler.py:307-390) ------------------------------------
+    @staticmethod
+    def filter_names(directory, recursive, group_select):
+        final_files = OrderedDict()
+        raw_filenames = extract_image_names_from_folder(directory, recursive=recursive)
+        for file in raw_filenames:
+            real_file = os.path.relpath(file, directory)
+            split_key = re.split(r"_q(.*)(?=\.)", real_file)
+            if len(split_key) > 1:
+                if group_select is None or split_key[1] in group_select:
+                    accept, base_name = True, split_key[0] + split_key[2]
+                else:
+                    accept, base_name = False, ''
+            else:
+                base_name = split_key[0]
+                accept = True
+            if accept:
+                final_files.setdefault(base_name, []).append(real_file)
+        return final_files
+
+    @staticmethod
+    def dataset_split(current_files, custom_split, image_shortlist, split, dataset,
+                      main_dir):
+        if custom_split is not None or (image_shortlist is None and split != 'all'
+                                        and len(current_files) != 1):
+            if custom_split is None:
+                start, end = data_splits[dataset][split]
+            else:
+                start, end = custom_split[0], custom_split[1]
+            return OrderedDict(list(current_files.items())[start:end])
+        elif image_shortlist is not None:
+            with open(image_shortlist, 'r') as shortlist:
+                cleanup = lambda pth: os.path.relpath(pth.rstrip('\n'), main_dir) \
+                    if main_dir in pth else pth.rstrip('\n')
+                accepted = [cleanup(line) for line in shortlist]
+            return OrderedDict((k, v) for k, v in current_files.items() if k in accepted)
+        return current_files
+
+    @staticmethod
+    def blacklist_removal(current_files, blacklist):
+        filtered = copy.copy(current_files)
+        if blacklist is not None:
+            print('Removing blacklisted images.')
+            for b in pd.read_csv(blacklist, header=[0])['Images'].tolist():
+                if b in filtered:
+                    del filtered[b]
+        return filtered
+
+    @staticmethod
+    def read_image(filename):
+        im = PIL.Image.open(filename)
+        if im.mode != 'RGB':
+            im = im.convert('RGB')
+        return im
+
+    def _to_model_space(self, arr):
+        """float HWC RGB -> requested colorspace."""
+        if self._ycbcr is not None:
+            return self._ycbcr(arr)
+        return arr
+
+    def __getitem__(self, index):
+        """(ref: data_handler.py:433-525)"""
+        base_name = self.base_filenames[index]
+        hr_im = None
+        mask_im = np.array(0)
+        if self.hr_base is not None:
+            hr_pil = self.read_image(os.path.join(self.hr_base, base_name))
+        else:
+            hr_pil = None
+
+        unreduced_kernel = np.array(0)
+        if self.online_degradations:
+            image_name = base_name
+            blurred, kernel_map, unreduced_kernel = self.degrader(pil_to_float(hr_pil))
+            _, lr_pil = downsample(float_to_pil(blurred), scale=self.scale, jm=False)
+            lr_im = pil_to_float(lr_pil)
+            if self.metadata is not None:
+                metadata = np.concatenate((self.metadata[index], kernel_map))
+            else:
+                metadata = kernel_map
+        else:
+            image_name = self.lr_filenames[index]
+            lr_im = pil_to_float(self.read_image(os.path.join(self.lr_base, image_name)))
+            if self.metadata is not None:
+                metadata = self.metadata[index]
+            else:
+                metadata = np.array(0)
+            if self.metadata is not None and 'unmodified_blur_kernel' in self.metadata_keys:
+                kernel_loc = [m == 'unmodified_blur_kernel' for m in self.metadata_keys]
+                unreduced = list(compress(self.metadata[index], kernel_loc))
+                klen = int(np.sqrt(len(unreduced)))
+                unreduced_kernel = np.array(unreduced).reshape(klen, klen)
+
+        # HR alignment crop (ref: data_handler.py:471-489)
+        if hr_pil is not None:
+            if self.lr_type == 'interp':
+                h, w = lr_im.shape[0], lr_im.shape[1]
+            else:
+                h, w = lr_im.shape[0] * self.scale, lr_im.shape[1] * self.scale
+            if hr_pil.width != w or hr_pil.height != h:
+                hr_pil = center_crop(hr_pil, height=h, width=w)
+            hr_im = self._to_model_space(pil_to_float(hr_pil))
+            if self.mask_base is not None:
+                mask_pil = self.read_image(os.path.join(self.mask_base, base_name))
+                if mask_pil.width != w or mask_pil.height != h:
+                    mask_pil = center_crop(mask_pil, height=h, width=w)
+                mask_im = np.array(mask_pil)
+        else:
+            hr_im = np.array(0)
+
+        if self.halfway_base is not None:
+            halfway_im = self._to_model_space(pil_to_float(
+                self.read_image(os.path.join(self.halfway_base, base_name))))
+        else:
+            halfway_im = np.array(0)
+
+        lr_im = self._to_model_space(lr_im)
+
+        if self.random_augment is not None:
+            lr_im, hr_im = random_flip_rotate(lr_im, hr_im)
+
+        if self.patch_crop is not None:
+            if self.request_crops is not None:
+                images = [random_matched_crop(lr_im, hr_im, crop_size=self.patch_crop,
+                                              scale=self.scale)
+                          for _ in range(self.request_crops)]
+                lr_ims, hr_ims = zip(*images)
+                lr_im = np.stack(lr_ims, 0)
+                hr_im = np.stack(hr_ims, 0)
+            else:
+                lr_im, hr_im = random_matched_crop(lr_im, hr_im,
+                                                   crop_size=self.patch_crop,
+                                                   scale=self.scale)
+
+        return {'lr': lr_im,
+                'hr': hr_im,
+                'tag': image_name,
+                'hr_tag': base_name,
+                'mask': mask_im,
+                'halfway_data': halfway_im,
+                'metadata': np.asarray(metadata, dtype=np.float32),
+                'metadata_keys': self.metadata_keys,
+                'blur_kernels': unreduced_kernel}
+
+    def __len__(self):
+        return self.image_count

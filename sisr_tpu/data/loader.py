@@ -1,0 +1,182 @@
+"""Threaded, prefetching batch loader + samplers.
+
+Replaces torch ``DataLoader(num_workers=..., pin_memory=True)`` (ref:
+Code/SISR/training/data_setup.py:115-123) with a thread-pool loader (PIL/zlib release
+the GIL during decode) and an optional device-prefetch wrapper that keeps the next batch
+in flight while the current one computes — the host->HBM equivalent of pinned-memory
+double buffering.
+"""
+import random as _random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+class ConcatDataset:
+    """Minimal torch-style dataset concatenation."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self.cumulative = np.cumsum([len(d) for d in self.datasets]).tolist()
+        # surfaces used by downstream code (samplers, metadata keys)
+        self.metadata_keys = self.datasets[0].metadata_keys
+
+    def __len__(self):
+        return self.cumulative[-1]
+
+    def __getitem__(self, idx):
+        for d_idx, bound in enumerate(self.cumulative):
+            if idx < bound:
+                prev = 0 if d_idx == 0 else self.cumulative[d_idx - 1]
+                return self.datasets[d_idx][idx - prev]
+        raise IndexError(idx)
+
+
+class CelebaSplitSampler:
+    """Attribute-positive samples first, then negatives (ref: data_handler.py:531-573)."""
+
+    def __init__(self, data_source, selected_attribute='gender', **kwargs):
+        self.discriminatory_attribute = selected_attribute
+        datasets = data_source.datasets if isinstance(data_source, ConcatDataset) \
+            else [data_source]
+        self.positive_indices, self.negative_indices = [], []
+        offset = 0
+        for dataset in datasets:
+            p, n, length = self._index_with_attribute(dataset)
+            self.positive_indices += [i + offset for i in p]
+            self.negative_indices += [i + offset for i in n]
+            offset += length
+        self.length = offset
+
+    def _index_with_attribute(self, dataset):
+        metadata_pos = int(np.where([self.discriminatory_attribute in m
+                                     for m in dataset.metadata_keys])[0][0])
+        pertinent = [m[metadata_pos] for m in dataset.metadata]
+        positive = np.where([m == 1 for m in pertinent])[0].tolist()
+        negative = np.where([m == 0 for m in pertinent])[0].tolist()
+        return positive, negative, len(dataset.metadata)
+
+    def __iter__(self):
+        pos = np.random.choice(self.positive_indices, len(self.positive_indices),
+                               replace=False).tolist()
+        neg = np.random.choice(self.negative_indices, len(self.negative_indices),
+                               replace=False).tolist()
+        return iter(pos + neg)
+
+    def __len__(self):
+        return self.length
+
+
+def _collate(items):
+    """Stack per-item dicts into batch arrays; strings stay lists; key lists pass through."""
+    out = {}
+    first = items[0]
+    for key in first:
+        vals = [item[key] for item in items]
+        if key == 'metadata_keys':
+            out[key] = first[key]
+        elif isinstance(first[key], str):
+            out[key] = vals
+        else:
+            arrs = [np.asarray(v) for v in vals]
+            if arrs[0].ndim >= 4:  # request_crops stacks: flatten crops into batch
+                out[key] = np.concatenate(arrs, axis=0)
+            else:
+                try:
+                    out[key] = np.stack(arrs, axis=0)
+                except ValueError:  # ragged (e.g. differently-sized eval images, bs>1)
+                    out[key] = arrs
+    return out
+
+
+class DataLoader:
+    """Order-preserving threaded batch loader."""
+
+    def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=8,
+                 drop_last=False, sampler=None, prefetch_batches=3):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers or 1)
+        self.drop_last = drop_last
+        self.sampler = sampler
+        self.prefetch_batches = prefetch_batches
+
+    def _index_batches(self):
+        if self.sampler is not None:
+            indices = list(iter(self.sampler))
+        else:
+            indices = list(range(len(self.dataset)))
+            if self.shuffle:
+                _random.shuffle(indices)
+        batches = [indices[i:i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self):
+        batches = self._index_batches()
+        if self.num_workers <= 1:
+            for batch in batches:
+                yield _collate([self.dataset[i] for i in batch])
+            return
+
+        def load_batch(batch):
+            return _collate([self.dataset[i] for i in batch])
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            from collections import deque
+            pending = deque()
+            it = iter(batches)
+            for _ in range(self.prefetch_batches):
+                b = next(it, None)
+                if b is None:
+                    break
+                pending.append(pool.submit(load_batch, b))
+            while pending:
+                fut = pending.popleft()
+                b = next(it, None)
+                if b is not None:
+                    pending.append(pool.submit(load_batch, b))
+                yield fut.result()
+
+
+def device_prefetch(iterator, size=2, sharding=None):
+    """Wrap a host batch iterator so upcoming batches are already on device.
+
+    Transfers the numeric entries of the batch dict with ``jax.device_put`` (optionally
+    with a ``Sharding`` for multi-chip data parallelism) ``size`` batches ahead.
+    """
+    import jax
+    from collections import deque
+
+    def put(batch):
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray) and v.dtype != object and v.ndim >= 1:
+                out[k] = jax.device_put(v, sharding) if sharding is not None \
+                    else jax.device_put(v)
+            else:
+                out[k] = v
+        return out
+
+    buf = deque()
+    it = iter(iterator)
+    for _ in range(size):
+        b = next(it, None)
+        if b is None:
+            break
+        buf.append(put(b))
+    while buf:
+        nxt = next(it, None)
+        if nxt is not None:
+            buf.append(put(nxt))
+        yield buf.popleft()

@@ -1,0 +1,291 @@
+"""EvalHub: model evaluation/benchmark protocols
+(ref: Code/SISR/evaluation/standard_eval.py:23-326).
+
+Image tensors are N,H,W,C float32 in [0,1].  LR bicubic prep uses the bit-exact PIL
+fixed-point path by default (host), so LR baseline metrics match the reference exactly.
+"""
+from collections import defaultdict, OrderedDict
+import itertools
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from tqdm import tqdm
+
+from ..data.datasets import SuperResImages
+from ..data.loader import DataLoader
+from ..models.interface import ModelInterface
+from ..ops.metrics import Metrics
+from ..ops.resize import resize_uint8
+from ..tools.visualization import interpret_sisr_images, safe_image_save
+from ..utils import toml_io
+from ..utils.helpers import create_dir_if_empty
+
+
+class EvalHub:
+    def __init__(self, hr_dir, lr_dir, model_and_epoch, results_name, gpu, metrics,
+                 data_split, save_im, batch_size, full_directory, lr_dir_interp,
+                 model_only, scale, model_loc, out_loc, use_test_group,
+                 no_image_comparison, num_image_save, qpi_selection, data_attributes,
+                 dataset_name, image_shortlist, metadata_file, sp_gpu, time_models,
+                 recursive):
+        """Main eval class; param info in net_eval.py (mirrors the reference CLI)."""
+        self.out_dir = os.path.join(out_loc, results_name)
+        self.eval_name = results_name
+        create_dir_if_empty(self.out_dir)
+        input_params = {k: v for k, v in locals().items()
+                        if k not in ('self',) and not k.startswith('_')}
+        with open(os.path.join(self.out_dir, 'config.toml'), 'w') as f:
+            toml_io.dump({k: list(v) if isinstance(v, tuple) else v
+                          for k, v in input_params.items() if v is not None}, f)
+
+        experiment_names, eval_epochs = zip(*model_and_epoch)
+
+        self.metrics = metrics
+        self.scale = scale
+        self.full_directory = full_directory
+        self.no_image_comparison = no_image_comparison
+        self.model_only = model_only
+        self.num_image_save = num_image_save
+        self.time_models = time_models
+        self.images_processed = 0
+        self.save_im = save_im
+
+        self.model_bundles = self._prep_models(model_loc, experiment_names, eval_epochs,
+                                               gpu, scale=scale, sp_gpu=sp_gpu)
+
+        if full_directory:
+            split, dataset, custom_split, blacklist = 'all', None, None, None
+        else:
+            split = data_split if data_split is not None else 'eval'
+            dataset = dataset_name
+            custom_split = (162899, 163000) if use_test_group else None
+            blacklist = None
+
+        if metadata_file is None:
+            metadata_file = os.path.join(lr_dir, 'degradation_metadata.csv')
+        if not os.path.isfile(metadata_file):
+            metadata_file = os.path.join(lr_dir, 'qpi_slices.csv')
+            if not os.path.isfile(metadata_file):
+                print('No metadata file found.')
+                metadata_file = None
+                requested_metadata = None
+            else:
+                requested_metadata = 'all'
+        else:
+            requested_metadata = 'all'
+
+        rgb_handler = SuperResImages(
+            lr_dir, hr_dir, y_only=False, split=split, input='unmodified',
+            dataset=dataset, colorspace='rgb', conv_type='jpg', scale=scale,
+            custom_split=custom_split, blacklist=blacklist, qpi_selection=qpi_selection,
+            degradation_metadata_file=metadata_file, metadata=requested_metadata,
+            data_attributes=data_attributes, image_shortlist=image_shortlist,
+            recursive_search=recursive)
+        self.rgb_data = DataLoader(dataset=rgb_handler, batch_size=batch_size)
+        for model in self.model_bundles:
+            model.set_metadata_keys(rgb_handler.metadata_keys)
+
+        if lr_dir_interp:
+            interp_handler = SuperResImages(
+                lr_dir_interp, hr_dir, y_only=False, split=split, input='interp',
+                dataset=dataset, blacklist=blacklist,
+                degradation_metadata_file=metadata_file, colorspace='rgb',
+                conv_type='jpg', scale=scale, custom_split=custom_split,
+                qpi_selection=qpi_selection, image_shortlist=image_shortlist,
+                recursive_search=recursive)
+            self.interp_data = iter(DataLoader(dataset=interp_handler,
+                                               batch_size=batch_size))
+        else:
+            self.interp_data = None
+
+        self.comparisons_dir = os.path.join(self.out_dir, 'model_comparisons')
+        if not no_image_comparison:
+            create_dir_if_empty(self.comparisons_dir)
+
+        self.save_folders = {}
+        if save_im or model_only:
+            for exp in experiment_names:
+                save_folder = os.path.join(self.out_dir, exp)
+                self.save_folders[exp] = save_folder
+                create_dir_if_empty(save_folder)
+
+        if metrics is not None:
+            self.metric_hub = Metrics(metrics, delimeter='>')
+
+    @staticmethod
+    def _prep_models(model_loc, experiment_names, eval_epochs, gpu, scale=4, sp_gpu=0):
+        """(ref: standard_eval.py:127-144)"""
+        models = []
+        for experiment, eval_epoch in zip(experiment_names, eval_epochs):
+            models.append(ModelInterface(
+                model_loc, experiment,
+                load_epoch=eval_epoch if eval_epoch == 'best' else int(eval_epoch),
+                gpu='off' if not gpu else 'single', scale=scale, sp_gpu=sp_gpu))
+        return models
+
+    def _low_res_prep(self, lr_data, timing=True):
+        """Bicubic x-scale upsample of the LR batch, PIL-bit-exact, timed
+        (ref: standard_eval.py:146-158)."""
+        lr_data = np.asarray(lr_data)
+        n, h, w, c = lr_data.shape
+        interp = np.empty((n, h * self.scale, w * self.scale, c), np.float32)
+        toc = tic = None
+        for i in range(n):
+            u8 = (lr_data[i] * 255).astype(np.uint8)  # ToPILImage semantics (truncate)
+            if timing:
+                tic = time.perf_counter()
+            resized = resize_uint8(u8, (w * self.scale, h * self.scale))
+            if timing:
+                toc = time.perf_counter()
+            interp[i] = resized.astype(np.float32) / 255.0
+        return interp, (toc - tic) if timing else None
+
+    def _high_res_prep(self, hr_data):
+        """RGB -> YCbCr('jpg') with [0,1] clip (ref: standard_eval.py:160-164)."""
+        return ModelInterface.colorspace_convert(np.asarray(hr_data), colorspace='rgb')
+
+    def _generate_image_collage(self, interp_data, model_data, probe_names, metrics=None,
+                                metric_slice=None, hr_rgb=None):
+        metrics = metrics if metrics is not None else []
+        metric_slice = metric_slice if metric_slice is not None else {}
+        if hr_rgb is not None:
+            output_package = OrderedDict([('HR', np.asarray(hr_rgb)),
+                                          ('LR', np.asarray(interp_data))])
+        else:
+            output_package = OrderedDict([('LR', np.asarray(interp_data))])
+        output_package.update(model_data)
+        interpret_sisr_images(
+            output_package, metric_slice, metrics, self.comparisons_dir,
+            names=['image_comparison_%s.pdf' % p.replace(os.path.sep, '_')
+                   for p in probe_names],
+            direct_view=False, config='rgb',
+            extra_info={model.experiment: [['epoch', model.model_epoch]]
+                        for model in self.model_bundles})
+
+    def direct_model_protocol(self):
+        """SR-image-only run (ref: standard_eval.py:187-215)."""
+        with tqdm(total=len(self.rgb_data)) as pbar:
+            for index, batch in enumerate(self.rgb_data):
+                lr_rgb, im_names = batch['lr'], batch['tag']
+                self.images_processed += len(im_names)
+                probe_names = [n.split('.')[0] for n in list(im_names)]
+                if self.interp_data:
+                    interp_data = next(self.interp_data)['lr']
+                else:
+                    interp_data, _ = self._low_res_prep(lr_rgb, timing=False)
+                output_package = {}
+                for model in self.model_bundles:
+                    if model.configuration['colorspace'] == 'rgb':
+                        selected_im = lr_rgb if model.configuration['input'] == \
+                            'unmodified' else interp_data
+                    else:
+                        selected_im = self._high_res_prep(interp_data)
+                    rgb_im, ycbcr_im, _, _ = model.net_run_and_process(
+                        **{**batch, **{'lr': selected_im}})
+                    safe_image_save(rgb_im, self.save_folders[model.experiment],
+                                    im_names, config='rgb')
+                    output_package[model.experiment] = rgb_im
+                if not self.no_image_comparison:
+                    self._generate_image_collage(interp_data, output_package,
+                                                 probe_names=probe_names)
+                pbar.update(1)
+
+    def full_image_protocol(self):
+        """Full metrics run (ref: standard_eval.py:217-294)."""
+        metric_package = defaultdict(list)
+        with tqdm(total=len(self.rgb_data)) as pbar:
+            for index, batch in enumerate(self.rgb_data):
+                lr_rgb, hr_rgb = batch['lr'], batch['hr']
+                im_names, hr_names = batch['tag'], batch['hr_tag']
+                self.images_processed += len(im_names)
+
+                diag_string = ''
+                probe_names = [n.split('.')[0] for n in list(im_names)]
+                hr_names = [n.split('.')[0] for n in list(hr_names)]
+                metric_package['Image_Name'].append(list(im_names))
+
+                if self.interp_data:
+                    interp_data = next(self.interp_data)['lr']
+                else:
+                    interp_data, timing_info = self._low_res_prep(
+                        lr_rgb, timing=self.time_models)
+                    if timing_info is not None:
+                        metric_package['LR%sruntime' % self.metric_hub.delimeter].append(
+                            [timing_info])
+
+                hr_prep = self._high_res_prep(hr_rgb)
+                lr_prep = self._high_res_prep(interp_data)
+
+                metric_slice, mini_diag = self.metric_hub.run_metrics(
+                    lr_prep, references=hr_prep, key='LR', probe_names=hr_names)
+                for key in metric_slice.keys():
+                    metric_package[key].append(metric_slice[key])
+                diag_string += mini_diag
+
+                output_package = {}
+                for model in self.model_bundles:
+                    if 'rgb' in model.configuration['colorspace']:
+                        selected_im = lr_rgb if model.configuration['input'] == \
+                            'unmodified' else interp_data
+                    else:
+                        selected_im = lr_prep
+                    rgb_im, ycbcr_im, _, timing = model.net_run_and_process(
+                        **{**batch, **{'lr': selected_im}}, timing=self.time_models)
+                    if timing is not None:
+                        metric_package['%s%sruntime' % (
+                            model.experiment, self.metric_hub.delimeter)].append([timing])
+
+                    metric_slice, mini_diag = self.metric_hub.run_metrics(
+                        ycbcr_im, hr_prep, key=model.experiment, probe_names=hr_names)
+                    for key in metric_slice.keys():
+                        metric_package[key].append(metric_slice[key])
+                    diag_string += mini_diag
+
+                    output_package[model.experiment] = rgb_im
+                    if self.save_im and self.images_processed < self.num_image_save:
+                        for im in im_names:
+                            if os.sep in im:
+                                create_dir_if_empty(os.path.join(
+                                    self.save_folders[model.experiment],
+                                    os.path.dirname(im)))
+                        safe_image_save(rgb_im, self.save_folders[model.experiment],
+                                        im_names, config='rgb')
+
+                if not self.no_image_comparison \
+                        and self.images_processed < self.num_image_save:
+                    self._generate_image_collage(
+                        interp_data, output_package, metrics=self.metrics,
+                        metric_slice={k: metric_package[k][-1] for k in metric_package},
+                        probe_names=probe_names, hr_rgb=hr_rgb)
+                pbar.update(1)
+                pbar.set_description(diag_string[:-2])
+
+        self.manipulate_and_save_metrics(metric_package)
+
+    def manipulate_and_save_metrics(self, metric_package):
+        """MultiIndex CSV reports (ref: standard_eval.py:300-319)."""
+        for key in metric_package.keys():
+            metric_package[key] = list(itertools.chain.from_iterable(metric_package[key]))
+
+        indexes = ['Image_Name', 'Image_ID'] if 'Image_ID' in metric_package \
+            else ['Image_Name']
+        full_results = pd.DataFrame.from_dict(metric_package).set_index(indexes)
+        full_results.columns = pd.MultiIndex.from_tuples(
+            [tuple(c.split('>')) for c in full_results.columns])
+        av_results = self.average_multilevel_dataframe(full_results)
+
+        metrics_dir = os.path.join(self.out_dir, 'standard_metrics')
+        create_dir_if_empty(metrics_dir)
+        full_results.to_csv(os.path.join(metrics_dir, 'individual_metrics.csv'))
+        av_results.to_csv(os.path.join(metrics_dir, 'average_metrics.csv'))
+        return full_results, av_results
+
+    def average_multilevel_dataframe(self, dataframe):
+        """(ref: standard_eval.py:321-326)"""
+        r1 = dataframe.mean(axis=0).rename('Mean')
+        r2 = dataframe.std(axis=0).rename('Std')
+        results = pd.concat([r1, r2], axis=1)
+        results = pd.DataFrame(results.stack()).T.stack(0).droplevel(level=0)
+        return results

@@ -1,0 +1,622 @@
+"""Model handlers: config-name -> Flax module + training semantics.
+
+The reference attaches optimizer/scheduler/criterion to stateful ``*Handler(BaseModel)``
+classes discovered by AST-scanning (ref: Code/SISR/models/__init__.py:20-30).  Here each
+handler is a plain object registered under the same lowercase names, owning:
+
+* the Flax module + its colorspace / input-mode contract (drives the eval pipeline
+  exactly like the reference's ``colorspace`` / ``im_input`` attributes);
+* the optax optimizer + per-step LR schedule + loss;
+* the QModel metadata bookkeeping (ref: attention_manipulators/__init__.py:10-27):
+  ``num_metadata`` counting rules, key-mask selection, vector vs spatial-map channels,
+  the 'modulate' style's gaussian QPI expansion (ref: attention_manipulators/handlers.py:42-54);
+* checkpoint (de)serialization with the reference's file contract
+  (``saved_models/train_model_<N>``).
+
+All metadata preparation is expressed as pure jax ops traced into the train/eval step, so
+the whole batch -> SR pipeline is one XLA program.
+"""
+import os
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+from ..training.losses import build_loss
+from ..training.state import TrainState, build_optimizer, make_eval_step, make_train_step
+from ..ops.resize import resize_bicubic
+from . import basic, advanced, san, qmodels, sftmd, sparnet
+from .feature_extractors import load_vgg_extractor
+
+available_models = {}
+
+
+def register_model(name, *aliases):
+    def wrap(cls):
+        available_models[name] = cls
+        for alias in aliases:
+            available_models[alias] = cls
+        cls.model_name = name
+        return cls
+    return wrap
+
+
+def define_model(name, **kwargs):
+    """Registry lookup (ref: models/__init__.py:225-227)."""
+    if name not in available_models:
+        raise KeyError('Unknown model %r; available: %s' % (name, sorted(available_models)))
+    return available_models[name](**kwargs)
+
+
+class BaseHandler:
+    """Functional handler base (replaces ref models/__init__.py:257-575 BaseModel)."""
+
+    colorspace = 'rgb'
+    im_input = 'unmodified'
+    loss_type = 'l1'
+    grad_clip = None
+    in_channels = 3
+    legacy_load = True
+    uses_metadata = False
+    channel_concat = False  # concat metadata maps onto the network input (SRMD/SFTMD-concat)
+    tiled_eval = False      # SAN-style static tile-grid eval for large images
+
+    def __init__(self, eval_mode=False, lr=1e-4, scale=4, scheduler=None,
+                 scheduler_params=None, perceptual=None, optimizer_params=None,
+                 grad_clip=None, dtype=None, vgg_weights=None, seed=8,
+                 max_combined_im_size=160000, **kwargs):
+        self.eval_mode = eval_mode
+        self.scale = scale
+        self.lr = lr
+        self.curr_epoch = 0
+        self.dtype = jnp.bfloat16 if dtype in ('bf16', 'bfloat16') else jnp.float32
+        self.max_combined_im_size = max_combined_im_size
+        if grad_clip == 0:
+            grad_clip = None
+        if grad_clip is not None:
+            self.grad_clip = grad_clip
+
+        self.module = self.build_module(scale=scale, dtype=self.dtype, **kwargs)
+        self.tx, self.schedule = build_optimizer(lr, scheduler, scheduler_params,
+                                                 optimizer_params, self.grad_clip)
+        vgg_apply = load_vgg_extractor(vgg_weights) if perceptual is not None else None
+        self.loss_fn = build_loss(self.loss_type, perceptual, vgg_apply)
+
+        self.metadata_keys = None
+        self.meta_indices = None
+        self.state = None
+        self.has_batch_stats = False
+        self._rng = jax.random.PRNGKey(seed)
+        self._train_step = None
+        self._eval_step_cache = {}
+        self.mesh_ctx = None  # set via set_mesh for multi-chip data parallelism
+
+    # --- module construction ------------------------------------------------------------
+    def build_module(self, scale, dtype, **kwargs):
+        raise NotImplementedError
+
+    # --- metadata plumbing (QModel parity) ------------------------------------------------
+    def set_metadata_keys(self, keys):
+        """Precompute static selection indices from the dataset's metadata key list
+        (ref: attention_manipulators/__init__.py:30-51 mask logic)."""
+        self.metadata_keys = list(keys or [])
+        meta_cfg = getattr(self, 'metadata', None)
+        if not self.uses_metadata or meta_cfg is None:
+            self.meta_indices = None
+            return
+        if 'all' in meta_cfg:
+            mask = [True] * len(self.metadata_keys)
+        else:
+            mask = [k in meta_cfg for k in self.metadata_keys]
+        if len(self.metadata_keys) == 1:
+            mask = [True]
+        self.meta_indices = np.where(np.array(mask))[0]
+
+    def prepare_metadata(self, x, metadata):
+        """Traced metadata prep: (B, M_total) -> model metadata input (or None)."""
+        if not self.uses_metadata:
+            return None
+        if metadata is None:
+            raise RuntimeError('Metadata needs to be specified for this network to run.')
+        if self.meta_indices is not None and len(self.meta_indices) != metadata.shape[-1]:
+            metadata = metadata[:, jnp.asarray(self.meta_indices)]
+        return metadata.astype(x.dtype)
+
+    def network_input(self, x, metadata):
+        """Optionally concat metadata maps onto the input (ref: __init__.py:82-102)."""
+        if self.channel_concat and metadata is not None:
+            maps = jnp.broadcast_to(metadata[:, None, None, :],
+                                    (x.shape[0], x.shape[1], x.shape[2],
+                                     metadata.shape[-1]))
+            return jnp.concatenate([x, maps.astype(x.dtype)], axis=-1)
+        return x
+
+    def _prep_batch(self, batch):
+        x = batch['lr']
+        y = batch.get('hr')
+        metadata = self.prepare_metadata(x, batch.get('metadata'))
+        x = self.network_input(x, metadata)
+        if self.channel_concat:
+            metadata = None  # consumed by the concat; module takes no metadata arg
+        return x, y, metadata
+
+    # --- state management -----------------------------------------------------------------
+    @property
+    def module_input_channels(self):
+        extra = getattr(self, 'num_metadata', 0) if self.channel_concat else 0
+        return self.in_channels + extra
+
+    @property
+    def module_takes_metadata(self):
+        return self.uses_metadata and not self.channel_concat
+
+    def init_state(self, spatial=(16, 16), batch=1):
+        """Initialize parameters (lazily, once shapes/metadata keys are known)."""
+        x = jnp.zeros((batch,) + tuple(spatial) + (self.module_input_channels,), self.dtype)
+        kwargs = {}
+        if self.module_takes_metadata:
+            n_meta = getattr(self, 'num_metadata', 1)
+            kwargs['metadata'] = jnp.zeros((batch, self._metadata_width(n_meta)),
+                                           self.dtype)
+        variables = self.module.init(self._rng, x, **kwargs)
+        self.has_batch_stats = 'batch_stats' in variables
+        self.state = TrainState.create(self.module.apply, variables['params'], self.tx,
+                                       batch_stats=variables.get('batch_stats'))
+        return self.state
+
+    def _metadata_width(self, n_meta):
+        return n_meta
+
+    # --- train / eval ----------------------------------------------------------------------
+    def run_train(self, **batch):
+        """One training step (ref BaseModel.run_train, models/__init__.py:466-489)."""
+        if self.eval_mode:
+            raise RuntimeError('Model initialized in eval mode, training not possible.')
+        if isinstance(batch['lr'], (list, tuple)):
+            raise RuntimeError('Training batch contains differently-sized images — use a '
+                               'fixed crop (data "crop" option) or batch_size=1 so XLA '
+                               'sees static shapes.')
+        if self.state is None:
+            self.init_state(spatial=batch['lr'].shape[1:3])
+            if self.mesh_ctx is not None:
+                self.state = self.mesh_ctx.replicate(self.state)
+        if self._train_step is None:
+            self._train_step = make_train_step(self.loss_fn, self._prep_batch,
+                                               self.has_batch_stats)
+        dev_batch = {k: batch[k] for k in ('lr', 'hr', 'metadata') if k in batch
+                     and batch[k] is not None}
+        if self.mesh_ctx is not None:
+            dev_batch = self.mesh_ctx.shard_batch(dev_batch)
+        self.state, loss = self._train_step(self.state, dev_batch)
+        return loss, None
+
+    def _eval_step_for(self, shape):
+        key = tuple(shape)
+        if key not in self._eval_step_cache:
+            self._eval_step_cache[key] = make_eval_step(self.loss_fn, self._prep_batch,
+                                                        self.has_batch_stats)
+        return self._eval_step_cache[key]
+
+    def run_eval(self, x, y=None, request_loss=False, metadata=None, timing=False,
+                 **kwargs):
+        """Jitted eval (ref BaseModel.run_eval, models/__init__.py:492-522).
+
+        Returns (sr NHWC numpy float32, loss or None, runtime seconds or None).
+        """
+        import time
+        if self.state is None:
+            self.init_state(spatial=x.shape[1:3])
+        batch = {'lr': jnp.asarray(x, self.dtype)}
+        if metadata is not None:
+            batch['metadata'] = jnp.asarray(metadata)
+        if y is not None and request_loss:
+            batch['hr'] = jnp.asarray(y, self.dtype)
+
+        if self.tiled_eval:
+            out = self._tiled_forward(batch)
+            loss = None
+            if request_loss and y is not None:
+                loss = float(jnp.mean(jnp.abs(out - batch['hr'])))
+            out.block_until_ready()
+            tic = time.perf_counter()
+            out = self._tiled_forward(batch)
+            out.block_until_ready()
+            toc = time.perf_counter()
+            return np.asarray(out, np.float32), loss, (toc - tic) if timing else None
+
+        step = self._eval_step_for(x.shape)
+        out, loss = step(self.state, batch)
+        if timing:
+            out.block_until_ready()
+            tic = time.perf_counter()
+            out2, _ = step(self.state, batch)
+            out2.block_until_ready()
+            toc = time.perf_counter()
+            runtime = toc - tic
+        else:
+            runtime = None
+        loss_out = float(loss) if (request_loss and y is not None) else None
+        return np.asarray(out, np.float32), loss_out, runtime
+
+    def _tiled_forward(self, batch, shave=10):
+        """Static-shape tile-grid eval replacing the reference's recursive forward_chop
+        (ref: advanced/handlers.py:80-129).
+
+        Pads the LR image to a uniform grid of overlapping tiles whose area stays under
+        ``max_combined_im_size``, runs the network on the tile batch (one compile per tile
+        shape), and stitches the centers.  TPU-native: one batched static-shape call
+        instead of data-dependent recursion.
+        """
+        x = batch['lr']
+        n, h, w, c = x.shape
+        # choose the number of halvings like the reference's recursion depth
+        level = 0
+        while (h // (2 ** level) + shave) * (w // (2 ** level) + shave) \
+                >= self.max_combined_im_size:
+            level += 1
+        if level == 0:
+            step = self._eval_step_for(x.shape)
+            return step(self.state, batch)[0]
+
+        grid = 2 ** level
+        tile_h, tile_w = -(-h // grid), -(-w // grid)
+        pad_h, pad_w = tile_h * grid - h, tile_w * grid - w
+        xp = jnp.pad(x, ((0, 0), (0, pad_h + shave), (0, pad_w + shave), (0, 0)),
+                     mode='reflect')
+        tiles = []
+        for i in range(grid):
+            for j in range(grid):
+                tiles.append(xp[:, i * tile_h:i * tile_h + tile_h + shave,
+                             j * tile_w:j * tile_w + tile_w + shave, :])
+        tiles = jnp.concatenate(tiles, axis=0)
+        tile_batch = {'lr': tiles}
+        if 'metadata' in batch:
+            tile_batch['metadata'] = jnp.tile(batch['metadata'], (grid * grid, 1))
+        step = self._eval_step_for(tiles.shape)
+        sr_tiles, _ = step(self.state, tile_batch)
+
+        s = self.scale
+        out = jnp.zeros((n, (h + pad_h) * s, (w + pad_w) * s, c), sr_tiles.dtype)
+        idx = 0
+        for i in range(grid):
+            for j in range(grid):
+                tile = sr_tiles[idx * n:(idx + 1) * n, :tile_h * s, :tile_w * s, :]
+                out = jax.lax.dynamic_update_slice(
+                    out, tile, (0, i * tile_h * s, j * tile_w * s, 0))
+                idx += 1
+        return out[:, :h * s, :w * s, :]
+
+    # --- checkpointing (ref: models/__init__.py:349-464) -----------------------------------
+    def save_model(self, model_save_name, model_idx, model_save_dir):
+        state_dict = {
+            'network': serialization.to_state_dict(self.state.params),
+            'optimizer': serialization.to_state_dict(self.state.opt_state),
+            'batch_stats': serialization.to_state_dict(self.state.batch_stats)
+            if self.state.batch_stats is not None else {},
+            'step': np.asarray(self.state.step),
+            'model_name': self.model_name,
+            'model_epoch': int(self.curr_epoch),
+        }
+        payload = serialization.msgpack_serialize(state_dict)
+        path = os.path.join(model_save_dir, '%s_%s' % (model_save_name, model_idx))
+        with open(path, 'wb') as f:
+            f.write(payload)
+
+    def load_model(self, model_save_name, model_idx, model_save_dir, load_override=None,
+                   legacy=False, preloaded_state=None):
+        load_dir = load_override or model_save_dir
+        path = os.path.join(load_dir, '%s_%s' % (model_save_name, model_idx))
+        if preloaded_state is None:
+            with open(path, 'rb') as f:
+                state_dict = serialization.msgpack_restore(f.read())
+        else:
+            state_dict = preloaded_state
+        if self.state is None:
+            self.init_state()
+        params = serialization.from_state_dict(self.state.params, state_dict['network'])
+        batch_stats = self.state.batch_stats
+        if batch_stats is not None and state_dict.get('batch_stats'):
+            batch_stats = serialization.from_state_dict(batch_stats,
+                                                        state_dict['batch_stats'])
+        if self.eval_mode:
+            self.state = self.state.replace(params=params, batch_stats=batch_stats)
+        else:
+            opt_state = serialization.from_state_dict(self.state.opt_state,
+                                                      state_dict['optimizer'])
+            self.state = self.state.replace(params=params, opt_state=opt_state,
+                                            batch_stats=batch_stats,
+                                            step=jnp.asarray(state_dict['step']))
+        self.set_epoch(int(state_dict['model_epoch']))
+        print('Loaded model uses the following architecture:', state_dict['model_name'])
+        return state_dict
+
+    # --- parallelism ------------------------------------------------------------------------
+    def set_mesh(self, mesh_ctx):
+        """Enable data-parallel execution over a device mesh (the TPU-native replacement
+        for the reference's set_multi_gpu/nn.DataParallel, models/__init__.py:344-347)."""
+        self.mesh_ctx = mesh_ctx
+        if self.state is not None:
+            self.state = mesh_ctx.replicate(self.state)
+
+    # --- misc (ref BaseModel misc hooks) ----------------------------------------------------
+    def set_epoch(self, epoch):
+        self.curr_epoch = epoch
+
+    def get_learning_rate(self):
+        step = int(self.state.step) if self.state is not None else 0
+        return float(self.schedule(step))
+
+    def print_parameters(self, verbose=False):
+        if self.state is None:
+            self.init_state()
+        total = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params))
+        if verbose:
+            print('Total number of trainable parameters:', total)
+        return total
+
+    def epoch_end_calls(self):
+        pass
+
+    def extra_diagnostics(self):
+        pass
+
+    def pre_training_model_load(self):
+        pass
+
+
+class QHandler(BaseHandler):
+    """Metadata bookkeeping shared by all meta-models (ref QModel,
+    attention_manipulators/__init__.py:6-27)."""
+
+    uses_metadata = True
+
+    def __init__(self, metadata=None, **kwargs):
+        if metadata is not None:
+            self.num_metadata = len(metadata)
+            if 'all' in metadata:
+                self.num_metadata += 39  # all celeba attributes
+            if 'blur_kernel' in metadata:
+                self.num_metadata += 9
+            elif 'unmodified_blur_kernel' in metadata:
+                self.num_metadata += 440
+            self.metadata = metadata
+        else:
+            self.metadata = ['qpi']
+            self.num_metadata = 1
+        super().__init__(**kwargs)
+
+
+# ----------------------------------- concrete handlers -----------------------------------
+@register_model('srcnn')
+class SRCNNHandler(BaseHandler):
+    """(ref: basic/handlers.py:6-17)"""
+    colorspace = 'ycbcr'
+    im_input = 'interp'
+    loss_type = 'mse'
+    in_channels = 1
+
+    def build_module(self, scale, dtype, kernel_pattern=None, channel_pattern=None,
+                     padding='same', **kwargs):
+        return basic.SRCNN(kernel_pattern=kernel_pattern, channel_pattern=channel_pattern,
+                           padding=padding or 'same', dtype=dtype)
+
+
+@register_model('vdsr')
+class VDSRHandler(BaseHandler):
+    """(ref: basic/handlers.py:20-35) — grad_clip 0.1 default."""
+    colorspace = 'ycbcr'
+    im_input = 'interp'
+    loss_type = 'mse'
+    grad_clip = 0.1
+    in_channels = 1
+
+    def build_module(self, scale, dtype, kernel_pattern=None, channel_pattern=None,
+                     padding='same', **kwargs):
+        return basic.VDSR(kernel_pattern=kernel_pattern, channel_pattern=channel_pattern,
+                          padding=padding or 'same', dtype=dtype)
+
+
+@register_model('edsr')
+class EDSRHandler(BaseHandler):
+    """(ref: advanced/handlers.py:7-23)"""
+
+    def build_module(self, scale, dtype, in_features=3, num_features=64, num_blocks=16,
+                     res_scale=0.1, **kwargs):
+        self.in_channels = in_features or 3
+        return advanced.EDSR(net_features=num_features or 64, num_blocks=num_blocks or 16,
+                             scale=scale, res_scale=res_scale if res_scale is not None
+                             else 0.1, in_features=self.in_channels, dtype=dtype)
+
+
+@register_model('rcan')
+class RCANHandler(BaseHandler):
+    """(ref: advanced/handlers.py:26-39)"""
+
+    def build_module(self, scale, dtype, in_features=3, **kwargs):
+        self.in_channels = in_features or 3
+        return advanced.RCAN(scale=scale, in_feats=self.in_channels, dtype=dtype)
+
+
+@register_model('han')
+class HANHandler(BaseHandler):
+    """(ref: advanced/handlers.py:42-55)"""
+
+    def build_module(self, scale, dtype, **kwargs):
+        return advanced.HAN(scale=scale, dtype=dtype)
+
+
+@register_model('san')
+class SANHandler(BaseHandler):
+    """(ref: advanced/handlers.py:58-129) — tiled eval replaces forward_chop."""
+    tiled_eval = True
+
+    def build_module(self, scale, dtype, **kwargs):
+        return san.SAN(scale=scale, dtype=dtype)
+
+
+@register_model('srmd')
+class SRMDHandler(QHandler):
+    """(ref: advanced/handlers.py:132-158) — metadata concatenated as input maps."""
+    colorspace = 'augmented_rgb'
+    channel_concat = True
+    legacy_load = False
+
+    def build_module(self, scale, dtype, in_features=3, nc=128, nb=12, **kwargs):
+        self.in_channels = in_features or 3
+        return advanced.SRMD(in_nc=self.in_channels + self.num_metadata, nc=nc or 128,
+                             nb=nb or 12, scale=scale, dtype=dtype)
+
+
+@register_model('sparnet')
+class SPARNetHandler(BaseHandler):
+    """(ref: SPARNet/handlers.py:6-18) — pre-upscaled input."""
+    im_input = 'interp'
+
+    def build_module(self, scale, dtype, **kwargs):
+        cfg = {k: v for k, v in kwargs.items() if k in
+               ('min_ch', 'max_ch', 'in_size', 'out_size', 'min_feat_size', 'res_depth',
+                'relu_type', 'norm_type', 'att_name', 'bottleneck_size') and v is not None}
+        return sparnet.SPARNet(dtype=dtype, **cfg)
+
+
+@register_model('qsparnet')
+class QSPARNetHandler(QHandler):
+    """(ref: SPARNet/handlers.py:21-34)"""
+    im_input = 'interp'
+
+    def build_module(self, scale, dtype, metadata_encoder_only=False, **kwargs):
+        cfg = {k: v for k, v in kwargs.items() if k in
+               ('min_ch', 'max_ch', 'in_size', 'out_size', 'min_feat_size', 'res_depth',
+                'relu_type', 'norm_type', 'att_name', 'bottleneck_size') and v is not None}
+        return sparnet.QSPARNet(metadata_count=self.num_metadata,
+                                metadata_encoder_only=bool(metadata_encoder_only),
+                                dtype=dtype, **cfg)
+
+
+@register_model('qrcan', 'qpircan')
+class QRCANHandler(QHandler):
+    """(ref: attention_manipulators/handlers.py:7-54).  'qpircan' legacy alias
+    (ref: models/__init__.py:92-93)."""
+    colorspace = 'augmented_rgb'
+
+    def __init__(self, style='modulate', clamp=False, min_mu=-0.2, max_mu=0.8,
+                 n_feats=64, **kwargs):
+        self.style = style or 'modulate'
+        self.clamp = clamp
+        self.min_mu = min_mu if min_mu is not None else -0.2
+        self.max_mu = max_mu if max_mu is not None else 0.8
+        self.n_feats = n_feats or 64
+        super().__init__(**kwargs)
+
+    def build_module(self, scale, dtype, in_features=3, include_pixel_attention=False,
+                     include_q_layer=False, selective_meta_blocks=None,
+                     num_q_layers_inner_residual=None, n_resblocks=20, n_resgroups=10,
+                     **kwargs):
+        self.in_channels = in_features or 3
+        return qmodels.QRCAN(
+            n_resblocks=n_resblocks or 20, n_resgroups=n_resgroups or 10,
+            n_feats=self.n_feats, in_feats=self.in_channels, scale=scale,
+            style=self.style, num_metadata=self.num_metadata,
+            include_pixel_attention=bool(include_pixel_attention),
+            include_q_layer=bool(include_q_layer),
+            selective_meta_blocks=selective_meta_blocks,
+            num_q_layers_inner_residual=num_q_layers_inner_residual, dtype=dtype)
+
+    def _metadata_width(self, n_meta):
+        return self.n_feats if self.style == 'modulate' else n_meta
+
+    def prepare_metadata(self, x, metadata):
+        meta = super().prepare_metadata(x, metadata)
+        if self.style == 'modulate':
+            meta = self.scale_qpi(meta)
+        return meta
+
+    def scale_qpi(self, qpi):
+        """Gaussian-profile expansion of normalized QPI to an n_feats modulation vector
+        (ref: attention_manipulators/handlers.py:42-54); traced jax version."""
+        sig = 0.2
+        base = jnp.linspace(0.0, 1.0, self.n_feats, dtype=qpi.dtype)
+        mu = qpi[:, :1] * (self.max_mu - self.min_mu) + self.min_mu  # (B, 1)
+        prof = (1.0 / (jnp.sqrt(2 * jnp.pi) * sig)) * jnp.exp(
+            -jnp.square(base[None, :] - mu) / (2 * sig ** 2))
+        if self.clamp:
+            prof = jnp.clip(prof, 0.0, 1.0)
+        return prof
+
+
+@register_model('qedsr')
+class QEDSRHandler(QHandler):
+    """(ref: attention_manipulators/handlers.py:57-76)"""
+    colorspace = 'augmented_rgb'
+
+    def build_module(self, scale, dtype, in_features=3, num_features=64, num_blocks=16,
+                     res_scale=0.1, q_layer_nonlinearity=False, **kwargs):
+        self.in_channels = in_features or 3
+        return qmodels.QEDSR(num_features=num_features or 64, num_blocks=num_blocks or 16,
+                             scale=scale, res_scale=res_scale if res_scale is not None
+                             else 0.1, in_features=self.in_channels,
+                             input_para=self.num_metadata,
+                             q_layer_nonlinearity=bool(q_layer_nonlinearity), dtype=dtype)
+
+
+@register_model('qsan')
+class QSANHandler(QHandler):
+    """(ref: attention_manipulators/handlers.py:79-153) — tiled eval."""
+    tiled_eval = True
+
+    def build_module(self, scale, dtype, **kwargs):
+        return qmodels.QSAN(scale=scale, input_para=self.num_metadata, dtype=dtype)
+
+
+@register_model('qhan')
+class QHANHandler(QHandler):
+    """(ref: attention_manipulators/handlers.py:156-171)"""
+
+    def build_module(self, scale, dtype, **kwargs):
+        return qmodels.QHAN(scale=scale, num_metadata=self.num_metadata, dtype=dtype)
+
+
+@register_model('sftmd')
+class SFTMDHandler(QHandler):
+    """(ref: SFTMD_variants/handlers.py:6-60).
+
+    Without q-injection the metadata feeds the SFT layers as spatial maps; with
+    q-injection (or concat_strategy) it stays a vector.
+    """
+    colorspace = 'augmented_rgb'
+    loss_type = 'l1'
+
+    def __init__(self, concat_strategy=False, q_injection=False, **kwargs):
+        self.concat_strategy = bool(concat_strategy)
+        self.q_injection = bool(q_injection)
+        super().__init__(**kwargs)
+        if self.concat_strategy:
+            self.channel_concat = True
+
+    @property
+    def module_takes_metadata(self):
+        return True  # SFT layers always consume metadata, even with concat_strategy
+
+    def build_module(self, scale, dtype, in_nc=3, num_features=64, num_blocks=16,
+                     SFT_type='standard', sft_type=None, mask_para=False, repeats=None,
+                     q_layers=2, **kwargs):
+        self.in_channels = in_nc or 3
+        in_total = self.in_channels + (self.num_metadata if self.concat_strategy else 0)
+        return sftmd.SFTMD(in_nc=in_total, num_features=num_features or 64,
+                           num_blocks=num_blocks or 16, scale=scale,
+                           input_para=self.num_metadata,
+                           sft_type=sft_type or SFT_type or 'standard',
+                           mask_para=bool(mask_para), repeats=repeats,
+                           q_injection=self.q_injection, q_layers=q_layers or 2,
+                           dtype=dtype)
+
+    def _prep_batch(self, batch):
+        x, y, metadata = super()._prep_batch(batch)
+        if self.channel_concat and not self.q_injection:
+            # module still needs a metadata arg; give it the (already-concatenated) maps'
+            # source vector so SFT layers can broadcast it
+            metadata = self.prepare_metadata(batch['lr'], batch.get('metadata'))
+        return x, y, metadata
+

@@ -1,0 +1,88 @@
+"""Training statistics CSV + plot utilities (ref: Code/sr_tools/stats.py)."""
+import ast
+import csv
+import os
+
+import numpy as np
+import matplotlib
+matplotlib.use('Agg')
+import matplotlib.pyplot as plt
+import pandas as pd
+
+
+def plot_stats(stats_dict, keynames, experiment_log_dir, filename):
+    """Loss/PSNR/SSIM curves to pdf (ref: stats.py:11-31)."""
+    plot_filename = os.path.join(experiment_log_dir, filename)
+    valid_keys = [key for key in keynames
+                  if all(metric in stats_dict for metric in key)]
+    num_plots = len(valid_keys)
+    if num_plots == 0:
+        return
+    f, ax = plt.subplots(num_plots, 1, figsize=(10, 7))
+    if num_plots == 1:
+        ax = [ax]
+    for ind, key in enumerate(valid_keys):
+        for metric in key:
+            ax[ind].plot(stats_dict['epoch'], stats_dict[metric], label=metric,
+                         linestyle='--', marker='o')
+        ax[ind].set_xlabel('Epoch')
+        ax[ind].legend()
+    plt.tight_layout()
+    plt.savefig(plot_filename)
+    plt.close(f)
+
+
+def save_statistics(experiment_log_dir, filename, stats_dict, selected_data=None,
+                    append=True):
+    """Append/write summary.csv (ref: stats.py:63-77)."""
+    true_filename = os.path.join(experiment_log_dir, filename)
+    pd_data = pd.DataFrame.from_dict(stats_dict)
+    if selected_data is not None and os.path.isfile(true_filename):
+        if type(selected_data) == int:
+            selected_data = [selected_data]
+        pd_data = pd_data.loc[pd_data['epoch'].isin(selected_data)]
+    if not os.path.isfile(true_filename):
+        append = False
+    pd_data.to_csv(true_filename, mode='a' if append else 'w', header=not append,
+                   index=False)
+
+
+def legacy_load_statistics(experiment_log_dir, filename):
+    """summary.csv -> dict of lists (ref: stats.py:112-132)."""
+    summary_filename = os.path.join(experiment_log_dir, filename)
+    with open(summary_filename, 'r+') as f:
+        lines = f.readlines()
+    keys = lines[0].rstrip('\n').split(',')
+    stats = {key: [] for key in keys}
+    for line in lines[1:]:
+        values = line.rstrip('\n').split(',')
+        for idx, value in enumerate(values):
+            try:
+                stats[keys[idx]].append(ast.literal_eval(value))
+            except (ValueError, SyntaxError):
+                stats[keys[idx]].append(value)
+    return stats
+
+
+def save_stats_and_average(output_dir, filename, metrics):
+    """(ref: stats.py:34-60)"""
+    av_metrics = []
+    av_divider = ['Average'] * len(metrics.keys())
+    for index, (key, val) in enumerate(metrics.items()):
+        if key == 'Image_Name':
+            av_metrics.append('')
+            av_divider[index] = ''
+        else:
+            res = sum(val) / len(val)
+            av_metrics.append(res)
+            print('Average {}: {:.3f}'.format(key, res))
+    stats_loc = os.path.join(output_dir, filename)
+    with open(stats_loc, 'w') as f:
+        writer = csv.writer(f)
+        writer.writerow(list(metrics.keys()))
+        total_rows = len(list(metrics.values())[0])
+        for idx in range(total_rows):
+            writer.writerow([value[idx] for value in metrics.values()])
+        writer.writerow(av_divider)
+        writer.writerow(av_metrics)
+    return stats_loc

@@ -1,0 +1,221 @@
+"""TrainingHandler: the experiment orchestration loop
+(ref: Code/SISR/training/training_handler.py:25-323).
+
+TPU-native changes vs the reference: batches stream through a device-prefetch queue
+(next batch transferring while the current step runs), the train step is one jitted XLA
+program, and 'gpu' selects device/mesh placement instead of CUDA devices.
+"""
+from collections import defaultdict
+from datetime import date
+import math
+import os
+import random
+import time
+
+import numpy as np
+import tqdm
+
+from ..configuration import constants as sconst
+from ..data.loader import device_prefetch
+from ..data.setup import sisr_data_setup
+from ..models.interface import ModelInterface
+from ..ops.metrics import Metrics
+from ..tools.stats import save_statistics, plot_stats, legacy_load_statistics
+from ..tools.visualization import safe_image_save
+from ..utils.helpers import create_dir_if_empty
+
+
+class TrainingHandler:
+    def __init__(self,
+                 experiment_name='experiment-%s' % date.today().strftime("%b-%d-%Y"),
+                 save_loc=sconst.results_directory, aim_track=False, aim_home=None,
+                 model_params=None, gpu='off', sp_gpu=1, data_params=None,
+                 num_epochs=None, continue_from_epoch=None, max_im_val=1.0, metrics=None,
+                 seed=8, model_cleanup_frequency=None, epoch_cutoff=None,
+                 early_stopping_patience=None, overwrite_data=False, branch_start=None,
+                 new_branch=False, logging='visual', save_samples=True,
+                 experiment_group=None, **kwargs):
+        """Parameter semantics follow the reference (training_handler.py:39-63)."""
+        self.experiment_name = experiment_name
+        self.num_epochs = num_epochs
+        self.logging = logging
+        self.save_samples = save_samples
+        self.stop_patience = early_stopping_patience
+        self.overwrite = overwrite_data
+        self.model_cleanup_frequency = model_cleanup_frequency
+        self.aim_track = aim_track
+        if aim_track:
+            raise RuntimeError('Aim tracking is not available in this environment; '
+                               'training metrics are logged to summary.csv + plots.')
+
+        # host RNG seeding (ref: training_handler.py:76-79); the model's jax PRNG seed is
+        # threaded via model internal params
+        np.random.seed(seed)
+        random.seed(seed)
+
+        self.best_val_model_idx = 0
+        self.best_val_model_psnr = 0
+        self.model_name = model_params['name']
+        self.max_im_val = max_im_val
+        self.branch_off = new_branch
+
+        if new_branch and continue_from_epoch is not None:
+            branch_name = 'branch_epoch_%d' % continue_from_epoch
+            subdir = branch_name if branch_start is None \
+                else os.path.join(branch_start, branch_name)
+        else:
+            subdir = branch_start
+
+        self.model = ModelInterface(save_loc, experiment_name, gpu=gpu, sp_gpu=sp_gpu,
+                                    mode='train', new_branch=self.branch_off,
+                                    new_params=model_params,
+                                    load_epoch=continue_from_epoch, save_subdir=subdir)
+
+        self.starting_epoch = self.model.model_epoch
+        if self.starting_epoch > 0:
+            self.starting_epoch += 1
+
+        if epoch_cutoff is not None:
+            self.num_epochs = epoch_cutoff - self.starting_epoch
+            print('Epoch count set to %d' % self.num_epochs)
+
+        train_data, val_data = sisr_data_setup(
+            scale=model_params['internal_params']['scale'],
+            **self.model.configuration, qpi_sort=False, **data_params)
+        self.train_data = train_data
+        self.val_data = val_data
+        self.model.set_metadata_keys(getattr(train_data.dataset, 'metadata_keys', []))
+
+        self.metric_hub = Metrics(metrics) if metrics is not None else None
+
+    def train(self):
+        """One training epoch (ref: training_handler.py:147-177)."""
+        current_epoch_losses = defaultdict(list)
+        with tqdm.tqdm(total=len(self.train_data)) as pbar_train:
+            for batch in device_prefetch(self.train_data):
+                losses, _ = self.model.train_batch(**batch)
+                loss = float(losses)
+                current_epoch_losses['train-loss'].append(loss)
+                pbar_train.update(1)
+                pbar_train.set_description("loss: {:.4f}".format(loss))
+
+        learning_rates = self.model.get_learning_rate()
+        current_epoch_losses['learning-rate'].append(learning_rates)
+        self.model.epoch_end_calls()
+        return current_epoch_losses
+
+    def eval(self, epoch_idx):
+        """One validation epoch (ref: training_handler.py:179-224)."""
+        current_epoch_losses = defaultdict(list)
+        metric_package = {}
+        with tqdm.tqdm(total=len(self.val_data)) as pbar_val:
+            for index, batch in enumerate(self.val_data):
+                y, im_names = batch['hr'], batch['tag']
+                rgb_out, ycbcr_out, loss, timing = self.model.net_run_and_process(
+                    **batch, request_loss=True)
+
+                if 'rgb' in self.model.configuration['colorspace']:
+                    y_proc = self.model.colorspace_convert(y, colorspace='rgb')
+                else:
+                    y_proc = self.model._standard_image_formatting(np.asarray(y))
+
+                current_epoch_losses["val-loss"].append(loss)
+                if self.metric_hub is not None:
+                    metric_package, _ = self.metric_hub.run_metrics(
+                        ycbcr_out, references=y_proc, max_value=self.max_im_val,
+                        key='val',
+                        probe_names=[n.split('.')[0] for n in im_names])
+                    for metric, result in metric_package.items():
+                        current_epoch_losses[metric].extend(result)
+
+                if index == 0 and self.save_samples:
+                    samples_folder = os.path.join(self.model.logs,
+                                                  'epoch_%d_samples' % epoch_idx)
+                    create_dir_if_empty(samples_folder)
+                    names = [name.replace(os.sep, '_') for name in im_names]
+                    safe_image_save(rgb_out, samples_folder, names, config='rgb')
+
+                pbar_val.update(1)
+                diag_string = 'loss: {:.4f}, '.format(loss)
+                for metric in metric_package.keys():
+                    diag_string += '{}: {:.4f}, '.format(
+                        metric, np.mean(metric_package[metric]))
+                pbar_val.set_description(diag_string[:-2])
+        return current_epoch_losses
+
+    def run_experiment(self):
+        """Full training run (ref: training_handler.py:226-323)."""
+        if self.model.mode == 'eval':
+            raise RuntimeError('Model initialized in eval mode, training not possible.')
+
+        total_losses = defaultdict(list)
+        if self.starting_epoch != 0:
+            logs = os.path.dirname(self.model.logs) if self.branch_off else self.model.logs
+            loaded = legacy_load_statistics(logs, 'summary.csv')
+            total_losses = defaultdict(list, loaded)
+
+        improvement_count = 0
+        for i, epoch_idx in enumerate(range(self.starting_epoch,
+                                            self.starting_epoch + self.num_epochs)):
+            epoch_start_time = time.time()
+            print('Running epoch', epoch_idx)
+            self.model.set_epoch(epoch_idx)
+
+            if i == 0:
+                self.model.save(override=self.overwrite, dry_run=True)
+
+            print('Training Run:')
+            training_loss = self.train()
+            print('Validation Run:')
+            eval_loss = self.eval(epoch_idx)
+            current_epoch_losses = {**training_loss, **eval_loss}
+
+            val_mean_psnr = np.mean(current_epoch_losses['val-PSNR']) \
+                if 'val-PSNR' in current_epoch_losses else 0.0
+            if val_mean_psnr > self.best_val_model_psnr:
+                self.best_val_model_psnr = val_mean_psnr
+                self.best_val_model_idx = epoch_idx
+                improvement_count = 0
+            else:
+                improvement_count += 1
+
+            for key, value in current_epoch_losses.items():
+                avg_val = np.nanmean(value)
+                if math.isnan(avg_val):
+                    avg_val = 0
+                total_losses[key].append(avg_val)
+            total_losses['epoch'].append(epoch_idx)
+
+            if self.logging == 'visual':
+                plot_stats(stats_dict=total_losses,
+                           keynames=[['train-loss', 'val-loss'], ['val-PSNR'],
+                                     ['val-SSIM']],
+                           experiment_log_dir=self.model.logs, filename='loss_plots.pdf')
+
+            self.model.save(override=self.overwrite)
+
+            save_statistics(experiment_log_dir=self.model.logs, filename='summary.csv',
+                            stats_dict=total_losses,
+                            selected_data=epoch_idx if (self.starting_epoch != 0 or i > 0)
+                            else None,
+                            append=True if (self.starting_epoch != 0 or i > 0) else False)
+
+            out_string = " ".join(["{}_{:.4f}".format(key, np.mean(value))
+                                   for key, value in current_epoch_losses.items()])
+
+            if self.model_cleanup_frequency is not None and i != 0 \
+                    and i % self.model_cleanup_frequency == 0:
+                from ..tools.helper_cli import clean_models
+                clean_models(self.model.base_folder, clean_samples=True)
+
+            epoch_elapsed_time = "{:.4f}".format(time.time() - epoch_start_time)
+            print("Epoch {}/{}:".format(epoch_idx,
+                                        self.starting_epoch + self.num_epochs - 1),
+                  out_string, "Epoch duration:", epoch_elapsed_time, "seconds")
+            print('-------------')
+
+            if improvement_count == self.stop_patience:
+                print('Stopping model training, validation loss has plateaued.')
+                break
+
+        return total_losses

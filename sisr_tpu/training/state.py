@@ -24,9 +24,9 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
     opt_state: Any
-    batch_stats: Any = None
     apply_fn: Callable = struct.field(pytree_node=False)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    batch_stats: Any = None
 
     @classmethod
     def create(cls, apply_fn, params, tx, batch_stats=None):

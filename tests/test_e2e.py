@@ -1,0 +1,140 @@
+"""End-to-end integration: train a tiny model on the Set5 example data, resume, then
+evaluate it through the EvalHub protocols — the full reference workflow on CPU."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sisr_tpu.utils.toml_io import convert_default_none_dict
+
+SET5 = '/root/reference/Data/example_data/Set5'
+pytestmark = pytest.mark.skipif(not os.path.isdir(SET5),
+                                reason='Set5 example data unavailable')
+
+
+def _data_params(crop=None, random_augment=None, batch_size=1):
+    return convert_default_none_dict({
+        'training_sets': {'data_1': {'lr': os.path.join(SET5, 'lr_random_blur'),
+                                     'hr': os.path.join(SET5, 'hr'),
+                                     'degradation_metadata': 'on_site',
+                                     'crop': crop, 'random_augment': random_augment}},
+        # cutoff keeps split='eval' so the val set stays full-YCbCr (an unnamed eval set
+        # without cutoff degrades to y-only and breaks chroma recombination — a latent
+        # reference bug too, data_setup.py:43-49 + models/__init__.py:152)
+        'eval_sets': {'data_1': {'lr': os.path.join(SET5, 'lr_random_blur'),
+                                 'hr': os.path.join(SET5, 'hr'),
+                                 'cutoff': 5,
+                                 'degradation_metadata': 'on_site'}},
+        'batch_size': batch_size,
+        'dataloader_threads': 2,
+    })
+
+
+def test_train_with_crops_and_augments(tmp_path):
+    """Crop+flip-rotate pipeline with an unmodified-input model (EDSR)."""
+    from sisr_tpu.training.handler import TrainingHandler
+    handler = TrainingHandler(
+        experiment_name='tiny_edsr', save_loc=str(tmp_path),
+        model_params=_model_params('edsr', num_features=8, num_blocks=1),
+        data_params=_data_params(crop=8, random_augment=True, batch_size=2),
+        num_epochs=1, metrics=['PSNR'], seed=8)
+    losses = handler.run_experiment()
+    assert len(losses['train-loss']) == 1 and np.isfinite(losses['train-loss'][0])
+
+
+def _model_params(name='srcnn', **internal):
+    internal.setdefault('scale', 4)
+    return {'name': name, 'internal_params': internal}
+
+
+@pytest.fixture(scope='module')
+def trained_experiment(tmp_path_factory):
+    from sisr_tpu.training.handler import TrainingHandler
+    save_loc = str(tmp_path_factory.mktemp('results'))
+    handler = TrainingHandler(
+        experiment_name='tiny_srcnn', save_loc=save_loc,
+        model_params=_model_params(kernel_pattern=[3, 3], channel_pattern=[1, 8, 1]),
+        data_params=_data_params(), num_epochs=2, metrics=['PSNR', 'SSIM'], seed=8)
+    # write a config copy like net_train does, so eval can reload the model
+    from sisr_tpu.utils import toml_io
+    with open(os.path.join(handler.model.base_folder, 'config.toml'), 'w') as f:
+        toml_io.dump({'model': {'name': 'srcnn',
+                                'internal_params': {'scale': 4,
+                                                    'kernel_pattern': [3, 3],
+                                                    'channel_pattern': [1, 8, 1]}}}, f)
+    losses = handler.run_experiment()
+    return save_loc, handler, losses
+
+
+def test_training_outputs(trained_experiment):
+    save_loc, handler, losses = trained_experiment
+    base = handler.model.base_folder
+    assert os.path.isfile(os.path.join(base, 'result_outputs', 'summary.csv'))
+    assert os.path.isfile(os.path.join(base, 'saved_models', 'train_model_0'))
+    assert os.path.isfile(os.path.join(base, 'saved_models', 'train_model_1'))
+    assert os.path.isfile(os.path.join(base, 'result_outputs', 'loss_plots.pdf'))
+    assert os.path.isdir(os.path.join(base, 'result_outputs', 'epoch_0_samples'))
+    summary = pd.read_csv(os.path.join(base, 'result_outputs', 'summary.csv'))
+    assert len(summary) == 2
+    assert {'train-loss', 'val-loss', 'val-PSNR', 'val-SSIM', 'epoch',
+            'learning-rate'} <= set(summary.columns)
+    assert summary['val-PSNR'].notna().all()
+
+
+def test_resume_training(trained_experiment):
+    from sisr_tpu.training.handler import TrainingHandler
+    save_loc, handler, _ = trained_experiment
+    resumed = TrainingHandler(
+        experiment_name='tiny_srcnn', save_loc=save_loc,
+        model_params=_model_params(kernel_pattern=[3, 3], channel_pattern=[1, 8, 1]),
+        data_params=_data_params(), num_epochs=1, metrics=['PSNR', 'SSIM'],
+        continue_from_epoch=1, overwrite_data=True, seed=8)
+    assert resumed.starting_epoch == 2
+    resumed.run_experiment()
+    summary = pd.read_csv(os.path.join(resumed.model.logs, 'summary.csv'))
+    assert len(summary) == 3
+    assert list(summary['epoch']) == [0, 1, 2]
+
+
+def test_eval_hub_full_protocol(trained_experiment, tmp_path):
+    from sisr_tpu.evaluation.standard_eval import EvalHub
+    save_loc, handler, _ = trained_experiment
+    out_loc = str(tmp_path / 'eval_out')
+    os.makedirs(out_loc, exist_ok=True)
+    hub = EvalHub(
+        hr_dir=os.path.join(SET5, 'hr'), lr_dir=os.path.join(SET5, 'lr_random_blur'),
+        model_and_epoch=[('tiny_srcnn', 'best')], results_name='set5_eval', gpu=False,
+        metrics=['PSNR', 'SSIM'], data_split='all', save_im=True, batch_size=1,
+        full_directory=True, lr_dir_interp=None, model_only=False, scale=4,
+        model_loc=save_loc, out_loc=out_loc, use_test_group=False,
+        no_image_comparison=False, num_image_save=3, qpi_selection=(None, None),
+        data_attributes=None, dataset_name=None, image_shortlist=None,
+        metadata_file=None, sp_gpu=0, time_models=True, recursive=False)
+    hub.full_image_protocol()
+
+    metrics_dir = os.path.join(out_loc, 'set5_eval', 'standard_metrics')
+    indiv = pd.read_csv(os.path.join(metrics_dir, 'individual_metrics.csv'),
+                        header=[0, 1], index_col=0)
+    assert len(indiv) == 5  # all Set5 images
+    cols = {c[0] for c in indiv.columns}
+    assert 'LR' in cols and 'tiny_srcnn' in cols
+    # LR bicubic baseline PSNR anchors (blurred LR, verified against golden run)
+    lr_psnr = indiv[('LR', 'PSNR')]
+    assert abs(lr_psnr.loc['baby.png'] - 26.3884) < 0.01
+    assert abs(lr_psnr.loc['butterfly.png'] - 19.0957) < 0.01
+    assert os.path.isfile(os.path.join(metrics_dir, 'average_metrics.csv'))
+    # comparison collages + saved SR images
+    assert os.path.isfile(os.path.join(out_loc, 'set5_eval', 'model_comparisons',
+                                       'image_comparison_baby.pdf'))
+    assert os.path.isfile(os.path.join(out_loc, 'set5_eval', 'tiny_srcnn', 'baby.png'))
+
+
+def test_eval_best_epoch_resolution(trained_experiment):
+    """'best' must resolve to the argmax val-PSNR epoch from summary.csv."""
+    from sisr_tpu.models.interface import ModelInterface
+    save_loc, handler, _ = trained_experiment
+    summary = pd.read_csv(os.path.join(handler.model.logs, 'summary.csv'))
+    expected = int(summary['val-PSNR'].idxmax())
+    iface = ModelInterface(save_loc, 'tiny_srcnn', load_epoch='best')
+    assert iface.model_epoch == expected

@@ -1,0 +1,65 @@
+"""Unit tests: schedulers, losses, TOML IO, config-dict semantics."""
+import numpy as np
+import pytest
+
+from sisr_tpu.training import schedulers as S
+from sisr_tpu.utils import toml_io
+
+
+def test_cosine_warm_restarts_matches_torch_formula():
+    sched = S.cosine_annealing_warm_restarts(1e-4, restart_period=100, t_mult=1,
+                                             lr_min=1e-6)
+    assert abs(float(sched(0)) - 1e-4) < 1e-9
+    # half way through a cycle: midpoint of the cosine
+    mid = float(sched(50))
+    assert abs(mid - (1e-6 + (1e-4 - 1e-6) * 0.5)) < 1e-9
+    # restart boundary returns to base lr
+    assert abs(float(sched(100)) - 1e-4) < 1e-9
+
+
+def test_cosine_warm_restarts_tmult2():
+    sched = S.cosine_annealing_warm_restarts(1.0, restart_period=10, t_mult=2, lr_min=0.0)
+    # cycle boundaries: 0, 10, 30, 70 ...
+    for boundary in [0, 10, 30, 70]:
+        assert abs(float(sched(boundary)) - 1.0) < 1e-6
+    # just before a boundary the lr is near the minimum
+    assert float(sched(29)) < 0.05
+
+
+def test_multi_step_and_step_lr():
+    ms = S.multi_step_lr(1.0, milestones=[10, 20], gamma=0.1)
+    assert abs(float(ms(5)) - 1.0) < 1e-7
+    assert abs(float(ms(10)) - 0.1) < 1e-7
+    assert abs(float(ms(25)) - 0.01) < 1e-7
+    st = S.step_lr(1.0, step_size=10, gamma=0.5)
+    assert abs(float(st(9)) - 1.0) < 1e-7
+    assert abs(float(st(10)) - 0.5) < 1e-7
+    assert abs(float(st(20)) - 0.25) < 1e-7
+
+
+def test_build_schedule_names():
+    assert abs(float(S.build_schedule(1e-3)(123)) - 1e-3) < 1e-9
+    with pytest.raises(RuntimeError):
+        S.build_schedule(1e-3, 'bogus', {})
+
+
+def test_toml_roundtrip(tmp_path):
+    data = {'experiment': 'x', 'training': {'num_epochs': 3, 'metrics': ['PSNR'],
+                                            'flag': True, 'lr': 1e-4},
+            'model': {'internal_params': {'scale': 4, 'none_val': None}}}
+    path = tmp_path / 'cfg.toml'
+    toml_io.dump(data, str(path))
+    back = toml_io.load(str(path))
+    assert back['experiment'] == 'x'
+    assert back['training']['num_epochs'] == 3
+    assert back['training']['metrics'] == ['PSNR']
+    assert back['training']['flag'] is True
+    assert abs(back['training']['lr'] - 1e-4) < 1e-12
+    assert 'none_val' not in back['model']['internal_params']  # None skipped
+
+
+def test_none_default_dict():
+    d = toml_io.convert_default_none_dict({'a': {'b': 1}})
+    assert d['missing'] is None
+    assert d['a']['also_missing'] is None
+    assert d['a']['b'] == 1
