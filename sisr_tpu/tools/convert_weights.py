@@ -1,0 +1,246 @@
+"""Torch -> Flax weight conversion for reference checkpoints.
+
+Converts the reference framework's torch checkpoints (dict with a ``'network'``
+state_dict, ref: Code/SISR/models/__init__.py:349-464) into this framework's parameter
+trees so pretrained reference models evaluate here bit-comparably (OIHW -> HWIO kernel
+transpose; 1x1 attention convs -> Dense).
+
+Supported families (round 1): srcnn, vdsr, edsr, rcan, han, qrcan, qedsr, srmd.
+Layout notes:
+* torch Conv2d weight (O, I, kH, kW) -> flax Conv kernel (kH, kW, I, O);
+* 1x1 convs acting on pooled vectors (CALayer/QCALayer/ParaCALayer) -> Dense (I, O);
+* PixelShuffle channel ordering matches (see blocks.pixel_shuffle), so Upsampler convs
+  transfer with a plain transpose.
+"""
+import numpy as np
+
+
+def _conv(sd, prefix):
+    w = np.asarray(sd['%s.weight' % prefix])
+    entry = {'kernel': w.transpose(2, 3, 1, 0)}
+    if '%s.bias' % prefix in sd:
+        entry['bias'] = np.asarray(sd['%s.bias' % prefix])
+    return entry
+
+
+def _dense(sd, prefix):
+    w = np.asarray(sd['%s.weight' % prefix])  # (O, I, 1, 1) or (O, I)
+    w = w.reshape(w.shape[0], w.shape[1])
+    entry = {'kernel': w.T}
+    if '%s.bias' % prefix in sd:
+        entry['bias'] = np.asarray(sd['%s.bias' % prefix])
+    return entry
+
+
+def _para_ca(sd, prefix, num_layers=2, nonlinearity=True):
+    """ParaCALayer attribute_integrator Sequential -> fc_i Dense params
+    (ref: q_layer.py:20-37: conv, [relu], conv, ..., sigmoid)."""
+    out = {}
+    idx = 0
+    multiplier = num_layers
+    for i in range(num_layers):
+        out['fc_%d' % i] = _dense(sd, '%s.attribute_integrator.%d' % (prefix, idx))
+        idx += 1
+        if nonlinearity and multiplier != 1:
+            idx += 1  # skip ReLU
+        multiplier -= 1
+    return out
+
+
+def _ca_layer(sd, prefix):
+    """CALayer conv_du Sequential(conv, relu, conv, sigmoid) -> du_0/du_1."""
+    return {'du_0': _dense(sd, '%s.conv_du.0' % prefix),
+            'du_1': _dense(sd, '%s.conv_du.2' % prefix)}
+
+
+def _qca_layer(sd, prefix, style):
+    """QCALayer (ref: attention_manipulators/architectures.py:34-127)."""
+    out = {}
+    if style in ('modulate', 'standard', 'max_concat', 'softmax'):
+        out['du_0'] = _dense(sd, '%s.conv_du.0' % prefix)
+        out['du_1'] = _dense(sd, '%s.conv_du.2' % prefix)
+    elif style == 'mini_concat':
+        out['pre_concat'] = _dense(sd, '%s.pre_concat' % prefix)
+        out['du_1'] = _dense(sd, '%s.conv_du.1' % prefix)
+    elif style == 'extended_attention':
+        for i in range(3):
+            out['feature_%d' % i] = _dense(sd, '%s.feature_convs.%d.0' % (prefix, i))
+        out['final'] = _dense(sd, '%s.final_conv.0' % prefix)
+    return out
+
+
+def _upsampler(sd, prefix, scale):
+    """common.Upsampler Sequential: convs at even indices (PixelShuffle between)."""
+    out = {}
+    n_stages = {2: 1, 4: 2, 8: 3, 3: 1}[scale]
+    for i in range(n_stages):
+        out['conv_%d' % i] = _conv(sd, '%s.%d' % (prefix, i * 2))
+    return out
+
+
+def convert_srcnn(sd, kernel_pattern=None, **kwargs):
+    """(ref: basic/architectures.py:30-45 layer_dict naming)"""
+    n = len(kernel_pattern or [9, 5, 5])
+    return {'conv_%d' % i: _conv(sd, 'layer_dict.conv_%d' % i) for i in range(n)}
+
+
+def convert_vdsr(sd, kernel_pattern=None, **kwargs):
+    n = len(kernel_pattern or [3] * 20)
+    return {'conv_%d' % i: _conv(sd, 'layer_dict.conv_%d' % i) for i in range(n)}
+
+
+def convert_edsr(sd, num_blocks=16, scale=4, **kwargs):
+    """(ref: advanced/architectures.py:183-225: head/body/tail Sequentials)"""
+    params = {'head': _conv(sd, 'head.0')}
+    for i in range(num_blocks):
+        params['block_%d' % i] = {'conv_0': _conv(sd, 'body.%d.body.0' % i),
+                                  'conv_1': _conv(sd, 'body.%d.body.2' % i)}
+    params['body_tail'] = _conv(sd, 'body.%d' % num_blocks)
+    params['upsampler'] = _upsampler(sd, 'tail.0', scale)
+    params['tail'] = _conv(sd, 'tail.1')
+    return params
+
+
+def convert_rcan(sd, n_resgroups=10, n_resblocks=20, scale=4, **kwargs):
+    """(ref: advanced/architectures.py:126-161)"""
+    params = {'head': _conv(sd, 'head.0')}
+    for g in range(n_resgroups):
+        group = {}
+        for b in range(n_resblocks):
+            base = 'body.%d.body.%d' % (g, b)
+            group['rcab_%d' % b] = {'conv_0': _conv(sd, '%s.body.0' % base),
+                                    'conv_1': _conv(sd, '%s.body.2' % base),
+                                    'ca': _ca_layer(sd, '%s.body.3' % base)}
+        group['conv_tail'] = _conv(sd, 'body.%d.body.%d' % (g, n_resblocks))
+        params['group_%d' % g] = group
+    params['body_tail'] = _conv(sd, 'body.%d' % n_resgroups)
+    params['upsampler'] = _upsampler(sd, 'tail.0', scale)
+    params['tail'] = _conv(sd, 'tail.1')
+    return params
+
+
+def convert_han(sd, n_resgroups=10, n_resblocks=20, scale=4, **kwargs):
+    """(ref: advanced/architectures.py:314-377 + HAN_blocks.py)"""
+    params = convert_rcan(sd, n_resgroups, n_resblocks, scale)
+    params['la'] = {'gamma': np.asarray(sd['la.gamma'])}
+    csa_w = np.asarray(sd['csa.conv.weight'])  # (1, 1, 3, 3, 3) OIDHW
+    params['csa'] = {'gamma': np.asarray(sd['csa.gamma']),
+                     'conv3d_kernel': csa_w.transpose(2, 3, 4, 1, 0),
+                     'conv3d_bias': np.asarray(sd['csa.conv.bias'])}
+    params['last_conv'] = _conv(sd, 'last_conv')
+    params['last'] = _conv(sd, 'last')
+    return params
+
+
+def convert_qrcan(sd, n_resgroups=10, n_resblocks=20, scale=4, style='modulate',
+                  include_pixel_attention=False, include_q_layer=False,
+                  selective_meta_blocks=None, num_q_layers_inner_residual=None,
+                  **kwargs):
+    """(ref: attention_manipulators/architectures.py:246-316)"""
+    params = {'head': _conv(sd, 'head.0')}
+    for g in range(n_resgroups):
+        group = {}
+        g_has_q = include_q_layer if (selective_meta_blocks is None
+                                      or selective_meta_blocks[g]) else False
+        for b in range(n_resblocks):
+            base = 'body.%d.body.%d' % (g, b)
+            block = {'conv_0': _conv(sd, '%s.body.0' % base),
+                     'conv_1': _conv(sd, '%s.body.2' % base),
+                     'qca': _qca_layer(sd, '%s.final_body' % base, style)}
+            if include_pixel_attention:
+                block['pa_node'] = {'pa_0': _conv(sd, '%s.pa_node.pa.0' % base),
+                                    'pa_1': _conv(sd, '%s.pa_node.pa.2' % base)}
+            q_in = g_has_q if (num_q_layers_inner_residual is None
+                               or b < num_q_layers_inner_residual) else False
+            if q_in:
+                block['q_node'] = _para_ca(sd, '%s.q_node' % base)
+            group['qrcab_%d' % b] = block
+        group['final_body'] = _conv(sd, 'body.%d.final_body' % g)
+        params['group_%d' % g] = group
+    params['final_body'] = _conv(sd, 'final_body')
+    params['upsampler'] = _upsampler(sd, 'tail.0', scale)
+    params['tail'] = _conv(sd, 'tail.1')
+    return params
+
+
+def convert_qedsr(sd, num_blocks=16, scale=4, q_layer_nonlinearity=False, **kwargs):
+    """(ref: attention_manipulators/architectures.py:332-399)"""
+    params = {'head': _conv(sd, 'head')}
+    for i in range(num_blocks):
+        params['block_%d' % i] = {
+            'conv_0': _conv(sd, 'body.%d.body.0' % i),
+            'conv_1': _conv(sd, 'body.%d.body.2' % i),
+            'attention': _para_ca(sd, 'body.%d.attention_layer' % i,
+                                  nonlinearity=q_layer_nonlinearity)}
+    params['final_body'] = _conv(sd, 'final_body')
+    params['upsampler'] = _upsampler(sd, 'tail.0', scale)
+    params['tail'] = _conv(sd, 'tail.1')
+    return params
+
+
+def convert_srmd(sd, nb=12, **kwargs):
+    """(ref: advanced/architectures.py:380-425, KAIR sequential naming model.N)"""
+    params = {'conv_0': _conv(sd, 'model.0')}
+    for i in range(1, nb - 1):
+        params['conv_%d' % i] = _conv(sd, 'model.%d' % (2 * i))
+    params['conv_tail'] = _conv(sd, 'model.%d' % (2 * (nb - 1)))
+    return params
+
+
+CONVERTERS = {
+    'srcnn': convert_srcnn,
+    'vdsr': convert_vdsr,
+    'edsr': convert_edsr,
+    'rcan': convert_rcan,
+    'han': convert_han,
+    'qrcan': convert_qrcan,
+    'qpircan': convert_qrcan,
+    'qedsr': convert_qedsr,
+    'srmd': convert_srmd,
+}
+
+
+def legacy_switch(state_dict):
+    """Strip legacy 'model.module.'/'model.' key prefixes (ref: models/__init__.py:388-398)."""
+    new = {}
+    for k, v in state_dict.items():
+        if k[:13] == 'model.module.':
+            new[k[13:]] = v
+        elif k[:6] == 'model.':
+            new[k[6:]] = v
+        else:
+            new[k] = v
+    return new
+
+
+# models whose checkpoints must NOT go through the legacy prefix-strip (their own top
+# module is literally called 'model' — ref: advanced/handlers.py:147 legacy_load=False)
+_NO_LEGACY = {'srmd'}
+
+
+def convert_torch_state_dict(model_name, state_dict, legacy=None, **model_kwargs):
+    """Convert a torch ``network`` state_dict to a flax params dict."""
+    if model_name not in CONVERTERS:
+        raise NotImplementedError('No torch->flax converter for %r yet '
+                                  '(available: %s)' % (model_name, sorted(CONVERTERS)))
+    if legacy is None:
+        legacy = model_name not in _NO_LEGACY
+    if legacy:
+        state_dict = legacy_switch(state_dict)
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return CONVERTERS[model_name](sd, **model_kwargs)
+
+
+def convert_torch_checkpoint(path, model_name=None, **model_kwargs):
+    """Load a reference torch checkpoint file and convert its network weights."""
+    import torch
+    state = torch.load(path, map_location='cpu', weights_only=False)
+    if isinstance(state, dict) and 'network' in state:
+        name = model_name or state.get('model_name')
+        network = {k: v.numpy() for k, v in state['network'].items()}
+    else:  # bare state_dict (convert_pre_trained_model input)
+        name = model_name
+        network = {k: v.numpy() for k, v in state.items()}
+    if name == 'qpircan':
+        name = 'qrcan'
+    return name, convert_torch_state_dict(name, network, **model_kwargs)

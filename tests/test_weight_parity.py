@@ -1,0 +1,193 @@
+"""Numeric parity vs the actual reference torch architectures.
+
+Imports the reference's own model code (read-only, with stubs for its unavailable deps),
+runs the torch model and our flax model with converted weights on the same input, and
+requires outputs to agree to float32 tolerance.  This is the test that grounds the
+0.01 dB PSNR-parity claim.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+REF_CODE = '/root/reference/Code'
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF_CODE),
+                                reason='reference code unavailable')
+
+
+@pytest.fixture(scope='module')
+def ref_modules():
+    """Import reference architecture modules with stubs for missing deps."""
+    import types
+    # the reference targets older python: restore collections.Callable
+    import collections
+    import collections.abc
+    if not hasattr(collections, 'Callable'):
+        collections.Callable = collections.abc.Callable
+    # stub modules the reference imports but this env lacks
+    if 'toml' not in sys.modules:
+        from sisr_tpu.utils import toml_io
+        stub = types.ModuleType('toml')
+        stub.load = toml_io.load
+        stub.dump = toml_io.dump
+        sys.modules['toml'] = stub
+    for name in ['moviepy', 'moviepy.video', 'moviepy.video.io',
+                 'moviepy.video.io.ImageSequenceClip', 'skvideo', 'skvideo.io',
+                 'skvideo.utils', 'colorama', 'click_config_file', 'skimage',
+                 'skimage.metrics', 'skimage.io', 'torchvision',
+                 'torchvision.models', 'torchvision.transforms', 'aim']:
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == 'colorama':
+                mod.init = lambda *a, **k: None
+                mod.Fore = types.SimpleNamespace(RED='', GREEN='', RESET='')
+            if name == 'skimage.metrics':
+                mod.structural_similarity = None
+            if name == 'skimage.io':
+                mod.imsave = None
+            if name == 'torchvision.models':
+                mod.vgg19 = None
+            if name == 'torchvision.transforms':
+                mod.ToTensor = object
+                mod.ToPILImage = object
+                mod.Compose = object
+            sys.modules[name] = mod
+    sys.path.insert(0, REF_CODE)
+    import SISR.models.basic.architectures as basic
+    import SISR.models.advanced.architectures as advanced
+    import SISR.models.attention_manipulators.architectures as qarch
+    return basic, advanced, qarch
+
+
+def _to_flax_input(x_torch):
+    return np.asarray(x_torch.numpy()).transpose(0, 2, 3, 1)
+
+
+def _compare(torch_model, torch_in, flax_model, flax_params, flax_kwargs, atol=2e-4):
+    import jax
+    torch_model.eval()
+    with torch.no_grad():
+        ref_out = torch_model(*torch_in).numpy().transpose(0, 2, 3, 1)
+    ours = np.asarray(flax_model.apply({'params': jax.tree.map(np.asarray, flax_params)},
+                                       _to_flax_input(torch_in[0]), **flax_kwargs))
+    np.testing.assert_allclose(ours, ref_out, atol=atol,
+                               err_msg='flax output diverges from reference torch output')
+
+
+def test_srcnn_parity(ref_modules):
+    basic, _, _ = ref_modules
+    from sisr_tpu.models.basic import SRCNN
+    from sisr_tpu.tools.convert_weights import convert_torch_state_dict
+    tm = basic.SRCNN()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_torch_state_dict('srcnn', sd)
+    x = torch.rand(1, 1, 20, 24)
+    _compare(tm, (x,), SRCNN(), params, {})
+
+
+def test_vdsr_parity(ref_modules):
+    basic, _, _ = ref_modules
+    from sisr_tpu.models.basic import VDSR
+    from sisr_tpu.tools.convert_weights import convert_torch_state_dict
+    kp = [3] * 20
+    cp = [1] + [64] * 19 + [1]
+    tm = basic.VDSR(kernel_pattern=kp, channel_pattern=cp)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_torch_state_dict('vdsr', sd)
+    x = torch.rand(1, 1, 16, 16)
+    _compare(tm, (x,), VDSR(), params, {}, atol=5e-4)
+
+
+def test_edsr_parity(ref_modules):
+    _, advanced, _ = ref_modules
+    from sisr_tpu.models.advanced import EDSR
+    from sisr_tpu.tools.convert_weights import convert_torch_state_dict
+    tm = advanced.EDSR(net_features=16, num_blocks=3, scale=4)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_torch_state_dict('edsr', sd, num_blocks=3, scale=4)
+    x = torch.rand(1, 3, 12, 10)
+    _compare(tm, (x,), EDSR(net_features=16, num_blocks=3, scale=4), params, {})
+
+
+def test_rcan_parity(ref_modules):
+    _, advanced, _ = ref_modules
+    from sisr_tpu.models.advanced import RCAN
+    from sisr_tpu.tools.convert_weights import convert_torch_state_dict
+    tm = advanced.RCAN(n_resblocks=2, n_resgroups=2, n_feats=32, scale=2)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_torch_state_dict('rcan', sd, n_resgroups=2, n_resblocks=2, scale=2)
+    x = torch.rand(1, 3, 14, 12)
+    _compare(tm, (x,), RCAN(n_resblocks=2, n_resgroups=2, n_feats=32, scale=2),
+             params, {})
+
+
+def test_han_parity(ref_modules):
+    _, advanced, _ = ref_modules
+    from sisr_tpu.models.advanced import HAN
+    from sisr_tpu.tools.convert_weights import convert_torch_state_dict
+    # the reference HAN hardcodes last_conv to n_feats*11, i.e. only n_resgroups=10
+    # works (advanced/architectures.py:348); our HAN generalizes but parity needs 10
+    tm = advanced.HAN(n_resgroups=10, n_resblocks=1, n_feats=16, scale=2)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_torch_state_dict('han', sd, n_resgroups=10, n_resblocks=1, scale=2)
+    x = torch.rand(1, 3, 12, 12)
+    _compare(tm, (x,), HAN(n_resgroups=10, n_resblocks=1, n_feats=16, scale=2),
+             params, {}, atol=5e-4)
+
+
+@pytest.mark.parametrize('style', ['max_concat', 'mini_concat', 'extended_attention',
+                                   'standard'])
+def test_qrcan_parity(ref_modules, style):
+    _, _, qarch = ref_modules
+    from sisr_tpu.models.qmodels import QRCAN
+    from sisr_tpu.tools.convert_weights import convert_torch_state_dict
+    cfg = dict(n_resblocks=2, n_resgroups=2, n_feats=32, scale=2, style=style,
+               num_metadata=10, include_q_layer=True)
+    tm = qarch.QRCAN(**cfg)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_torch_state_dict('qrcan', sd, n_resgroups=2, n_resblocks=2,
+                                      scale=2, style=style, include_q_layer=True)
+    x = torch.rand(1, 3, 10, 10)
+    meta = torch.rand(1, 10, 1, 1)
+    fm = QRCAN(**cfg)
+    import jax
+    tm.eval()
+    with torch.no_grad():
+        ref_out = tm(x, meta).numpy().transpose(0, 2, 3, 1)
+    ours = np.asarray(fm.apply({'params': jax.tree.map(np.asarray, params)},
+                               _to_flax_input(x),
+                               metadata=meta.numpy()[:, :, 0, 0]))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-4)
+
+
+def test_qedsr_parity(ref_modules):
+    _, _, qarch = ref_modules
+    from sisr_tpu.models.qmodels import QEDSR
+    from sisr_tpu.tools.convert_weights import convert_torch_state_dict
+    tm = qarch.QEDSR(num_features=16, num_blocks=2, scale=2, input_para=10)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_torch_state_dict('qedsr', sd, num_blocks=2, scale=2)
+    x = torch.rand(1, 3, 10, 10)
+    meta = torch.rand(1, 10, 1, 1)
+    import jax
+    tm.eval()
+    with torch.no_grad():
+        ref_out = tm(x, meta).numpy().transpose(0, 2, 3, 1)
+    fm = QEDSR(num_features=16, num_blocks=2, scale=2, input_para=10)
+    ours = np.asarray(fm.apply({'params': jax.tree.map(np.asarray, params)},
+                               _to_flax_input(x), metadata=meta.numpy()[:, :, 0, 0]))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-4)
+
+
+def test_srmd_parity(ref_modules):
+    _, advanced, _ = ref_modules
+    from sisr_tpu.models.advanced import SRMD
+    from sisr_tpu.tools.convert_weights import convert_torch_state_dict
+    tm = advanced.SRMD(in_nc=13, nc=32, nb=6, scale=4)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_torch_state_dict('srmd', sd, nb=6)
+    x = torch.rand(1, 13, 10, 10)
+    _compare(tm, (x,), SRMD(in_nc=13, nc=32, nb=6, scale=4), params, {})
