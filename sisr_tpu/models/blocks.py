@@ -168,9 +168,13 @@ class CALayer(nn.Module):
         y = dense(self.channel // self.reduction, self.channel, dtype=self.dtype,
                   name='du_0')(y)
         y = nn.relu(y)
+        # forensic probes (ref CALayer.forensic, advanced/architectures.py:34-44):
+        # no-ops unless the 'intermediates' collection is made mutable
+        self.sow('intermediates', 'inner_vector', y)
         y = dense(self.channel, self.channel // self.reduction, dtype=self.dtype,
                   name='du_1')(y)
         y = nn.sigmoid(y)
+        self.sow('intermediates', 'mask_multiplier', y)
         out = x * y[:, None, None, :]
         if return_attention:
             return out, y

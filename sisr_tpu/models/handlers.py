@@ -332,6 +332,28 @@ class BaseHandler:
         print('Loaded model uses the following architecture:', state_dict['model_name'])
         return state_dict
 
+    def run_forensic(self, x, metadata=None, **kwargs):
+        """Forward pass that also returns the attention introspection data
+        (ref BaseModel.run_forensic, models/__init__.py:524-529).
+
+        Returns (output NHWC numpy, intermediates dict keyed by module path: channel /
+        meta / pixel attention vectors sown by the attention layers).
+        """
+        if self.state is None:
+            self.init_state(spatial=x.shape[1:3])
+        batch = {'lr': jnp.asarray(x, self.dtype)}
+        if metadata is not None:
+            batch['metadata'] = jnp.asarray(metadata)
+        xin, _, meta = self._prep_batch(batch)
+        variables = {'params': self.state.params}
+        if self.state.batch_stats is not None:
+            variables['batch_stats'] = self.state.batch_stats
+        call_kwargs = {} if meta is None else {'metadata': meta}
+        out, aux = self.module.apply(variables, xin, mutable=['intermediates'],
+                                     **call_kwargs)
+        forensic = jax.tree.map(np.asarray, aux.get('intermediates', {}))
+        return np.asarray(out, np.float32), forensic
+
     # --- parallelism ------------------------------------------------------------------------
     def set_mesh(self, mesh_ctx):
         """Enable data-parallel execution over a device mesh (the TPU-native replacement

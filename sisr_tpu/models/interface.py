@@ -152,9 +152,12 @@ class ModelInterface:
     def _standard_image_formatting(im, min_value=0, max_value=1):
         return np.clip(np.array(im, copy=True), min_value, max_value)
 
-    def net_forensic(self, data, **kwargs):
-        raise NotImplementedError('Forensic introspection is exposed via '
-                                  'module apply with return_attention flags.')
+    def net_forensic(self, data, metadata=None, metadata_keys=None, **kwargs):
+        """Forward + attention introspection (ref: models/__init__.py:171-173)."""
+        if metadata_keys is not None and self.model.metadata_keys is None:
+            self.model.set_metadata_keys(metadata_keys)
+        image, forensic_data = self.model.run_forensic(data, metadata=metadata)
+        return image, forensic_data
 
     # --- persistence ----------------------------------------------------------------------
     def save(self, name='train_model', override=False, dry_run=False):

@@ -47,6 +47,8 @@ class ParaCALayer(nn.Module):
                 y = nn.relu(y)
             multiplier -= 1
         y = nn.sigmoid(y)
+        # forensic probe (ref ParaCALayer.forensic, q_layer.py:45-49)
+        self.sow('intermediates', 'meta_attention_map', y)
         out = x * y[:, None, None, :]
         if return_attention:
             return out, y
@@ -65,6 +67,8 @@ class PALayer(nn.Module):
         y = nn.relu(y)
         y = conv(1, 1, self.channel // 8, padding=0, dtype=self.dtype, name='pa_1')(y)
         y = nn.sigmoid(y)
+        # forensic probe (ref PALayer.forensic, attention_manipulators/architectures.py:28-30)
+        self.sow('intermediates', 'pixel_attention_map', y)
         return x * y
 
 
@@ -132,4 +136,6 @@ class QCALayer(nn.Module):
         else:
             raise NotImplementedError('Unknown QCALayer style %s' % style)
 
+        # forensic probe (ref QCALayer.forensic, attention_manipulators/architectures.py:129-141)
+        self.sow('intermediates', 'mask_multiplier', y)
         return x * y[:, None, None, :]
