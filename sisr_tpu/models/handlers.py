@@ -192,6 +192,38 @@ class BaseHandler:
         self.state, loss = self._train_step(self.state, dev_batch)
         return loss, None
 
+    def run_train_multi(self, batches):
+        """Run K optimizer steps in ONE device dispatch (lax.scan over stacked batches).
+
+        :param batches: list of K batch dicts with identically-shaped 'lr'/'hr'
+            (/'metadata') arrays.
+        :return: numpy array of the K losses.
+        """
+        from ..training.state import make_multi_train_step
+        if self.eval_mode:
+            raise RuntimeError('Model initialized in eval mode, training not possible.')
+        if self.state is None:
+            self.init_state(spatial=batches[0]['lr'].shape[1:3])
+            if self.mesh_ctx is not None:
+                self.state = self.mesh_ctx.replicate(self.state)
+        if getattr(self, '_multi_train_step', None) is None:
+            self._multi_train_step = make_multi_train_step(self.loss_fn,
+                                                           self._prep_batch,
+                                                           self.has_batch_stats)
+        keys = [k for k in ('lr', 'hr', 'metadata') if k in batches[0]
+                and batches[0][k] is not None]
+        stacked = {k: np.stack([np.asarray(b[k]) for b in batches], axis=0)
+                   for k in keys}
+        if self.mesh_ctx is not None:
+            # shard each step's batch axis (leaves are (K, B, ...)): put with a spec that
+            # shards axis 1
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh_ctx.mesh, P(None, self.mesh_ctx.batch_axis))
+            stacked = {k: jax.device_put(v, sh) for k, v in stacked.items()}
+        self.state, losses = self._multi_train_step(self.state, stacked)
+        return np.asarray(losses)
+
     def _eval_step_for(self, shape):
         key = tuple(shape)
         if key not in self._eval_step_cache:

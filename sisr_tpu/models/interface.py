@@ -102,6 +102,13 @@ class ModelInterface:
             self.model.set_metadata_keys(metadata_keys)
         return self.model.run_train(lr=lr, hr=hr, metadata=metadata)
 
+    def train_batch_multi(self, batches):
+        """Fused K-step dispatch (see BaseHandler.run_train_multi)."""
+        if batches and batches[0].get('metadata_keys') is not None \
+                and self.model.metadata_keys is None:
+            self.model.set_metadata_keys(batches[0]['metadata_keys'])
+        return self.model.run_train_multi(batches)
+
     def set_epoch(self, epoch):
         self.model_epoch = epoch
         self.model.set_epoch(epoch)

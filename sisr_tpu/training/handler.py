@@ -34,7 +34,7 @@ class TrainingHandler:
                  seed=8, model_cleanup_frequency=None, epoch_cutoff=None,
                  early_stopping_patience=None, overwrite_data=False, branch_start=None,
                  new_branch=False, logging='visual', save_samples=True,
-                 experiment_group=None, **kwargs):
+                 experiment_group=None, steps_per_dispatch=None, **kwargs):
         """Parameter semantics follow the reference (training_handler.py:39-63)."""
         self.experiment_name = experiment_name
         self.num_epochs = num_epochs
@@ -44,6 +44,9 @@ class TrainingHandler:
         self.overwrite = overwrite_data
         self.model_cleanup_frequency = model_cleanup_frequency
         self.aim_track = aim_track
+        # fuse K optimizer steps into one device dispatch (lax.scan) — amortizes
+        # dispatch latency; requires fixed-size training batches (crops)
+        self.steps_per_dispatch = steps_per_dispatch or 1
         if aim_track:
             raise RuntimeError('Aim tracking is not available in this environment; '
                                'training metrics are logged to summary.csv + plots.')
@@ -92,12 +95,29 @@ class TrainingHandler:
         """One training epoch (ref: training_handler.py:147-177)."""
         current_epoch_losses = defaultdict(list)
         with tqdm.tqdm(total=len(self.train_data)) as pbar_train:
-            for batch in device_prefetch(self.train_data):
-                losses, _ = self.model.train_batch(**batch)
-                loss = float(losses)
-                current_epoch_losses['train-loss'].append(loss)
-                pbar_train.update(1)
-                pbar_train.set_description("loss: {:.4f}".format(loss))
+            if self.steps_per_dispatch > 1:
+                buffer = []
+                for batch in self.train_data:
+                    buffer.append(batch)
+                    if len(buffer) == self.steps_per_dispatch:
+                        losses = self.model.train_batch_multi(buffer)
+                        current_epoch_losses['train-loss'].extend(
+                            float(l) for l in losses)
+                        pbar_train.update(len(buffer))
+                        pbar_train.set_description(
+                            "loss: {:.4f}".format(float(losses[-1])))
+                        buffer = []
+                for batch in buffer:  # ragged tail: single steps
+                    loss = float(self.model.train_batch(**batch)[0])
+                    current_epoch_losses['train-loss'].append(loss)
+                    pbar_train.update(1)
+            else:
+                for batch in device_prefetch(self.train_data):
+                    losses, _ = self.model.train_batch(**batch)
+                    loss = float(losses)
+                    current_epoch_losses['train-loss'].append(loss)
+                    pbar_train.update(1)
+                    pbar_train.set_description("loss: {:.4f}".format(loss))
 
         learning_rates = self.model.get_learning_rate()
         current_epoch_losses['learning-rate'].append(learning_rates)

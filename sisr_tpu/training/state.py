@@ -60,6 +60,27 @@ def make_train_step(loss_fn, prep_fn, has_batch_stats=False, donate=True):
     :param has_batch_stats: thread a mutable batch_stats collection (BatchNorm models).
     """
 
+    return jax.jit(_train_step_body(loss_fn, prep_fn, has_batch_stats),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_multi_train_step(loss_fn, prep_fn, has_batch_stats=False, donate=True):
+    """Build a jitted K-step train function: one dispatch runs K optimizer steps via
+    ``lax.scan`` over stacked batches (leaves shaped (K, B, ...)).
+
+    This amortizes host->device dispatch latency across K steps — on remote-attached
+    TPUs the per-call round trip otherwise dominates small-model training.
+    Returns (new_state, losses[K]).
+    """
+    single = _train_step_body(loss_fn, prep_fn, has_batch_stats)
+
+    def step(state, stacked_batch):
+        return jax.lax.scan(single, state, stacked_batch)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def _train_step_body(loss_fn, prep_fn, has_batch_stats):
     def step(state, batch):
         x, y, metadata = prep_fn(batch)
 
@@ -86,7 +107,7 @@ def make_train_step(loss_fn, prep_fn, has_batch_stats=False, donate=True):
                                   opt_state=new_opt_state, batch_stats=new_stats)
         return new_state, loss
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step
 
 
 def make_eval_step(loss_fn, prep_fn, has_batch_stats=False):

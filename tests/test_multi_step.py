@@ -1,0 +1,55 @@
+"""Fused multi-step training (lax.scan over K optimizer steps in one dispatch)."""
+import numpy as np
+
+import jax
+
+from sisr_tpu.models.handlers import define_model
+
+
+def _batches(rng, k=4, b=2):
+    return [{'lr': rng.rand(b, 8, 8, 3).astype(np.float32),
+             'hr': rng.rand(b, 16, 16, 3).astype(np.float32)} for _ in range(k)]
+
+
+def test_multi_step_matches_sequential_single_steps():
+    rng = np.random.RandomState(0)
+    batches = _batches(rng)
+
+    h1 = define_model('edsr', num_features=8, num_blocks=1, scale=2, lr=1e-3)
+    h1.set_metadata_keys([])
+    losses_single = [float(h1.run_train(**b)[0]) for b in batches]
+
+    h2 = define_model('edsr', num_features=8, num_blocks=1, scale=2, lr=1e-3)
+    h2.set_metadata_keys([])
+    losses_multi = h2.run_train_multi(batches)
+
+    np.testing.assert_allclose(losses_multi, losses_single, rtol=2e-5)
+    assert int(h2.state.step) == 4
+    for a, b in zip(jax.tree.leaves(h1.state.params), jax.tree.leaves(h2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_multi_step_with_metadata():
+    rng = np.random.RandomState(1)
+    h = define_model('qrcan', scale=2, n_feats=16, n_resblocks=1, n_resgroups=1,
+                     style='max_concat', include_q_layer=True,
+                     metadata=['blur_kernel'], lr=1e-4)
+    h.set_metadata_keys(['blur_kernel'] * 10)
+    batches = [{'lr': rng.rand(2, 8, 8, 3).astype(np.float32),
+                'hr': rng.rand(2, 16, 16, 3).astype(np.float32),
+                'metadata': rng.rand(2, 10).astype(np.float32)} for _ in range(3)]
+    losses = h.run_train_multi(batches)
+    assert losses.shape == (3,)
+    assert np.all(np.isfinite(losses))
+
+
+def test_multi_step_data_parallel():
+    from sisr_tpu.parallel import MeshContext
+    rng = np.random.RandomState(2)
+    h = define_model('edsr', num_features=8, num_blocks=1, scale=2, lr=1e-3)
+    h.set_metadata_keys([])
+    h.set_mesh(MeshContext())
+    batches = [{'lr': rng.rand(8, 8, 8, 3).astype(np.float32),
+                'hr': rng.rand(8, 16, 16, 3).astype(np.float32)} for _ in range(2)]
+    losses = h.run_train_multi(batches)
+    assert losses.shape == (2,) and np.all(np.isfinite(losses))
