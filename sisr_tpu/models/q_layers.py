@@ -39,6 +39,10 @@ class ParaCALayer(nn.Module):
                 sizes.append(self.network_channels // multiplier)
             multiplier -= 1
 
+        # attributes may be a (B, M) vector (the usual case — the reference's
+        # (B, M, 1, 1)) or a (B, H, W, M) spatial map (SFTMD q-injection feeds the SFT
+        # para maps straight in, SFTMD_variants/architectures.py:95-104); the Dense
+        # layers apply along the trailing axis either way, matching the 1x1 convs.
         y = attributes.astype(self.dtype)
         multiplier = self.num_layers
         for i in range(self.num_layers):
@@ -49,7 +53,7 @@ class ParaCALayer(nn.Module):
         y = nn.sigmoid(y)
         # forensic probe (ref ParaCALayer.forensic, q_layer.py:45-49)
         self.sow('intermediates', 'meta_attention_map', y)
-        out = x * y[:, None, None, :]
+        out = x * (y if y.ndim == x.ndim else y[:, None, None, :])
         if return_attention:
             return out, y
         return out

@@ -97,6 +97,11 @@ class NonLocalBlock2D(nn.Module):
 
     The output projection W is zero-initialized so the block starts as identity,
     exactly like the reference (SAN_blocks.py:58-61).
+
+    NB: the reference's 2-D branch rebinds its ``sub_sample`` local to the Upsample
+    class (SAN_blocks.py:39), which is truthy — so its 2-D non-local ALWAYS max-pools
+    the g/phi branches by 2 regardless of the ``sub_sample=False`` argument.  That
+    behavior (and its memory saving) is reproduced here.
     """
     in_channels: int
     inter_channels: int
@@ -109,10 +114,14 @@ class NonLocalBlock2D(nn.Module):
         g = conv(self.inter_channels, 1, c, padding=0, dtype=self.dtype, name='g')(x)
         theta = conv(self.inter_channels, 1, c, padding=0, dtype=self.dtype, name='theta')(x)
         phi = conv(self.inter_channels, 1, c, padding=0, dtype=self.dtype, name='phi')(x)
+        # g/phi 2x2 max-pool (see class docstring)
+        g = nn.max_pool(g, (2, 2), strides=(2, 2))
+        phi = nn.max_pool(phi, (2, 2), strides=(2, 2))
+        m_sub = g.shape[1] * g.shape[2]
 
-        g = g.reshape(b, m, self.inter_channels)
+        g = g.reshape(b, m_sub, self.inter_channels)
         theta = theta.reshape(b, m, self.inter_channels)
-        phi = phi.reshape(b, m, self.inter_channels)
+        phi = phi.reshape(b, m_sub, self.inter_channels)
 
         f = jnp.einsum('bmc,bnc->bmn', theta, phi, preferred_element_type=jnp.float32)
         f = jax.nn.softmax(f, axis=-1).astype(g.dtype)

@@ -94,20 +94,23 @@ class SFTResidualBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feature_maps, para_maps, meta_vector=None):
+    def __call__(self, feature_maps, para_maps):
+        # q layers consume the same para maps as the SFT layers (ref:
+        # SFTMD_variants/architectures.py:95-104); ParaCALayer handles both vector and
+        # spatial metadata forms
         kw = dict(nf=self.nf, para=self.para, mask_para=self.mask_para,
                   repeats=self.repeats, sft_type=self.sft_type, dtype=self.dtype)
         fea1 = nn.relu(SFTLayer(**kw, name='sft1')(feature_maps, para_maps))
         if self.q_injection:
             fea1 = ParaCALayer(self.nf, self.para, nonlinearity=True,
                                num_layers=self.q_layers, dtype=self.dtype,
-                               name='q_1')(fea1, meta_vector)
+                               name='q_1')(fea1, para_maps)
         fea1 = conv(self.nf, 3, self.nf, dtype=self.dtype, name='conv1')(fea1)
         fea2 = nn.relu(SFTLayer(**kw, name='sft2')(fea1, para_maps))
         if self.q_injection:
             fea2 = ParaCALayer(self.nf, self.para, nonlinearity=True,
                                num_layers=self.q_layers, dtype=self.dtype,
-                               name='q_2')(fea2, meta_vector)
+                               name='q_2')(fea2, para_maps)
         fea3 = conv(self.nf, 3, self.nf, dtype=self.dtype, name='conv2')(fea2)
         return feature_maps + fea3
 
@@ -135,14 +138,13 @@ class SFTMD(nn.Module):
     @nn.compact
     def __call__(self, x, metadata):
         nf = self.num_features
-        # metadata handling: SFT layers need spatial maps; q-injection needs the vector
+        # vector metadata broadcasts to spatial maps for the SFT layers; spatial maps
+        # pass straight through (q layers consume the same form, like the reference)
         if metadata.ndim == 2:
-            meta_vector = metadata
             para_maps = jnp.broadcast_to(metadata[:, None, None, :],
                                          (x.shape[0], x.shape[1], x.shape[2],
                                           metadata.shape[-1]))
         else:
-            meta_vector = metadata.mean(axis=(1, 2))
             para_maps = metadata
 
         fea = conv(nf, 3, self.in_nc, dtype=self.dtype, name='conv1')(x)
@@ -157,14 +159,14 @@ class SFTMD(nn.Module):
                                       self.repeats, self.q_injection, self.q_layers,
                                       dtype=self.dtype,
                                       name='sft_residual_%d' % (i + 1))(
-                fea_in, para_maps, meta_vector)
+                fea_in, para_maps)
         fea_add = fea_in + fea_bef
         fea_fin = SFTLayer(self.sft_type, nf, self.input_para, self.mask_para,
                            self.repeats, dtype=self.dtype, name='sft')(fea_add, para_maps)
         if self.q_injection:
             fea_fin = ParaCALayer(nf, self.input_para, nonlinearity=True,
                                   num_layers=self.q_layers, dtype=self.dtype,
-                                  name='final_injection')(fea_fin, meta_vector)
+                                  name='final_injection')(fea_fin, para_maps)
         fea = conv(nf, 3, nf, dtype=self.dtype, name='conv_mid')(fea_fin)
 
         if self.scale == 4:  # two conv+PixelShuffle(2) stages (ref: :141-151)

@@ -187,6 +187,103 @@ def convert_srmd(sd, nb=12, **kwargs):
     return params
 
 
+def _soca(sd, prefix):
+    return {'du_0': _dense(sd, '%s.conv_du.0' % prefix),
+            'du_1': _dense(sd, '%s.conv_du.2' % prefix)}
+
+
+def _non_local(sd, prefix):
+    """Nonlocal_CA -> our NonlocalCA/non_local (the reference's inner dead SOCA params
+    are skipped; ref: SAN_blocks.py:305-336).  g/phi are Sequential-wrapped with the
+    always-on 2-D max-pool (SAN_blocks.py:88-93) -> keys g.0 / phi.0."""
+    inner = '%s.non_local' % prefix
+    return {'non_local': {'g': _conv(sd, '%s.g.0' % inner),
+                          'theta': _conv(sd, '%s.theta' % inner),
+                          'phi': _conv(sd, '%s.phi.0' % inner),
+                          'w': _conv(sd, '%s.W' % inner)}}
+
+
+def convert_san(sd, n_resgroups=20, n_resblocks=10, scale=4, **kwargs):
+    """(ref: advanced/architectures.py:244-311 + SAN_blocks.py).  The reference's dead
+    parameters (SAN.conv_last, LSRAG.gamma, Nonlocal_CA.soca) are skipped."""
+    params = {'head': _conv(sd, 'head.0'), 'gamma': np.asarray(sd['gamma'])}
+    for g in range(n_resgroups):
+        group = {}
+        for b in range(n_resblocks):
+            base = 'RG.%d.rcab.%d' % (g, b)
+            group['rb_%d' % b] = {'conv_0': _conv(sd, '%s.conv_first.0' % base),
+                                  'conv_1': _conv(sd, '%s.conv_first.2' % base)}
+        group['soca'] = _soca(sd, 'RG.%d.soca' % g)
+        group['conv_last'] = _conv(sd, 'RG.%d.conv_last' % g)
+        params['rg_%d' % g] = group
+    params['non_local'] = _non_local(sd, 'non_local')
+    params['upsampler'] = _upsampler(sd, 'tail.0', scale)
+    params['tail'] = _conv(sd, 'tail.1')
+    return params
+
+
+def convert_qsan(sd, n_resgroups=20, n_resblocks=10, scale=4, **kwargs):
+    """(ref: attention_manipulators/architectures.py:402-467 + qsan_blocks.py)"""
+    params = {'head': _conv(sd, 'head.0'), 'gamma': np.asarray(sd['gamma'])}
+    for g in range(n_resgroups):
+        group = {}
+        for b in range(n_resblocks):
+            base = 'RG.%d.rcab.%d' % (g, b)
+            group['qrb_%d' % b] = {'conv_0': _conv(sd, '%s.conv_first.0' % base),
+                                   'conv_1': _conv(sd, '%s.conv_first.2' % base),
+                                   'q_layer': _para_ca(sd, '%s.q_layer' % base)}
+        group['soca'] = _soca(sd, 'RG.%d.soca' % g)
+        group['conv_last'] = _conv(sd, 'RG.%d.conv_last' % g)
+        params['rg_%d' % g] = group
+    params['non_local'] = _non_local(sd, 'non_local')
+    params['upsampler'] = _upsampler(sd, 'tail.0', scale)
+    params['tail'] = _conv(sd, 'tail.1')
+    return params
+
+
+def _sft_layer(sd, prefix, sft_type='standard'):
+    """SFT_Layer -> sft_module params (ref: SFTMD_variants/architectures.py:8-76).
+    Assumes the post-legacy-rewrite naming (…sft_module…) the reference's own
+    SFTMD legacy_switch produces (SFTMD_variants/handlers.py:41-60)."""
+    base = '%s.sft_module' % prefix
+    if sft_type == 'standard':
+        return {'sft_module': {'mul_conv1': _conv(sd, '%s.mul_conv1' % base),
+                               'mul_conv2': _conv(sd, '%s.mul_conv2' % base),
+                               'add_conv1': _conv(sd, '%s.add_conv1' % base),
+                               'add_conv2': _conv(sd, '%s.add_conv2' % base)}}
+    if sft_type == 'concat':
+        return {'sft_module': {'conv': _conv(sd, '%s.conv' % base)}}
+    return {}  # weak / none have no parameters
+
+
+def convert_sftmd(sd, num_blocks=16, scale=4, sft_type='standard', q_injection=False,
+                  q_layers=2, **kwargs):
+    """(ref: SFTMD_variants/architectures.py:107-176)"""
+    params = {'conv1': _conv(sd, 'conv1'), 'conv2': _conv(sd, 'conv2'),
+              'conv3': _conv(sd, 'conv3')}
+    for i in range(1, num_blocks + 1):
+        base = 'SFT-residual%d' % i
+        block = {'conv1': _conv(sd, '%s.conv1' % base),
+                 'conv2': _conv(sd, '%s.conv2' % base)}
+        block['sft1'] = _sft_layer(sd, '%s.sft1' % base, sft_type)
+        block['sft2'] = _sft_layer(sd, '%s.sft2' % base, sft_type)
+        if q_injection:
+            block['q_1'] = _para_ca(sd, '%s.q_1' % base, num_layers=q_layers)
+            block['q_2'] = _para_ca(sd, '%s.q_2' % base, num_layers=q_layers)
+        params['sft_residual_%d' % i] = block
+    params['sft'] = _sft_layer(sd, 'sft', sft_type)
+    if q_injection:
+        params['final_injection'] = _para_ca(sd, 'final_injection', num_layers=q_layers)
+    params['conv_mid'] = _conv(sd, 'conv_mid')
+    if scale == 4:  # two conv+PS(2) stages: convs at Sequential indices 0 and 3
+        params['up_conv1'] = _conv(sd, 'upscale.0')
+        params['up_conv2'] = _conv(sd, 'upscale.3')
+    else:
+        params['up_conv1'] = _conv(sd, 'upscale.0')
+    params['conv_output'] = _conv(sd, 'conv_output')
+    return params
+
+
 CONVERTERS = {
     'srcnn': convert_srcnn,
     'vdsr': convert_vdsr,
@@ -197,6 +294,11 @@ CONVERTERS = {
     'qpircan': convert_qrcan,
     'qedsr': convert_qedsr,
     'srmd': convert_srmd,
+    'san': convert_san,
+    'qsan': convert_qsan,
+    'sftmd': convert_sftmd,
+    # sparnet/qsparnet: BatchNorm running stats live in a separate flax collection;
+    # converter planned for a follow-up round
 }
 
 

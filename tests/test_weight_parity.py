@@ -191,3 +191,62 @@ def test_srmd_parity(ref_modules):
     params = convert_torch_state_dict('srmd', sd, nb=6)
     x = torch.rand(1, 13, 10, 10)
     _compare(tm, (x,), SRMD(in_nc=13, nc=32, nb=6, scale=4), params, {})
+
+
+def test_san_parity(ref_modules):
+    _, advanced, _ = ref_modules
+    from sisr_tpu.models.san import SAN
+    from sisr_tpu.tools.convert_weights import convert_torch_state_dict
+    tm = advanced.SAN(n_resgroups=2, n_resblocks=2, n_feats=16, scale=2)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_torch_state_dict('san', sd, n_resgroups=2, n_resblocks=2, scale=2)
+    x = torch.rand(1, 3, 12, 12)
+    _compare(tm, (x,), SAN(n_resgroups=2, n_resblocks=2, n_feats=16, reduction=16,
+                           scale=2), params, {}, atol=5e-4)
+
+
+def test_qsan_parity(ref_modules):
+    _, _, qarch = ref_modules
+    from sisr_tpu.models.qmodels import QSAN
+    from sisr_tpu.tools.convert_weights import convert_torch_state_dict
+    tm = qarch.QSAN(n_resgroups=2, n_resblocks=2, n_feats=16, scale=2, input_para=10)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_torch_state_dict('qsan', sd, n_resgroups=2, n_resblocks=2, scale=2)
+    x = torch.rand(1, 3, 12, 12)
+    meta = torch.rand(1, 10, 1, 1)
+    import jax
+    tm.eval()
+    with torch.no_grad():
+        ref_out = tm(x, meta).numpy().transpose(0, 2, 3, 1)
+    fm = QSAN(n_resgroups=2, n_resblocks=2, n_feats=16, reduction=16, scale=2,
+              input_para=10)
+    ours = np.asarray(fm.apply({'params': jax.tree.map(np.asarray, params)},
+                               _to_flax_input(x), metadata=meta.numpy()[:, :, 0, 0]))
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4)
+
+
+@pytest.mark.parametrize('sft_type,q_injection', [('standard', False),
+                                                  ('standard', True),
+                                                  ('concat', False)])
+def test_sftmd_parity(ref_modules, sft_type, q_injection):
+    import importlib
+    import SISR.models.SFTMD_variants.architectures as sftmd_ref
+    from sisr_tpu.models.sftmd import SFTMD
+    from sisr_tpu.tools.convert_weights import convert_torch_state_dict
+    tm = sftmd_ref.SFTMD(num_features=16, num_blocks=2, scale=4, input_para=10,
+                         SFT_type=sft_type, q_injection=q_injection)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_torch_state_dict('sftmd', sd, num_blocks=2, scale=4,
+                                      sft_type=sft_type, q_injection=q_injection)
+    x = torch.rand(1, 3, 8, 8)
+    meta_maps = torch.rand(1, 10, 8, 8)
+    import jax
+    tm.eval()
+    with torch.no_grad():
+        ref_out = tm(x, meta_maps).numpy().transpose(0, 2, 3, 1)
+    fm = SFTMD(num_features=16, num_blocks=2, scale=4, input_para=10,
+               sft_type=sft_type, q_injection=q_injection)
+    meta_in = meta_maps.numpy().transpose(0, 2, 3, 1)
+    ours = np.asarray(fm.apply({'params': jax.tree.map(np.asarray, params)},
+                               _to_flax_input(x), metadata=meta_in))
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4)
