@@ -294,14 +294,27 @@ class BaseHandler:
 
         grid = 2 ** level
         tile_h, tile_w = -(-h // grid), -(-w // grid)
-        pad_h, pad_w = tile_h * grid - h, tile_w * grid - w
-        xp = jnp.pad(x, ((0, 0), (0, pad_h + shave), (0, pad_w + shave), (0, 0)),
-                     mode='reflect')
+        span_h, span_w = tile_h + 2 * shave, tile_w + 2 * shave
+        while grid > 1 and (span_h > h or span_w > w):  # image too small for this depth
+            grid //= 2
+            tile_h, tile_w = -(-h // grid), -(-w // grid)
+            span_h, span_w = tile_h + 2 * shave, tile_w + 2 * shave
+        if grid == 1:
+            step = self._eval_step_for(x.shape)
+            return step(self.state, batch)[0]
+
+        # tiles carry `shave` halo on each side; anchors are clamped inside the image so
+        # border tiles see the exact image edge (same zero-pad context as the untiled
+        # model) — like the reference chop's corner-anchored quadrants
+        # (advanced/handlers.py:86-91)
+        anchors = []
         tiles = []
         for i in range(grid):
             for j in range(grid):
-                tiles.append(xp[:, i * tile_h:i * tile_h + tile_h + shave,
-                             j * tile_w:j * tile_w + tile_w + shave, :])
+                src_i = min(max(i * tile_h - shave, 0), h - span_h)
+                src_j = min(max(j * tile_w - shave, 0), w - span_w)
+                anchors.append((i * tile_h - src_i, j * tile_w - src_j))
+                tiles.append(x[:, src_i:src_i + span_h, src_j:src_j + span_w, :])
         tiles = jnp.concatenate(tiles, axis=0)
         tile_batch = {'lr': tiles}
         if 'metadata' in batch:
@@ -310,11 +323,14 @@ class BaseHandler:
         sr_tiles, _ = step(self.state, tile_batch)
 
         s = self.scale
-        out = jnp.zeros((n, (h + pad_h) * s, (w + pad_w) * s, c), sr_tiles.dtype)
+        out = jnp.zeros((n, grid * tile_h * s, grid * tile_w * s, c), sr_tiles.dtype)
         idx = 0
         for i in range(grid):
             for j in range(grid):
-                tile = sr_tiles[idx * n:(idx + 1) * n, :tile_h * s, :tile_w * s, :]
+                off_i, off_j = anchors[idx]
+                tile = sr_tiles[idx * n:(idx + 1) * n,
+                                off_i * s:(off_i + tile_h) * s,
+                                off_j * s:(off_j + tile_w) * s, :]
                 out = jax.lax.dynamic_update_slice(
                     out, tile, (0, i * tile_h * s, j * tile_w * s, 0))
                 idx += 1

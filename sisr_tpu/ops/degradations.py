@@ -246,3 +246,31 @@ class OnlineDegrader:
 
 # compat alias matching the reference class name (ref: gaussian_utils.py:371)
 SRMDPreprocessing = OnlineDegrader
+
+
+def degrade_batch_on_device(hr_batch, kernels, pca, scale, quantize=True):
+    """Fully on-device batched degradation: blur -> (uint8 quantize) -> bicubic down.
+
+    The jit-compiled, batched replacement for the host-side per-image
+    blur -> ToPILImage -> PIL-bicubic chain (ref: data_handler.py:446-455): one grouped
+    conv blurs the whole batch, the PIL uint8 quantization becomes a trunc-to-1/255
+    (torchvision ToPILImage semantics), and the downscale runs as two MXU matmuls.
+    Matches the host pipeline within 1 uint8 LSB (the PIL fixed-point rounding).
+
+    :param hr_batch: (N, H, W, C) float [0,1]; H, W multiples of ``scale``.
+    :param kernels: (N, l, l) blur kernels.
+    :param pca: (l*l, k) PCA projection matrix.
+    :returns: (lr (N, H/s, W/s, C), kernel codes (N, k), blurred HR (N, H, W, C)).
+    """
+    import jax.numpy as jnp
+    from .resize import resize_bicubic
+
+    blurred = batch_blur_nhwc(hr_batch, kernels)
+    if quantize:  # emulate the ToPILImage uint8 round trip (mul 255, trunc byte)
+        blurred_q = jnp.clip(jnp.floor(blurred * 255.0), 0, 255) / 255.0
+    else:
+        blurred_q = blurred
+    n, h, w, c = hr_batch.shape
+    lr = resize_bicubic(blurred_q, h // scale, w // scale)
+    codes = kernels.reshape(kernels.shape[0], -1) @ jnp.asarray(pca)
+    return lr, codes, blurred

@@ -84,3 +84,29 @@ def test_kernel_rng_parity_with_reference():
     np.random.seed(8)
     ours = D.random_batch_kernel(8, l=21)
     np.testing.assert_allclose(ours, theirs, atol=1e-12)
+
+
+def test_device_degradation_matches_host_pipeline(rng):
+    """Batched on-device degrade == per-image host pipeline within 1 uint8 LSB."""
+    import jax.numpy as jnp
+    from sisr_tpu.ops.transforms import downsample, float_to_pil, pil_to_float
+
+    np.random.seed(11)
+    kernels = D.random_batch_kernel(3, l=21).astype(np.float32)
+    mat = D.pca_matrix(D.random_batch_kernel(300, l=21).reshape(300, -1), k=10)
+    hr = rng.rand(3, 32, 32, 3).astype(np.float32)
+
+    lr_dev, codes_dev, blurred_dev = D.degrade_batch_on_device(
+        jnp.asarray(hr), jnp.asarray(kernels), mat, scale=4)
+    lr_dev = np.asarray(lr_dev)
+
+    enc = D.PCAEncoder(mat)
+    codes_host = enc(kernels)
+    np.testing.assert_allclose(np.asarray(codes_dev), codes_host, atol=1e-4)
+
+    for i in range(3):
+        blurred = D.blur_image(hr[i], kernels[i])
+        _, lr_pil = downsample(float_to_pil(blurred), scale=4)
+        lr_host = pil_to_float(lr_pil)
+        # device path skips PIL's fixed-point rounding: allow ~1.5 LSB
+        assert np.abs(lr_dev[i] - lr_host).max() < 2.0 / 255
