@@ -5,7 +5,8 @@ state_dict, ref: Code/SISR/models/__init__.py:349-464) into this framework's par
 trees so pretrained reference models evaluate here bit-comparably (OIHW -> HWIO kernel
 transpose; 1x1 attention convs -> Dense).
 
-Supported families (round 1): srcnn, vdsr, edsr, rcan, han, qrcan, qedsr, srmd.
+Supported families (all 11): srcnn, vdsr, edsr, rcan, han, qrcan(qpircan), qedsr,
+srmd, san, qsan, sftmd, sparnet/qsparnet (full variables incl. BatchNorm stats).
 Layout notes:
 * torch Conv2d weight (O, I, kH, kW) -> flax Conv kernel (kH, kW, I, O);
 * 1x1 convs acting on pooled vectors (CALayer/QCALayer/ParaCALayer) -> Dense (I, O);
@@ -284,6 +285,107 @@ def convert_sftmd(sd, num_blocks=16, scale=4, sft_type='standard', q_injection=F
     return params
 
 
+def _set_path(tree, path, value):
+    node = tree
+    for part in path[:-1]:
+        node = node.setdefault(part, {})
+    node[path[-1]] = value
+
+
+def convert_sparnet(sd, **kwargs):
+    """SPARNet/QSPARNet (ref: SPARNet/{architectures,blocks}.py).
+
+    Key-driven walker (robust to any size config).  Returns
+    ``{'params': ..., 'batch_stats': ...}`` — BatchNorm running stats live in a separate
+    flax collection.  Use :func:`convert_torch_variables` for this family.
+    """
+    params, batch_stats = {}, {}
+
+    def block_name(section, idx):
+        if section == 'encoder':
+            return 'encoder_%d' % idx
+        if section == 'res_layers':
+            return 'res_%d' % idx
+        if section == 'decoder':
+            return 'decoder_%d' % idx
+        raise KeyError(section)
+
+    for key, value in sd.items():
+        parts = key.split('.')
+        value = np.asarray(value)
+        if parts[-1] == 'num_batches_tracked':
+            continue
+        if parts[0] == 'out_conv':
+            prefix = ['out_conv']
+            rest = parts[1:]
+        else:
+            prefix = [block_name(parts[0], int(parts[1]))]
+            rest = parts[2:]
+
+        # translate the inner module path
+        path = list(prefix)
+        i = 0
+        is_bn_stat = False
+        while i < len(rest):
+            p = rest[i]
+            if p == 'conv2d':
+                path += ['conv2d']
+            elif p == 'shortcut_func':
+                path += ['shortcut']
+            elif p == 'preact_func':
+                nxt = rest[i + 1]
+                path += ['preact_norm', 'norm'] if nxt == '0' else ['preact_relu']
+                i += 1  # consume the index
+                if nxt == '0':
+                    i += 1  # consume the literal 'norm'
+                else:
+                    i += 1  # consume 'func'
+            elif p == 'norm' and rest[i + 1] == 'norm':
+                path += ['norm', 'norm']
+                i += 1
+            elif p == 'relu' and rest[i + 1] == 'func':
+                path += ['relu']
+                i += 1
+            elif p == 'out_block' and rest[i + 1] == '0':
+                path += ['out_block']
+                i += 1
+            elif p == 'metadata_attention':
+                path += ['metadata_attention']
+            elif p == 'attribute_integrator':
+                # ParaCALayer: conv indices 0,2 -> fc_0, fc_1 (nonlinearity=True)
+                path += ['fc_%d' % (int(rest[i + 1]) // 2)]
+                i += 1
+            elif p in ('weight', 'bias', 'running_mean', 'running_var'):
+                break
+            else:
+                path += [p]
+            i += 1
+
+        leaf = rest[-1]
+        in_bn = path[-1] == 'norm'
+        if leaf == 'weight':
+            if in_bn:
+                _set_path(params, path + ['scale'], value)
+            elif path[-1] in ('relu', 'preact_relu'):
+                _set_path(params, path + ['prelu'], value)
+            elif path[-1].startswith('fc_'):  # ParaCALayer 1x1 conv -> Dense
+                _set_path(params, path + ['kernel'],
+                          value.reshape(value.shape[0], value.shape[1]).T)
+            elif value.ndim == 4:
+                _set_path(params, path + ['kernel'], value.transpose(2, 3, 1, 0))
+            else:
+                _set_path(params, path + ['kernel'], value.T if value.ndim == 2
+                          else value)
+        elif leaf == 'bias':
+            _set_path(params, path + ['bias'], value)
+        elif leaf == 'running_mean':
+            _set_path(batch_stats, path + ['mean'], value)
+        elif leaf == 'running_var':
+            _set_path(batch_stats, path + ['var'], value)
+
+    return {'params': params, 'batch_stats': batch_stats}
+
+
 CONVERTERS = {
     'srcnn': convert_srcnn,
     'vdsr': convert_vdsr,
@@ -297,9 +399,12 @@ CONVERTERS = {
     'san': convert_san,
     'qsan': convert_qsan,
     'sftmd': convert_sftmd,
-    # sparnet/qsparnet: BatchNorm running stats live in a separate flax collection;
-    # converter planned for a follow-up round
+    'sparnet': convert_sparnet,
+    'qsparnet': convert_sparnet,
 }
+
+# families whose converter returns full variables ({'params', 'batch_stats'})
+_FULL_VARIABLES = {'sparnet', 'qsparnet'}
 
 
 def legacy_switch(state_dict):
@@ -330,7 +435,24 @@ def convert_torch_state_dict(model_name, state_dict, legacy=None, **model_kwargs
     if legacy:
         state_dict = legacy_switch(state_dict)
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
-    return CONVERTERS[model_name](sd, **model_kwargs)
+    out = CONVERTERS[model_name](sd, **model_kwargs)
+    if model_name in _FULL_VARIABLES:
+        return out['params']
+    return out
+
+
+def convert_torch_variables(model_name, state_dict, legacy=None, **model_kwargs):
+    """Like convert_torch_state_dict but returns the full flax variables dict
+    ({'params': ..., 'batch_stats': ...} where applicable)."""
+    if legacy is None:
+        legacy = model_name not in _NO_LEGACY
+    if legacy:
+        state_dict = legacy_switch(state_dict)
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out = CONVERTERS[model_name](sd, **model_kwargs)
+    if model_name in _FULL_VARIABLES:
+        return out
+    return {'params': out}
 
 
 def convert_torch_checkpoint(path, model_name=None, **model_kwargs):

@@ -250,3 +250,43 @@ def test_sftmd_parity(ref_modules, sft_type, q_injection):
     ours = np.asarray(fm.apply({'params': jax.tree.map(np.asarray, params)},
                                _to_flax_input(x), metadata=meta_in))
     np.testing.assert_allclose(ours, ref_out, atol=5e-4)
+
+
+def test_sparnet_parity(ref_modules):
+    import SISR.models.SPARNet.architectures as sparc
+    from sisr_tpu.models.sparnet import SPARNet
+    from sisr_tpu.tools.convert_weights import convert_torch_variables
+    tm = sparc.SPARNet(in_size=64, out_size=64, res_depth=2, min_feat_size=16)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert_torch_variables('sparnet', sd)
+    x = torch.rand(1, 3, 64, 64)
+    import jax
+    tm.eval()
+    with torch.no_grad():
+        ref_out = tm(x).numpy().transpose(0, 2, 3, 1)
+    fm = SPARNet(in_size=64, out_size=64, res_depth=2, min_feat_size=16)
+    ours = np.asarray(fm.apply(jax.tree.map(np.asarray, variables),
+                               _to_flax_input(x), train=False))
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4)
+
+
+def test_qsparnet_parity(ref_modules):
+    import SISR.models.SPARNet.architectures as sparc
+    from sisr_tpu.models.sparnet import QSPARNet
+    from sisr_tpu.tools.convert_weights import convert_torch_variables
+    tm = sparc.QSPARNet(in_size=64, out_size=64, res_depth=2, min_feat_size=16,
+                        metadata_count=5)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert_torch_variables('qsparnet', sd)
+    x = torch.rand(1, 3, 64, 64)
+    meta = torch.rand(1, 5, 1, 1)
+    import jax
+    tm.eval()
+    with torch.no_grad():
+        ref_out = tm(x, meta).numpy().transpose(0, 2, 3, 1)
+    fm = QSPARNet(in_size=64, out_size=64, res_depth=2, min_feat_size=16,
+                  metadata_count=5)
+    ours = np.asarray(fm.apply(jax.tree.map(np.asarray, variables),
+                               _to_flax_input(x), metadata=meta.numpy()[:, :, 0, 0],
+                               train=False))
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4)
