@@ -22,6 +22,7 @@ setup(
             'extract_best_model=sisr_tpu.tools.helper_cli:extract_best_models',
             'clean_models=sisr_tpu.tools.helper_cli:click_clean',
             'model_report=sisr_tpu.tools.helper_cli:model_compare',
+            'import_reference_model=sisr_tpu.tools.convert_weights:import_reference_model_cli',
         ],
     },
 )

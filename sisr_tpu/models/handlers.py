@@ -502,11 +502,16 @@ class EDSRHandler(BaseHandler):
 
 @register_model('rcan')
 class RCANHandler(BaseHandler):
-    """(ref: advanced/handlers.py:26-39)"""
+    """(ref: advanced/handlers.py:26-39).  The reference locks the size parameters;
+    we accept them as an optional superset (defaults identical)."""
 
-    def build_module(self, scale, dtype, in_features=3, **kwargs):
+    def build_module(self, scale, dtype, in_features=3, n_resblocks=20, n_resgroups=10,
+                     n_feats=64, reduction=16, **kwargs):
         self.in_channels = in_features or 3
-        return advanced.RCAN(scale=scale, in_feats=self.in_channels, dtype=dtype)
+        return advanced.RCAN(scale=scale, in_feats=self.in_channels,
+                             n_resblocks=n_resblocks or 20, n_resgroups=n_resgroups or 10,
+                             n_feats=n_feats or 64, reduction=reduction or 16,
+                             dtype=dtype)
 
 
 @register_model('han')

@@ -468,3 +468,86 @@ def convert_torch_checkpoint(path, model_name=None, **model_kwargs):
     if name == 'qpircan':
         name = 'qrcan'
     return name, convert_torch_state_dict(name, network, **model_kwargs)
+
+
+def import_reference_experiment(checkpoint_path, out_dir, experiment=None,
+                                model_name=None, epoch=None, scale=4, **model_kwargs):
+    """Convert a reference torch checkpoint into a ready-to-evaluate experiment folder.
+
+    Produces ``<out_dir>/<experiment>/{config.toml, saved_models/train_model_<N>}`` in
+    this framework's format, so ``eval_sisr -me <experiment> <N>`` works directly on
+    reference (e.g. Zenodo) weights.  The reference analogue is
+    ``convert_pre_trained_model`` (ref: helper_functions.py:208-211).
+    """
+    import os
+    import torch
+    from flax import serialization
+    from ..utils import toml_io
+    from ..utils.helpers import create_dir_if_empty
+    from ..models.handlers import define_model
+
+    state = torch.load(checkpoint_path, map_location='cpu', weights_only=False)
+    if isinstance(state, dict) and 'network' in state:
+        name = model_name or state.get('model_name')
+        network = {k: np.asarray(v) for k, v in state['network'].items()}
+        epoch = state.get('model_epoch', 0) if epoch is None else epoch
+    else:
+        name = model_name
+        network = {k: np.asarray(v) for k, v in state.items()}
+        epoch = epoch or 0
+    if name == 'qpircan':
+        name = 'qrcan'
+    if name is None:
+        raise RuntimeError('Checkpoint has no model_name — pass model_name explicitly.')
+
+    variables = convert_torch_variables(name, network, **model_kwargs)
+
+    experiment = experiment or os.path.splitext(os.path.basename(checkpoint_path))[0]
+    base = os.path.join(out_dir, experiment)
+    create_dir_if_empty(base, os.path.join(base, 'saved_models'),
+                        os.path.join(base, 'result_outputs'))
+
+    internal = {'scale': scale, **{k: v for k, v in model_kwargs.items()
+                                   if v is not None}}
+    with open(os.path.join(base, 'config.toml'), 'w') as f:
+        toml_io.dump({'model': {'name': name, 'internal_params': internal}}, f)
+
+    # build a handler to obtain a correctly-structured optimizer state, then load params
+    handler = define_model(name, eval_mode=False, scale=scale, **model_kwargs)
+    if handler.uses_metadata:
+        handler.set_metadata_keys(None)
+    handler.init_state()
+    state_dict = {
+        'network': serialization.to_state_dict(
+            __import__('jax').tree.map(np.asarray, variables['params'])),
+        'optimizer': serialization.to_state_dict(handler.state.opt_state),
+        'batch_stats': serialization.to_state_dict(variables.get('batch_stats') or {}),
+        'step': np.zeros((), np.int32),
+        'model_name': name,
+        'model_epoch': int(epoch),
+    }
+    path = os.path.join(base, 'saved_models', 'train_model_%d' % int(epoch))
+    with open(path, 'wb') as f:
+        f.write(serialization.msgpack_serialize(state_dict))
+    print('Imported %s checkpoint -> %s (epoch %d)' % (name, path, int(epoch)))
+    return base
+
+
+def import_reference_model_cli():
+    """console script: import_reference_model"""
+    import click
+
+    @click.command()
+    @click.option('--checkpoint', required=True, help='Reference torch checkpoint file.')
+    @click.option('--out_dir', required=True, help='Experiment parent directory.')
+    @click.option('--experiment', default=None, help='Experiment name.')
+    @click.option('--model_name', default=None,
+                  help='Model registry name (read from the checkpoint if present).')
+    @click.option('--epoch', default=None, type=int, help='Epoch tag for the checkpoint.')
+    @click.option('--scale', default=4, help='SR scale.', show_default=True)
+    def run(checkpoint, out_dir, experiment, model_name, epoch, scale):
+        """Convert a reference torch checkpoint into an evaluable experiment folder."""
+        import_reference_experiment(checkpoint, out_dir, experiment=experiment,
+                                    model_name=model_name, epoch=epoch, scale=scale)
+
+    run()

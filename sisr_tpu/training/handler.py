@@ -47,9 +47,7 @@ class TrainingHandler:
         # fuse K optimizer steps into one device dispatch (lax.scan) — amortizes
         # dispatch latency; requires fixed-size training batches (crops)
         self.steps_per_dispatch = steps_per_dispatch or 1
-        if aim_track:
-            raise RuntimeError('Aim tracking is not available in this environment; '
-                               'training metrics are logged to summary.csv + plots.')
+        self.tracker = None
 
         # host RNG seeding (ref: training_handler.py:76-79); the model's jax PRNG seed is
         # threaded via model internal params
@@ -90,6 +88,26 @@ class TrainingHandler:
         self.model.set_metadata_keys(getattr(train_data.dataset, 'metadata_keys', []))
 
         self.metric_hub = Metrics(metrics) if metrics is not None else None
+
+        if aim_track:
+            # Aim itself is not installable here; runs are tracked to JSONL streams with
+            # the same API surface (see tools/tracker.py)
+            from datetime import datetime
+            from ..tools.tracker import JsonlTracker
+            if continue_from_epoch is None:
+                run_name = experiment_name + '_%s' % datetime.today().strftime(
+                    "%Hh-%Mm-%Ss-%b-%d-%Y")
+            else:
+                run_name = 'continuation_from_epoch_%d_' % self.model.model_epoch \
+                    + experiment_name
+            home = aim_home or os.path.join(save_loc, 'tracking')
+            self.tracker = JsonlTracker(experiment=experiment_name, repo=home,
+                                        run=run_name)
+            self.tracker.set_params(dict(model_params), name='model_parameters')
+            self.tracker.set_params({'num_epochs': num_epochs,
+                                     'continue_from_epoch': continue_from_epoch,
+                                     'seed': seed, 'epoch_cutoff': epoch_cutoff},
+                                    name='train_parameters')
 
     def train(self):
         """One training epoch (ref: training_handler.py:147-177)."""
@@ -204,6 +222,9 @@ class TrainingHandler:
                 if math.isnan(avg_val):
                     avg_val = 0
                 total_losses[key].append(avg_val)
+                if self.tracker is not None:
+                    self.tracker.track(avg_val, name=key.replace('-', '_'),
+                                       epoch=epoch_idx)
             total_losses['epoch'].append(epoch_idx)
 
             if self.logging == 'visual':
@@ -228,6 +249,9 @@ class TrainingHandler:
                 from ..tools.helper_cli import clean_models
                 clean_models(self.model.base_folder, clean_samples=True)
 
+            if self.tracker is not None:
+                self.tracker.track(time.time() - epoch_start_time, name='epoch_time',
+                                   epoch=epoch_idx)
             epoch_elapsed_time = "{:.4f}".format(time.time() - epoch_start_time)
             print("Epoch {}/{}:".format(epoch_idx,
                                         self.starting_epoch + self.num_epochs - 1),

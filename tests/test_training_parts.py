@@ -63,3 +63,16 @@ def test_none_default_dict():
     assert d['missing'] is None
     assert d['a']['also_missing'] is None
     assert d['a']['b'] == 1
+
+
+def test_jsonl_tracker(tmp_path):
+    import json
+    from sisr_tpu.tools.tracker import JsonlTracker
+    t = JsonlTracker('exp', str(tmp_path), run='r1')
+    t.set_params({'lr': 1e-4}, name='model')
+    t.track(31.5, name='val_PSNR', epoch=3)
+    t.close()
+    lines = [json.loads(l) for l in open(str(tmp_path / 'exp' / 'r1.jsonl'))]
+    events = [l['event'] for l in lines]
+    assert events == ['start', 'params', 'metric', 'end']
+    assert lines[2]['value'] == 31.5 and lines[2]['epoch'] == 3

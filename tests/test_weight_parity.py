@@ -290,3 +290,31 @@ def test_qsparnet_parity(ref_modules):
                                _to_flax_input(x), metadata=meta.numpy()[:, :, 0, 0],
                                train=False))
     np.testing.assert_allclose(ours, ref_out, atol=5e-4)
+
+
+def test_import_reference_experiment_end_to_end(ref_modules, tmp_path):
+    """Reference-format checkpoint -> import CLI path -> our eval pipeline == torch."""
+    _, advanced, _ = ref_modules
+    from sisr_tpu.tools.convert_weights import import_reference_experiment
+    from sisr_tpu.models.interface import ModelInterface
+    import jax
+
+    tm = advanced.RCAN(n_resblocks=2, n_resgroups=2, n_feats=32, scale=4)
+    ckpt = {'model_name': 'rcan', 'model_epoch': 7,
+            'network': tm.state_dict(), 'optimizer': {}}
+    ckpt_path = str(tmp_path / 'train_model_7')
+    torch.save(ckpt, ckpt_path)
+
+    base = import_reference_experiment(
+        ckpt_path, str(tmp_path / 'Results'), experiment='ref_rcan',
+        scale=4, n_resgroups=2, n_resblocks=2, n_feats=32)
+    assert os.path.isfile(os.path.join(base, 'config.toml'))
+
+    iface = ModelInterface(str(tmp_path / 'Results'), 'ref_rcan', load_epoch=7, scale=4)
+    x = torch.rand(1, 3, 14, 12)
+    out_rgb, out_ycbcr, _, _ = iface.net_run_and_process(
+        lr=x.numpy().transpose(0, 2, 3, 1))
+    tm.eval()
+    with torch.no_grad():
+        ref = np.clip(tm(x).numpy().transpose(0, 2, 3, 1), 0, 1)
+    np.testing.assert_allclose(out_rgb, ref, atol=5e-4)
