@@ -1,0 +1,165 @@
+"""Data-layer feature coverage with synthesized fixtures: _qN group tags, QPI
+normalization/filtering/sorting, blacklists, shortlists, online degradations, CelebA
+attributes, split selection."""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from sisr_tpu.data.datasets import SuperResImages, read_augmentation_list
+from sisr_tpu.data.loader import DataLoader, CelebaSplitSampler
+
+
+@pytest.fixture(scope='module')
+def dataset_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp('data')
+    hr_dir = root / 'hr'
+    lr_dir = root / 'lr'
+    hr_dir.mkdir()
+    lr_dir.mkdir()
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(6):
+        hr = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        Image.fromarray(hr).save(hr_dir / ('im%d.png' % i))
+        for q in range(2):  # two compression versions per image: im0_q0.png, im0_q1.png
+            lr = (rng.rand(8, 8, 3) * 255).astype(np.uint8)
+            name = 'im%d_q%d.png' % (i, q)
+            Image.fromarray(lr).save(lr_dir / name)
+            rows.append({'image': name,
+                         'blur_kernel': json.dumps(list(rng.rand(10))),
+                         'QPI': int(22 + 3 * i + q)})
+    pd.DataFrame(rows).set_index('image').to_csv(lr_dir / 'degradation_metadata.csv')
+    return str(lr_dir), str(hr_dir)
+
+
+def test_group_tags_and_metadata(dataset_dirs):
+    lr_dir, hr_dir = dataset_dirs
+    ds = SuperResImages(lr_dir=lr_dir, hr_dir=hr_dir, split='all', input='unmodified',
+                        colorspace='rgb', scale=4,
+                        degradation_metadata_file=os.path.join(
+                            lr_dir, 'degradation_metadata.csv'))
+    assert len(ds) == 12  # both _q groups
+    item = ds[0]
+    assert item['lr'].shape == (8, 8, 3)
+    assert item['hr'].shape == (32, 32, 3)
+    assert item['metadata'].shape == (11,)  # 10 blur + 1 qpi
+    assert ds.metadata_keys == ['blur_kernel'] * 10 + ['qpi']
+    # QPI normalized to the fixed (20, 40) range
+    qpis = [ds[i]['metadata'][-1] for i in range(len(ds))]
+    assert all(0 <= q <= 1.0 for q in qpis)
+
+
+def test_group_select(dataset_dirs):
+    lr_dir, hr_dir = dataset_dirs
+    ds = SuperResImages(lr_dir=lr_dir, hr_dir=hr_dir, split='all', input='unmodified',
+                        colorspace='rgb', scale=4, group_select='1')
+    assert len(ds) == 6
+    assert all('_q1' in n for n in ds.lr_filenames)
+
+
+def test_qpi_selection_filters_images(dataset_dirs):
+    lr_dir, hr_dir = dataset_dirs
+    ds = SuperResImages(lr_dir=lr_dir, hr_dir=hr_dir, split='all', input='unmodified',
+                        colorspace='rgb', scale=4, qpi_selection=(22, 28),
+                        degradation_metadata_file=os.path.join(
+                            lr_dir, 'degradation_metadata.csv'))
+    # QPI values 22..38; only 22..28 retained
+    assert 0 < len(ds) < 12
+
+
+def test_qpi_sort(dataset_dirs):
+    lr_dir, hr_dir = dataset_dirs
+    ds = SuperResImages(lr_dir=lr_dir, hr_dir=hr_dir, split='all', input='unmodified',
+                        colorspace='rgb', scale=4, qpi_sort=True,
+                        degradation_metadata_file=os.path.join(
+                            lr_dir, 'degradation_metadata.csv'))
+    qpis = [m[-1] for m in ds.metadata]
+    assert qpis == sorted(qpis)
+
+
+def test_blacklist_and_shortlist(dataset_dirs, tmp_path):
+    lr_dir, hr_dir = dataset_dirs
+    blacklist = tmp_path / 'blacklist.csv'
+    blacklist.write_text('Images\nim0.png\n')
+    ds = SuperResImages(lr_dir=lr_dir, hr_dir=hr_dir, split='all', input='unmodified',
+                        colorspace='rgb', scale=4, blacklist=str(blacklist))
+    assert len(ds) == 10  # im0's two variants removed
+
+    shortlist = tmp_path / 'shortlist.txt'
+    shortlist.write_text('im1.png\nim2.png\n')
+    ds = SuperResImages(lr_dir=lr_dir, hr_dir=hr_dir, split=None, input='unmodified',
+                        colorspace='rgb', scale=4, image_shortlist=str(shortlist))
+    assert len(ds) == 4
+
+
+def test_custom_split(dataset_dirs):
+    lr_dir, hr_dir = dataset_dirs
+    ds = SuperResImages(lr_dir=lr_dir, hr_dir=hr_dir, split='train', input='unmodified',
+                        colorspace='rgb', scale=4, custom_split=(1, 4))
+    assert len(ds) == 6  # 3 base images x 2 groups
+
+
+def test_online_degradations(dataset_dirs):
+    _, hr_dir = dataset_dirs
+    np.random.seed(3)
+    ds = SuperResImages(hr_dir=hr_dir, split='all', input='unmodified',
+                        colorspace='rgb', scale=4, online_degradations=True,
+                        online_degradation_params={'kernel': 21, 'noise': False,
+                                                   'noise_high': 0.0})
+    assert len(ds) == 6
+    item = ds[0]
+    assert item['lr'].shape == (8, 8, 3)
+    assert item['hr'].shape == (32, 32, 3)
+    assert item['metadata'].shape == (10,)  # PCA kernel code
+    assert item['blur_kernels'].shape == (21, 21)
+    assert ds.metadata_keys == ['blur_kernel'] * 10
+
+
+def test_celeba_attributes_and_sampler(tmp_path):
+    rng = np.random.RandomState(1)
+    hr_dir = tmp_path / 'hr'
+    lr_dir = tmp_path / 'lr'
+    hr_dir.mkdir()
+    lr_dir.mkdir()
+    n = 6
+    for i in range(n):
+        Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(
+            lr_dir / ('%06d.png' % i))
+        Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            hr_dir / ('%06d.png' % i))
+    # celeba-style attributes file: count line, header, rows (+1/-1)
+    attr = tmp_path / 'attrs.txt'
+    lines = ['%d' % n, 'Male Young']
+    for i in range(n):
+        lines.append('%06d.jpg %d %d' % (i, 1 if i % 2 else -1, 1))
+    attr.write_text('\n'.join(lines) + '\n')
+
+    ds = SuperResImages(lr_dir=str(lr_dir), hr_dir=str(hr_dir), split='all',
+                        input='unmodified', colorspace='rgb', scale=4,
+                        metadata=['gender'], data_attributes=str(attr))
+    assert ds.metadata_keys == ['gender']
+    assert ds[1]['metadata'].shape == (1,)
+    genders = [float(ds[i]['metadata'][0]) for i in range(n)]
+    assert set(genders) == {0.0, 1.0}
+
+    sampler = CelebaSplitSampler(ds, selected_attribute='gender')
+    order = list(iter(sampler))
+    assert len(order) == n
+    # positives (gender==1) first
+    first_half = [genders[i] for i in order[:len(sampler.positive_indices)]]
+    assert all(g == 1.0 for g in first_half)
+
+
+def test_loader_multithreaded_order(dataset_dirs):
+    lr_dir, hr_dir = dataset_dirs
+    ds = SuperResImages(lr_dir=lr_dir, hr_dir=hr_dir, split='all', input='unmodified',
+                        colorspace='rgb', scale=4)
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=4)
+    tags = []
+    for batch in loader:
+        tags.extend(batch['tag'])
+    assert tags == [ds[i]['tag'] for i in range(len(ds))]  # order preserved
