@@ -18,7 +18,7 @@ import numpy as np
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               '.bench_baseline.json')
-BATCH = int(os.environ.get('BENCH_BATCH', '8'))
+BATCH = int(os.environ.get('BENCH_BATCH', '16'))
 ITERS = int(os.environ.get('BENCH_ITERS', '20'))
 
 
