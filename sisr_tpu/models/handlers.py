@@ -319,8 +319,16 @@ class BaseHandler:
         tile_batch = {'lr': tiles}
         if 'metadata' in batch:
             tile_batch['metadata'] = jnp.tile(batch['metadata'], (grid * grid, 1))
-        step = self._eval_step_for(tiles.shape)
+        n_tiles_total = tiles.shape[0]
+        if self.mesh_ctx is not None:
+            # context-parallel eval: pad the tile batch to the mesh size and shard the
+            # tiles across chips
+            tile_batch = self.mesh_ctx.pad_batch_to_devices(
+                {k: np.asarray(v) for k, v in tile_batch.items()})
+            tile_batch = self.mesh_ctx.shard_batch(tile_batch)
+        step = self._eval_step_for(tile_batch['lr'].shape)
         sr_tiles, _ = step(self.state, tile_batch)
+        sr_tiles = sr_tiles[:n_tiles_total]
 
         s = self.scale
         out = jnp.zeros((n, grid * tile_h * s, grid * tile_w * s, c), sr_tiles.dtype)

@@ -69,3 +69,28 @@ def test_dryrun_multichip_entry():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_tiled_eval_sharded_over_mesh(mesh_ctx):
+    """Context-parallel analog: tile batch sharded across the 8-device mesh."""
+    from sisr_tpu.models.handlers import define_model
+    rng = np.random.RandomState(3)
+    x = rng.rand(1, 40, 48, 3).astype(np.float32)
+
+    full = define_model('edsr', num_features=8, num_blocks=2, scale=4, lr=1e-4,
+                        eval_mode=True)
+    full.set_metadata_keys([])
+    out_full, _, _ = full.run_eval(x)
+
+    tiled = define_model('edsr', num_features=8, num_blocks=2, scale=4, lr=1e-4,
+                         eval_mode=True, max_combined_im_size=900)
+    tiled.set_metadata_keys([])
+    tiled.tiled_eval = True
+    tiled.state = full.state
+    tiled.set_mesh(mesh_ctx)
+    out_sharded, _, _ = tiled.run_eval(x)
+    assert out_sharded.shape == out_full.shape
+    s = 4
+    for (cy, cx) in [(10, 12), (30, 36)]:
+        region = np.s_[:, cy * s - 8:cy * s + 8, cx * s - 8:cx * s + 8, :]
+        np.testing.assert_allclose(out_sharded[region], out_full[region], atol=1e-4)
