@@ -53,3 +53,21 @@ def test_multi_step_data_parallel():
                 'hr': rng.rand(8, 16, 16, 3).astype(np.float32)} for _ in range(2)]
     losses = h.run_train_multi(batches)
     assert losses.shape == (2,) and np.all(np.isfinite(losses))
+
+
+def test_bf16_training():
+    """dtype='bf16' internal param: bf16 compute, f32 params, finite decreasing loss."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(4)
+    h = define_model('edsr', num_features=16, num_blocks=2, scale=2, lr=1e-3,
+                     dtype='bf16')
+    h.set_metadata_keys([])
+    batch = {'lr': rng.rand(4, 8, 8, 3).astype(np.float32),
+             'hr': rng.rand(4, 16, 16, 3).astype(np.float32)}
+    losses = [float(h.run_train(**batch)[0]) for _ in range(8)]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    # params stay f32
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(h.state.params))
+    out, _, _ = h.run_eval(batch['lr'])
+    assert out.dtype == np.float32 and np.all(np.isfinite(out))
