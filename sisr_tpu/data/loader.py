@@ -7,7 +7,6 @@ in flight while the current one computes — the host->HBM equivalent of pinned-
 double buffering.
 """
 import random as _random
-import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np

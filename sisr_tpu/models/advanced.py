@@ -3,14 +3,14 @@
 All NHWC Flax modules.  HAN's holistic-attention blocks (LAM / CSAM,
 ref: advanced/HAN_blocks.py) live here too.
 """
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import (CALayer, ResBlock, ResidualGroup, Upsampler, conv, pixel_shuffle,
+from .blocks import (ResBlock, ResidualGroup, Upsampler, conv, pixel_shuffle,
                      torch_kernel_init, torch_bias_init)
 
 

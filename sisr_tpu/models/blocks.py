@@ -14,8 +14,7 @@ Conventions:
 * every module takes a ``dtype`` (compute dtype — pass ``jnp.bfloat16`` for MXU-friendly
   training) while parameters stay float32.
 """
-from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import numpy as np
 import jax

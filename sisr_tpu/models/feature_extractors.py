@@ -8,7 +8,7 @@ has no network egress and no torchvision, so the extractor loads weights from a 
 with a clear error (a randomly-initialized perceptual loss would silently train wrong).
 """
 import os
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 import jax.numpy as jnp

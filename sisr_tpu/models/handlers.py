@@ -17,7 +17,7 @@ All metadata preparation is expressed as pure jax ops traced into the train/eval
 the whole batch -> SR pipeline is one XLA program.
 """
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 import jax
@@ -26,7 +26,6 @@ from flax import serialization
 
 from ..training.losses import build_loss
 from ..training.state import TrainState, build_optimizer, make_eval_step, make_train_step
-from ..ops.resize import resize_bicubic
 from . import basic, advanced, san, qmodels, sftmd, sparnet
 from .feature_extractors import load_vgg_extractor
 

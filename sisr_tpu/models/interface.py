@@ -13,9 +13,9 @@ import numpy as np
 import pandas as pd
 
 from ..utils import toml_io
-from ..utils.helpers import create_dir_if_empty, read_metadata
+from ..utils.helpers import create_dir_if_empty
 from ..ops.colorspace import ycbcr_convert
-from .handlers import available_models, define_model
+from .handlers import define_model
 
 
 class ModelInterface:

@@ -15,8 +15,6 @@ inserts the collectives; nothing here speaks NCCL/MPI.  Multi-host (DCN) would e
 ``make_mesh`` with ``jax.distributed`` initialization — left as a seam, not needed for
 single-node parity.
 """
-from typing import Optional
-
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -3,7 +3,6 @@ import ast
 import csv
 import os
 
-import numpy as np
 import matplotlib
 matplotlib.use('Agg')
 import matplotlib.pyplot as plt

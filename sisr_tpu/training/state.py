@@ -10,7 +10,7 @@ pytree and jitted pure step functions:
   per-batch ``scheduler.step()`` semantics (models/__init__.py:488-489);
 * buffers are donated so parameter memory is reused in place on device.
 """
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
