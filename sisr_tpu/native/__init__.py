@@ -1,0 +1,74 @@
+"""Native (C++) host-runtime components, loaded via ctypes.
+
+The TPU compute path is JAX/XLA/Pallas; host-side hot paths (image resampling for the
+data pipeline) are C++ compiled on first use (cached next to the sources).  Everything
+here degrades gracefully to the pure-numpy implementations when no compiler is present
+(set SISR_TPU_NO_NATIVE=1 to force the fallback).
+"""
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _build_library():
+    src = os.path.join(_HERE, 'fastresize.cpp')
+    lib_path = os.path.join(_HERE, '_fastresize.so')
+    if os.path.isfile(lib_path) and os.path.getmtime(lib_path) >= os.path.getmtime(src):
+        return lib_path
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', src, '-o', lib_path]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return lib_path
+
+
+def get_library():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get('SISR_TPU_NO_NATIVE') == '1':
+            return None
+        try:
+            lib = ctypes.CDLL(_build_library())
+            lib.resize_bicubic_u8.restype = ctypes.c_int
+            lib.resize_bicubic_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+                ctypes.c_int]
+            _LIB = lib
+        except Exception:
+            _LIB = None
+        return _LIB
+
+
+def resize_bicubic_u8(img, out_h, out_w):
+    """Native bit-exact Pillow BICUBIC resize; returns None if the lib is unavailable.
+
+    :param img: (H, W, C) or (H, W) contiguous uint8 array.
+    """
+    lib = get_library()
+    if lib is None:
+        return None
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    img = np.ascontiguousarray(img)
+    h, w, c = img.shape
+    out = np.empty((out_h, out_w, c), np.uint8)
+    rc = lib.resize_bicubic_u8(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_h, out_w)
+    if rc != 0:
+        return None
+    return out[:, :, 0] if squeeze else out
