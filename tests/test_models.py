@@ -199,3 +199,19 @@ def test_gradients_flow_through_san():
 
     grads = jax.grad(loss_fn)(variables['params'])
     assert all(bool(jnp.all(jnp.isfinite(g))) for g in jax.tree.leaves(grads))
+
+
+def test_lightcnn_and_vggface():
+    from sisr_tpu.models.feature_extractors import LightCNN29, VggFace
+    m = LightCNN29(num_classes=50)
+    x = jnp.zeros((1, 128, 128, 1))
+    v = m.init(KEY, x)
+    out, fc = m.apply(v, x)
+    assert out.shape == (1, 50) and fc.shape == (1, 256)
+    c1, c2 = m.apply(v, x, extract_features=True)
+    assert c1.shape == (1, 16, 16, 128) and c2.shape == (1, 16, 16, 128)
+
+    vf = VggFace(mode='recognition')
+    xv = jnp.zeros((1, 224, 224, 3))
+    vv = vf.init(KEY, xv)
+    assert vf.apply(vv, xv).shape == (1, 4096)
