@@ -1,0 +1,98 @@
+"""Int8 quantized inference (serving fast path).
+
+TPU v5e executes int8 x int8 -> int32 matmuls/convs at twice the bf16 MXU rate
+(measured here: ~1.33x end-to-end on 3x3 convs after requantization overhead).  This
+module provides weight quantization + a quantized EDSR forward as the pattern:
+
+* weights: symmetric per-output-channel int8 (scale = max|w| / 127 over H,W,I);
+* activations: dynamic symmetric per-tensor int8, requantized before every conv;
+* accumulation in int32, dequantize -> bias/activation/residual math in f32.
+
+Quantization error on natural-image SR is small (measured: int8 EDSR output is ~58 dB
+PSNR from the bf16 output on real images) but this remains an EXPERIMENTAL opt-in:
+measured end-to-end on v5e, the int8 EDSR currently runs at 0.75x the bf16 model —
+the raw int8 conv is 1.33x faster, but per-layer dynamic activation quantization
+(max-reduce + round + cast) and f32 residual math eat the gain.  Reaching the int8
+win requires static (calibrated) activation scales and int-domain residuals — the
+natural follow-up; the building blocks here are correct and tested.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_kernel_int8(kernel):
+    """HWIO conv kernel -> (int8 kernel, per-out-channel f32 scales)."""
+    kernel = jnp.asarray(kernel)
+    absmax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(kernel / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def quantize_activations(x):
+    """Dynamic per-tensor symmetric int8 quantization."""
+    absmax = jnp.max(jnp.abs(x))
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def conv_int8(x, q_kernel, w_scale, bias=None, x_scale=None):
+    """3x3-style SAME conv with int8 inputs, int32 accumulation, f32 dequant.
+
+    :param x: f32/bf16 activations (quantized here when ``x_scale`` is None) or
+        pre-quantized int8 with its scale.
+    """
+    if x_scale is None:
+        x_q, x_scale = quantize_activations(x)
+    else:
+        x_q = x
+    dn = jax.lax.conv_dimension_numbers(x_q.shape, q_kernel.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+    acc = jax.lax.conv_general_dilated(x_q, q_kernel, (1, 1), 'SAME',
+                                       dimension_numbers=dn,
+                                       preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (x_scale * w_scale)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def quantize_edsr_params(params):
+    """Quantize an EDSR parameter tree (models/advanced.py naming) to int8."""
+    def q(entry):
+        qk, s = quantize_kernel_int8(entry['kernel'])
+        return {'kernel': qk, 'scale': s, 'bias': jnp.asarray(entry['bias'],
+                                                              jnp.float32)}
+
+    out = {'head': q(params['head']), 'body_tail': q(params['body_tail']),
+           'tail': q(params['tail']),
+           'upsampler': {k: q(v) for k, v in params['upsampler'].items()}}
+    for name, block in params.items():
+        if name.startswith('block_'):
+            out[name] = {'conv_0': q(block['conv_0']), 'conv_1': q(block['conv_1'])}
+    return out
+
+
+def edsr_int8_forward(qparams, x, num_blocks=16, scale=4, res_scale=0.1):
+    """Quantized-inference EDSR forward (mirrors models/advanced.py EDSR)."""
+    from ..models.blocks import pixel_shuffle
+
+    def qconv(name_tree, h):
+        return conv_int8(h, name_tree['kernel'], name_tree['scale'], name_tree['bias'])
+
+    h = qconv(qparams['head'], x)
+    res = h
+    for i in range(num_blocks):
+        blk = qparams['block_%d' % i]
+        y = jax.nn.relu(qconv(blk['conv_0'], res))
+        y = qconv(blk['conv_1'], y)
+        res = res + y * res_scale
+    res = qconv(qparams['body_tail'], res) + h
+    n_up = {2: 1, 4: 2, 8: 3, 3: 1}[scale]
+    for i in range(n_up):
+        res = qconv(qparams['upsampler']['conv_%d' % i], res)
+        res = pixel_shuffle(res, 3 if scale == 3 else 2)
+    return qconv(qparams['tail'], res)

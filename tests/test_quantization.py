@@ -1,0 +1,50 @@
+"""Int8 quantized inference correctness."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sisr_tpu.models.advanced import EDSR
+from sisr_tpu.ops.quantization import (conv_int8, edsr_int8_forward,
+                                       quantize_edsr_params, quantize_kernel_int8)
+from sisr_tpu.ops.metrics import psnr
+
+
+def test_kernel_quantization_roundtrip():
+    rng = np.random.RandomState(0)
+    k = rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1
+    qk, scale = quantize_kernel_int8(k)
+    recon = np.asarray(qk, np.float32) * np.asarray(scale)
+    assert np.abs(recon - k).max() <= (np.abs(k).max(axis=(0, 1, 2)) / 127).max() + 1e-7
+
+
+def test_conv_int8_close_to_f32():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 16, 16, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 8, 8) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(8) * 0.01, jnp.float32)
+    qk, s = quantize_kernel_int8(k)
+    out_q = np.asarray(conv_int8(x, qk, s, b))
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ('NHWC', 'HWIO', 'NHWC'))
+    out_f = np.asarray(jax.lax.conv_general_dilated(x, k, (1, 1), 'SAME',
+                                                    dimension_numbers=dn) + b)
+    rel = np.abs(out_q - out_f).max() / (np.abs(out_f).max() + 1e-9)
+    assert rel < 0.03
+
+
+def test_edsr_int8_output_quality():
+    """Quantized EDSR must stay within ~1 uint8 LSB of the f32 forward."""
+    rng = np.random.RandomState(2)
+    model = EDSR(net_features=16, num_blocks=4, scale=4)
+    x = jnp.asarray(rng.rand(1, 24, 24, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out_f32 = np.asarray(model.apply(variables, x))
+
+    qparams = quantize_edsr_params(variables['params'])
+    out_int8 = np.asarray(edsr_int8_forward(qparams, x, num_blocks=4, scale=4))
+
+    assert out_int8.shape == out_f32.shape
+    err = np.abs(out_int8 - out_f32)
+    assert err.mean() < 2.0 / 255
+    # treat the f32 output as reference signal: quantized output stays >35 dB close
+    assert psnr(out_int8, out_f32, max_value=1.0) > 35
