@@ -69,3 +69,29 @@ def test_multi_family_eval(tmp_path):
     # random-init models produce valid (finite) PSNR values
     for m in ['q_rcan_exp', 'srmd_exp', 'sftmd_exp']:
         assert np.isfinite(indiv[(m, 'PSNR')]).all()
+
+
+def test_direct_model_protocol(tmp_path):
+    """model_only path: SR images saved, no metrics computed."""
+    from sisr_tpu.evaluation.standard_eval import EvalHub
+    save_loc = str(tmp_path / 'Results')
+    os.makedirs(save_loc)
+    _make_experiment(save_loc, 'direct_exp', 'edsr',
+                     {'scale': 4, 'num_features': 8, 'num_blocks': 1})
+    out_loc = str(tmp_path / 'out')
+    os.makedirs(out_loc)
+    hub = EvalHub(
+        hr_dir=os.path.join(SET5, 'hr'), lr_dir=os.path.join(SET5, 'lr_random_blur'),
+        model_and_epoch=[('direct_exp', '0')], results_name='direct', gpu=False,
+        metrics=None, data_split='all', save_im=False, batch_size=1,
+        full_directory=True, lr_dir_interp=None, model_only=True, scale=4,
+        model_loc=save_loc, out_loc=out_loc, use_test_group=False,
+        no_image_comparison=True, num_image_save=0, qpi_selection=(None, None),
+        data_attributes=None, dataset_name=None, image_shortlist=None,
+        metadata_file=None, sp_gpu=0, time_models=False, recursive=False)
+    hub.direct_model_protocol()
+    out_imgs = sorted(os.listdir(os.path.join(out_loc, 'direct', 'direct_exp')))
+    assert out_imgs == ['baby.png', 'bird.png', 'butterfly.png', 'head.png', 'woman.png']
+    from PIL import Image
+    im = Image.open(os.path.join(out_loc, 'direct', 'direct_exp', 'bird.png'))
+    assert im.size == (288, 288)  # 72 * 4
