@@ -157,6 +157,13 @@ class SuperResImages:
         self.mask_base = mask_data
         self.halfway_base = halfway_data
 
+        self.device_degradations = bool(online_degradations
+                                        and (online_degradation_params or {})
+                                        .get('device'))
+        if online_degradation_params:
+            online_degradation_params = {k: v for k, v in
+                                         online_degradation_params.items()
+                                         if k != 'device'} or None
         if not online_degradations:
             main_dir = lr_dir
             self.lr_base = lr_dir
@@ -318,9 +325,21 @@ class SuperResImages:
         unreduced_kernel = np.array(0)
         if self.online_degradations:
             image_name = base_name
-            blurred, kernel_map, unreduced_kernel = self.degrader(pil_to_float(hr_pil))
-            _, lr_pil = downsample(float_to_pil(blurred), scale=self.scale, jm=False)
-            lr_im = pil_to_float(lr_pil)
+            if self.device_degradations:
+                # device mode: emit only the kernel (+ a placeholder LR for shape/crop
+                # bookkeeping); blur + bicubic downscale run inside the jitted train
+                # step (ops/degradations.degrade_batch_on_device via the handler)
+                kernels = self.degrader.kernel_gen(self.degrader.random, 1)
+                kernel_map = self.degrader.encoder(kernels)[0]
+                unreduced_kernel = kernels[0].astype(np.float32)
+                ch = (hr_pil.height // self.scale) * self.scale
+                cw = (hr_pil.width // self.scale) * self.scale
+                lr_im = np.zeros((ch // self.scale, cw // self.scale, 3), np.float32)
+            else:
+                blurred, kernel_map, unreduced_kernel = self.degrader(
+                    pil_to_float(hr_pil))
+                _, lr_pil = downsample(float_to_pil(blurred), scale=self.scale, jm=False)
+                lr_im = pil_to_float(lr_pil)
             if self.metadata is not None:
                 metadata = np.concatenate((self.metadata[index], kernel_map))
             else:

@@ -91,6 +91,7 @@ class BaseHandler:
         self._train_step = None
         self._eval_step_cache = {}
         self.mesh_ctx = None  # set via set_mesh for multi-chip data parallelism
+        self.device_degrade = False  # synthesize LR on device inside the train step
 
     # --- module construction ------------------------------------------------------------
     def build_module(self, scale, dtype, **kwargs):
@@ -133,8 +134,15 @@ class BaseHandler:
         return x
 
     def _prep_batch(self, batch):
-        x = batch['lr']
         y = batch.get('hr')
+        if self.device_degrade and batch.get('blur_kernels') is not None \
+                and y is not None:
+            # on-device online degradation: LR synthesized from the HR crop inside the
+            # jitted step (one grouped blur conv + MXU bicubic for the whole batch)
+            from ..ops.degradations import degrade_batch_on_device
+            x, _, _ = degrade_batch_on_device(y, batch['blur_kernels'], None, self.scale)
+        else:
+            x = batch['lr']
         metadata = self.prepare_metadata(x, batch.get('metadata'))
         x = self.network_input(x, metadata)
         if self.channel_concat:
@@ -178,14 +186,19 @@ class BaseHandler:
                                'fixed crop (data "crop" option) or batch_size=1 so XLA '
                                'sees static shapes.')
         if self.state is None:
-            self.init_state(spatial=batch['lr'].shape[1:3])
+            spatial = batch['lr'].shape[1:3] if not self.device_degrade else \
+                (batch['hr'].shape[1] // self.scale, batch['hr'].shape[2] // self.scale)
+            self.init_state(spatial=spatial)
             if self.mesh_ctx is not None:
                 self.state = self.mesh_ctx.replicate(self.state)
         if self._train_step is None:
             self._train_step = make_train_step(self.loss_fn, self._prep_batch,
                                                self.has_batch_stats)
-        dev_batch = {k: batch[k] for k in ('lr', 'hr', 'metadata') if k in batch
-                     and batch[k] is not None}
+        keys = ('lr', 'hr', 'metadata', 'blur_kernels') if self.device_degrade \
+            else ('lr', 'hr', 'metadata')
+        dev_batch = {k: batch[k] for k in keys if k in batch and batch[k] is not None}
+        if self.device_degrade:
+            dev_batch.pop('lr', None)  # synthesized on device from hr + kernels
         if self.mesh_ctx is not None:
             dev_batch = self.mesh_ctx.shard_batch(dev_batch)
         self.state, loss = self._train_step(self.state, dev_batch)

@@ -272,5 +272,6 @@ def degrade_batch_on_device(hr_batch, kernels, pca, scale, quantize=True):
         blurred_q = blurred
     n, h, w, c = hr_batch.shape
     lr = resize_bicubic(blurred_q, h // scale, w // scale)
-    codes = kernels.reshape(kernels.shape[0], -1) @ jnp.asarray(pca)
+    codes = None if pca is None else \
+        kernels.reshape(kernels.shape[0], -1) @ jnp.asarray(pca)
     return lr, codes, blurred

@@ -86,6 +86,8 @@ class TrainingHandler:
         self.train_data = train_data
         self.val_data = val_data
         self.model.set_metadata_keys(getattr(train_data.dataset, 'metadata_keys', []))
+        if getattr(train_data.dataset, 'device_degradations', False):
+            self.model.model.device_degrade = True
 
         self.metric_hub = Metrics(metrics) if metrics is not None else None
 

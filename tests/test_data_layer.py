@@ -163,3 +163,28 @@ def test_loader_multithreaded_order(dataset_dirs):
     for batch in loader:
         tags.extend(batch['tag'])
     assert tags == [ds[i]['tag'] for i in range(len(ds))]  # order preserved
+
+
+def test_device_online_degradations_end_to_end(dataset_dirs):
+    """online_degradation_params.device=true: LR synthesized inside the train step."""
+    _, hr_dir = dataset_dirs
+    from sisr_tpu.models.handlers import define_model
+    np.random.seed(7)
+    ds = SuperResImages(hr_dir=hr_dir, split='all', input='unmodified',
+                        colorspace='rgb', scale=4, online_degradations=True,
+                        online_degradation_params={'device': True, 'noise': False,
+                                                   'noise_high': 0.0})
+    item = ds[0]
+    assert item['blur_kernels'].shape == (21, 21)
+    assert item['metadata'].shape == (10,)
+    assert np.all(item['lr'] == 0)  # placeholder, filled on device
+
+    loader = DataLoader(ds, batch_size=2, num_workers=1)
+    batch = next(iter(loader))
+    h = define_model('edsr', num_features=8, num_blocks=1, scale=4, lr=1e-3)
+    h.set_metadata_keys(ds.metadata_keys)
+    h.device_degrade = True
+    loss1, _ = h.run_train(**batch)
+    loss2, _ = h.run_train(**batch)
+    assert np.isfinite(float(loss1)) and float(loss2) < float(loss1) * 1.5
+    assert int(h.state.step) == 2
