@@ -160,6 +160,11 @@ class SuperResImages:
         self.device_degradations = bool(online_degradations
                                         and (online_degradation_params or {})
                                         .get('device'))
+        if self.device_degradations and split == 'eval':
+            raise RuntimeError('device-mode online degradation emits placeholder LR '
+                               'images (LR is synthesized inside the train step) — '
+                               'use host-mode online degradation or file-based LR for '
+                               'eval sets.')
         if online_degradation_params:
             online_degradation_params = {k: v for k, v in
                                          online_degradation_params.items()

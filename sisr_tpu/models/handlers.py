@@ -222,8 +222,9 @@ class BaseHandler:
             self._multi_train_step = make_multi_train_step(self.loss_fn,
                                                            self._prep_batch,
                                                            self.has_batch_stats)
-        keys = [k for k in ('lr', 'hr', 'metadata') if k in batches[0]
-                and batches[0][k] is not None]
+        key_set = ('hr', 'metadata', 'blur_kernels') if self.device_degrade \
+            else ('lr', 'hr', 'metadata')
+        keys = [k for k in key_set if k in batches[0] and batches[0][k] is not None]
         stacked = {k: np.stack([np.asarray(b[k]) for b in batches], axis=0)
                    for k in keys}
         if self.mesh_ctx is not None:
