@@ -135,7 +135,7 @@ class SuperResImages:
                  data_attributes=None, metadata=None, legacy_blur_kernels=None,
                  qpi_sort=False, random_augments=None, random_crop=None,
                  online_degradations=None, online_degradation_params=None,
-                 request_crops=None, **kwargs):
+                 request_crops=None, usage=None, **kwargs):
 
         if split not in ['train', 'eval', 'test', 'all', None]:
             raise RuntimeError('"Split" must be one of: train | eval | test | all | None')
@@ -160,7 +160,7 @@ class SuperResImages:
         self.device_degradations = bool(online_degradations
                                         and (online_degradation_params or {})
                                         .get('device'))
-        if self.device_degradations and split == 'eval':
+        if self.device_degradations and (usage or split) in ('eval', 'test'):
             raise RuntimeError('device-mode online degradation emits placeholder LR '
                                'images (LR is synthesized inside the train step) — '
                                'use host-mode online degradation or file-based LR for '

@@ -18,8 +18,13 @@ class ConcatDataset:
     def __init__(self, datasets):
         self.datasets = list(datasets)
         self.cumulative = np.cumsum([len(d) for d in self.datasets]).tolist()
-        # surfaces used by downstream code (samplers, metadata keys)
+        # surfaces used by downstream code (samplers, metadata keys, degradation mode)
         self.metadata_keys = self.datasets[0].metadata_keys
+        modes = {bool(getattr(d, 'device_degradations', False)) for d in self.datasets}
+        if len(modes) > 1:
+            raise RuntimeError('Cannot mix device-mode and host-mode online '
+                               'degradation across concatenated training sets.')
+        self.device_degradations = modes.pop()
 
     def __len__(self):
         return self.cumulative[-1]

@@ -13,6 +13,7 @@ def sisr_data_setup(training_sets, eval_sets, batch_size=16, eval_batch_size=1,
     """Prepare SR train/eval data loaders (parameter semantics per the reference)."""
 
     def setup_data(data_set, split):
+        usage = split  # 'train'/'eval' before any split rewriting below
         mask_loc = os.path.join(data_set['hr'], 'segmentation_patterns') \
             if extract_masks else None
 
@@ -53,7 +54,8 @@ def sisr_data_setup(training_sets, eval_sets, batch_size=16, eval_batch_size=1,
             recursive_search=data_set['recursive_search'] or False,
             mask_data=mask_loc, online_degradations=data_set['online_degradations'],
             request_crops=data_set['request_crops'],
-            online_degradation_params=data_set['online_degradation_params'], **kwargs)
+            online_degradation_params=data_set['online_degradation_params'],
+            usage=usage, **kwargs)
 
     all_train_data, all_val_data = [], []
     print('---------------')

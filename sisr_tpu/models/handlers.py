@@ -133,6 +133,12 @@ class BaseHandler:
             return jnp.concatenate([x, maps.astype(x.dtype)], axis=-1)
         return x
 
+    def _train_batch_keys(self):
+        """Batch entries the train step consumes; in device-degradation mode the LR is
+        synthesized on device from hr + blur_kernels (no 'lr' key)."""
+        return ('hr', 'metadata', 'blur_kernels') if self.device_degrade \
+            else ('lr', 'hr', 'metadata')
+
     def _prep_batch(self, batch):
         y = batch.get('hr')
         if self.device_degrade and batch.get('blur_kernels') is not None \
@@ -194,11 +200,8 @@ class BaseHandler:
         if self._train_step is None:
             self._train_step = make_train_step(self.loss_fn, self._prep_batch,
                                                self.has_batch_stats)
-        keys = ('lr', 'hr', 'metadata', 'blur_kernels') if self.device_degrade \
-            else ('lr', 'hr', 'metadata')
-        dev_batch = {k: batch[k] for k in keys if k in batch and batch[k] is not None}
-        if self.device_degrade:
-            dev_batch.pop('lr', None)  # synthesized on device from hr + kernels
+        dev_batch = {k: batch[k] for k in self._train_batch_keys()
+                     if k in batch and batch[k] is not None}
         if self.mesh_ctx is not None:
             dev_batch = self.mesh_ctx.shard_batch(dev_batch)
         self.state, loss = self._train_step(self.state, dev_batch)
@@ -222,9 +225,8 @@ class BaseHandler:
             self._multi_train_step = make_multi_train_step(self.loss_fn,
                                                            self._prep_batch,
                                                            self.has_batch_stats)
-        key_set = ('hr', 'metadata', 'blur_kernels') if self.device_degrade \
-            else ('lr', 'hr', 'metadata')
-        keys = [k for k in key_set if k in batches[0] and batches[0][k] is not None]
+        keys = [k for k in self._train_batch_keys()
+                if k in batches[0] and batches[0][k] is not None]
         stacked = {k: np.stack([np.asarray(b[k]) for b in batches], axis=0)
                    for k in keys}
         if self.mesh_ctx is not None:
@@ -712,7 +714,7 @@ class SFTMDHandler(QHandler):
         x, y, metadata = super()._prep_batch(batch)
         if self.channel_concat and not self.q_injection:
             # module still needs a metadata arg; give it the (already-concatenated) maps'
-            # source vector so SFT layers can broadcast it
-            metadata = self.prepare_metadata(batch['lr'], batch.get('metadata'))
+            # source vector so SFT layers can broadcast it (x only provides the dtype)
+            metadata = self.prepare_metadata(x, batch.get('metadata'))
         return x, y, metadata
 

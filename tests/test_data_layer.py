@@ -188,3 +188,27 @@ def test_device_online_degradations_end_to_end(dataset_dirs):
     loss2, _ = h.run_train(**batch)
     assert np.isfinite(float(loss1)) and float(loss2) < float(loss1) * 1.5
     assert int(h.state.step) == 2
+
+
+def test_concat_dataset_forwards_device_mode(dataset_dirs):
+    from sisr_tpu.data.loader import ConcatDataset
+    _, hr_dir = dataset_dirs
+    np.random.seed(9)
+    kwargs = dict(hr_dir=hr_dir, split='all', input='unmodified', colorspace='rgb',
+                  scale=4, online_degradations=True,
+                  online_degradation_params={'device': True})
+    cat = ConcatDataset([SuperResImages(**kwargs), SuperResImages(**kwargs)])
+    assert cat.device_degradations is True
+    host = SuperResImages(hr_dir=hr_dir, split='all', input='unmodified',
+                          colorspace='rgb', scale=4, online_degradations=True,
+                          online_degradation_params={'noise': False, 'noise_high': 0.0})
+    with pytest.raises(RuntimeError, match='mix device-mode'):
+        ConcatDataset([SuperResImages(**kwargs), host])
+
+
+def test_device_mode_rejected_for_eval_usage(dataset_dirs):
+    _, hr_dir = dataset_dirs
+    with pytest.raises(RuntimeError, match='placeholder LR'):
+        SuperResImages(hr_dir=hr_dir, split='all', input='unmodified',
+                       colorspace='rgb', scale=4, online_degradations=True,
+                       online_degradation_params={'device': True}, usage='eval')
