@@ -1,1 +1,1 @@
-from .mesh import MeshContext, make_mesh  # noqa: F401
+from .mesh import MeshContext, make_mesh, make_multihost_mesh  # noqa: F401

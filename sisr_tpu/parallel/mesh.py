@@ -20,25 +20,50 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices=None, axis_names=('data',), devices=None):
-    """Build a 1-D (or reshaped) mesh over local devices."""
+def make_mesh(n_devices=None, axis_names=('data',), devices=None, shape=None):
+    """Build a mesh over local devices.
+
+    1-D by default (pure ICI data parallelism).  Pass ``axis_names=('dcn', 'data')`` and
+    ``shape=(n_hosts, devices_per_host)`` for the multi-host layout: the leading axis
+    maps to the slower DCN links, the trailing axis to ICI, so batch sharding over
+    ``('dcn', 'data')`` keeps the gradient all-reduce hierarchical (ICI-first).
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     dev_array = np.array(devices)
-    if len(axis_names) > 1:
+    if shape is not None:
+        dev_array = dev_array.reshape(shape)
+    elif len(axis_names) > 1:
         side = int(round(len(devices) ** (1.0 / len(axis_names))))
         dev_array = dev_array.reshape((side,) * len(axis_names))
     return Mesh(dev_array, axis_names)
+
+
+def make_multihost_mesh(devices_per_host=None, batch_axes=('dcn', 'data')):
+    """Multi-host (DCN + ICI) mesh seam.
+
+    In a true multi-host deployment, call ``jax.distributed.initialize()`` before this
+    (driver/launcher responsibility); here we build the 2-D mesh over whatever devices
+    are visible, which is also how the layout is exercised in tests on virtual devices.
+    """
+    devices = jax.devices()
+    n_hosts = max(jax.process_count(), 1)
+    per_host = devices_per_host or len(devices) // n_hosts
+    mesh = make_mesh(axis_names=batch_axes,
+                     shape=(len(devices) // per_host, per_host))
+    return MeshContext(mesh=mesh, batch_axis=batch_axes)
 
 
 class MeshContext:
     """Sharding helper bound to a mesh: replicate state, shard batches."""
 
     def __init__(self, mesh=None, n_devices=None, batch_axis='data'):
-        self.mesh = mesh if mesh is not None else make_mesh(n_devices,
-                                                            axis_names=(batch_axis,))
+        if mesh is None:
+            axes = (batch_axis,) if isinstance(batch_axis, str) else tuple(batch_axis)
+            mesh = make_mesh(n_devices, axis_names=axes)
+        self.mesh = mesh
         self.batch_axis = batch_axis
         self.batch_sharding = NamedSharding(self.mesh, P(batch_axis))
         self.replicated = NamedSharding(self.mesh, P())

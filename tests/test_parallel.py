@@ -94,3 +94,27 @@ def test_tiled_eval_sharded_over_mesh(mesh_ctx):
     for (cy, cx) in [(10, 12), (30, 36)]:
         region = np.s_[:, cy * s - 8:cy * s + 8, cx * s - 8:cx * s + 8, :]
         np.testing.assert_allclose(out_sharded[region], out_full[region], atol=1e-4)
+
+
+def test_multihost_mesh_layout():
+    """2-D (dcn, data) mesh seam: batch sharded over both axes, DP still exact."""
+    from sisr_tpu.parallel import make_multihost_mesh
+    from sisr_tpu.models.handlers import define_model
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    ctx = make_multihost_mesh(devices_per_host=4)  # simulate 2 hosts x 4 chips
+    assert ctx.mesh.devices.shape == (2, 4)
+    assert ctx.n_devices == 8
+
+    rng = np.random.RandomState(5)
+    batch = {'lr': rng.rand(8, 8, 8, 3).astype(np.float32),
+             'hr': rng.rand(8, 16, 16, 3).astype(np.float32)}
+    single = define_model('edsr', num_features=8, num_blocks=1, scale=2, lr=1e-3)
+    single.set_metadata_keys([])
+    loss_single, _ = single.run_train(**batch)
+
+    multi = define_model('edsr', num_features=8, num_blocks=1, scale=2, lr=1e-3)
+    multi.set_metadata_keys([])
+    multi.set_mesh(ctx)
+    loss_multi, _ = multi.run_train(**batch)
+    assert abs(float(loss_single) - float(loss_multi)) < 1e-6

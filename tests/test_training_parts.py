@@ -76,3 +76,11 @@ def test_jsonl_tracker(tmp_path):
     events = [l['event'] for l in lines]
     assert events == ['start', 'params', 'metric', 'end']
     assert lines[2]['value'] == 31.5 and lines[2]['epoch'] == 3
+
+
+def test_device_timer():
+    import jax.numpy as jnp
+    from sisr_tpu.tools.profiling import device_timer
+    with device_timer() as holder:
+        holder['out'] = jnp.ones((64, 64)) * 2
+    assert holder['seconds'] > 0
