@@ -71,3 +71,29 @@ def test_bf16_training():
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(h.state.params))
     out, _, _ = h.run_eval(batch['lr'])
     assert out.dtype == np.float32 and np.all(np.isfinite(out))
+
+
+def test_sparnet_batch_stats_checkpoint_roundtrip(tmp_path):
+    """BatchNorm running stats must survive save/load and affect eval outputs."""
+    rng = np.random.RandomState(6)
+    h = define_model('sparnet', scale=4, lr=1e-3, in_size=32, out_size=32,
+                     res_depth=1, min_feat_size=16)
+    h.set_metadata_keys([])
+    batch = {'lr': rng.rand(2, 32, 32, 3).astype(np.float32),
+             'hr': rng.rand(2, 32, 32, 3).astype(np.float32)}
+    for _ in range(3):
+        h.run_train(**batch)
+    assert h.has_batch_stats and h.state.batch_stats is not None
+    # running stats must have moved away from init (mean 0)
+    stats_leaves = jax.tree.leaves(h.state.batch_stats)
+    assert any(float(np.abs(np.asarray(l)).max()) > 0 for l in stats_leaves)
+    out_before, _, _ = h.run_eval(batch['lr'])
+
+    h.set_epoch(3)
+    h.save_model('train_model', 3, str(tmp_path))
+    h2 = define_model('sparnet', scale=4, lr=1e-3, in_size=32, out_size=32,
+                      res_depth=1, min_feat_size=16, eval_mode=True)
+    h2.set_metadata_keys([])
+    h2.load_model('train_model', 3, str(tmp_path))
+    out_after, _, _ = h2.run_eval(batch['lr'])
+    np.testing.assert_allclose(out_after, out_before, atol=1e-6)
