@@ -16,6 +16,7 @@ from tqdm import tqdm
 from ..data.datasets import SuperResImages
 from ..data.loader import DataLoader
 from ..models.interface import ModelInterface
+from ..ops.colorspace import ycbcr_convert
 from ..ops.metrics import Metrics
 from ..ops.resize import resize_uint8
 from ..tools.visualization import interpret_sisr_images, safe_image_save
@@ -143,8 +144,19 @@ class EvalHub:
         return interp, (toc - tic) if timing else None
 
     def _high_res_prep(self, hr_data):
-        """RGB -> YCbCr('jpg') with [0,1] clip (ref: standard_eval.py:160-164)."""
-        return ModelInterface.colorspace_convert(np.asarray(hr_data), colorspace='rgb')
+        """RGB -> Y broadcast into all 3 channels, with [0,1] clip.
+
+        NB: the reference calls ycbcr_convert with its default y_only=True inside a
+        3-channel in-place assignment (standard_eval.py:160-164), which broadcasts the
+        Y channel into all three channels of hr_prep/lr_prep.  That quirk is load-bearing
+        for output parity (ycbcr models recombine with these as 'chroma'), so it is
+        reproduced exactly."""
+        prep = ModelInterface._standard_image_formatting(np.asarray(hr_data))
+        for i in range(prep.shape[0]):
+            chw = prep[i].transpose(2, 0, 1)
+            y = ycbcr_convert(chw, im_type='jpg', input='rgb', y_only=True)
+            prep[i] = np.repeat(y, 3, axis=0).transpose(1, 2, 0)
+        return prep
 
     def _generate_image_collage(self, interp_data, model_data, probe_names, metrics=None,
                                 metric_slice=None, hr_rgb=None):
@@ -212,8 +224,11 @@ class EvalHub:
                     interp_data, timing_info = self._low_res_prep(
                         lr_rgb, timing=self.time_models)
                     if timing_info is not None:
+                        # one entry per image so columns stay aligned at batch_size > 1
+                        # (the reference appends once per batch and crashes in
+                        # manipulate_and_save_metrics for batch_size > 1)
                         metric_package['LR%sruntime' % self.metric_hub.delimeter].append(
-                            [timing_info])
+                            [timing_info] * len(im_names))
 
                 hr_prep = self._high_res_prep(hr_rgb)
                 lr_prep = self._high_res_prep(interp_data)
@@ -235,7 +250,8 @@ class EvalHub:
                         **{**batch, **{'lr': selected_im}}, timing=self.time_models)
                     if timing is not None:
                         metric_package['%s%sruntime' % (
-                            model.experiment, self.metric_hub.delimeter)].append([timing])
+                            model.experiment, self.metric_hub.delimeter)].append(
+                            [timing] * len(im_names))
 
                     metric_slice, mini_diag = self.metric_hub.run_metrics(
                         ycbcr_im, hr_prep, key=model.experiment, probe_names=hr_names)

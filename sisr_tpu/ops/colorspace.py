@@ -86,9 +86,11 @@ def ycbcr_convert(img, y_only=True, max_val=1, im_type='png', input='rgb'):
     else:
         raise ValueError('input must be rgb or ycbcr')
 
+    # like the reference, always return floats (integer dtypes would truncate and
+    # wrap out-of-range values; callers clip explicitly)
     if y_only and input == 'rgb':
-        return np.expand_dims(a, axis=0).astype(img.dtype)
-    return np.stack([a, b, c], axis=0).astype(img.dtype)
+        return np.expand_dims(np.asarray(a, np.float32), axis=0)
+    return np.stack([a, b, c], axis=0).astype(np.float32)
 
 
 class RGBtoYCbCrConverter:

@@ -143,7 +143,9 @@ def blur_image(img_hwc, kernel):
     from scipy.signal import fftconvolve
     l = kernel.shape[-1]
     padded = _reflect_pad_hw(np.asarray(img_hwc, dtype=np.float32), l)
-    # gaussian kernels are symmetric so convolve == correlate
+    # torch F.conv2d is CORRELATION: flip the kernel so fftconvolve matches it (for odd
+    # l gaussian kernels the two coincide, but even-l sampling grids are asymmetric)
+    kernel = np.ascontiguousarray(kernel[::-1, ::-1])
     out = np.stack([fftconvolve(padded[..., c], kernel, mode='valid')
                     for c in range(padded.shape[-1])], axis=-1)
     return out.astype(np.float32)
@@ -262,7 +264,6 @@ def degrade_batch_on_device(hr_batch, kernels, pca, scale, quantize=True):
     :param pca: (l*l, k) PCA projection matrix.
     :returns: (lr (N, H/s, W/s, C), kernel codes (N, k), blurred HR (N, H, W, C)).
     """
-    import jax.numpy as jnp
     from .resize import resize_bicubic
 
     blurred = batch_blur_nhwc(hr_batch, kernels)
@@ -273,5 +274,6 @@ def degrade_batch_on_device(hr_batch, kernels, pca, scale, quantize=True):
     n, h, w, c = hr_batch.shape
     lr = resize_bicubic(blurred_q, h // scale, w // scale)
     codes = None if pca is None else \
-        kernels.reshape(kernels.shape[0], -1) @ jnp.asarray(pca)
+        kernels.reshape(kernels.shape[0], -1).astype(jnp.float32) @ \
+        jnp.asarray(pca, jnp.float32)
     return lr, codes, blurred

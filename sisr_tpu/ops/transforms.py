@@ -67,10 +67,13 @@ def downsample(image, scale, jm=False):
     r_width = corrected_width * scale
     r_height = corrected_height * scale
     r_image = center_crop(image, height=r_height, width=r_width)
-    lr = resize_uint8(np.asarray(r_image.convert('RGB') if r_image.mode not in
-                                 ('RGB', 'L') else r_image),
-                      (r_width // scale, r_height // scale))
-    return r_image, PIL.Image.fromarray(lr)
+    if r_image.mode in ('RGB', 'L'):
+        lr = resize_uint8(np.asarray(r_image), (r_width // scale, r_height // scale))
+        return r_image, PIL.Image.fromarray(lr)
+    # exotic modes (P, 1, RGBA, ...): defer to PIL itself, which resizes in the native
+    # mode exactly like the reference (image_manipulation.py:52)
+    return r_image, r_image.resize((r_width // scale, r_height // scale),
+                                   resample=PIL.Image.BICUBIC)
 
 
 def random_matched_crop(image_lr, image_hr, crop_size, scale):

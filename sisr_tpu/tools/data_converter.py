@@ -126,8 +126,11 @@ class ConversionHub:
         cmd = [lencod, '-d', os.path.join(jm_bin, 'encoder_baseline.cfg')]
         for key, val in jm_params.items():
             cmd += ['-p', '%s=%s' % (key, val)]
+        # lencod also drops data.txt / log.dat into the working directory
         return cmd, temp_yuv, temp_comp, [temp_yuv, temp_comp, temp_h264, temp_stats,
-                                          temp_leaky]
+                                          temp_leaky,
+                                          os.path.join(os.getcwd(), 'data.txt'),
+                                          os.path.join(os.getcwd(), 'log.dat')]
 
     def run_conversion(self, pipeline, blur_sig=None, skip_images=False, **kwargs):
         """(ref: data_converter.py:113-176)"""
