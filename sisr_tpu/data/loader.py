@@ -73,9 +73,19 @@ class CelebaSplitSampler:
 
 
 def _collate(items):
-    """Stack per-item dicts into batch arrays; strings stay lists; key lists pass through."""
+    """Stack per-item dicts into batch arrays; strings stay lists; key lists pass
+    through.  When request_crops flattens per-item crop stacks into the batch axis,
+    per-item companions (metadata, blur_kernels, ...) are repeated per crop so every
+    batch entry stays aligned."""
     out = {}
     first = items[0]
+    # request_crops items carry (K, h, w, c) image stacks
+    crops_per_item = None
+    for key in ('lr', 'hr'):
+        v = first.get(key)
+        if v is not None and np.ndim(v) >= 4:
+            crops_per_item = np.asarray(v).shape[0]
+            break
     for key in first:
         vals = [item[key] for item in items]
         if key == 'metadata_keys':
@@ -84,13 +94,18 @@ def _collate(items):
             out[key] = vals
         else:
             arrs = [np.asarray(v) for v in vals]
-            if arrs[0].ndim >= 4:  # request_crops stacks: flatten crops into batch
+            if arrs[0].ndim >= 4:  # crop stacks: flatten crops into batch
                 out[key] = np.concatenate(arrs, axis=0)
             else:
                 try:
-                    out[key] = np.stack(arrs, axis=0)
+                    stacked = np.stack(arrs, axis=0)
                 except ValueError:  # ragged (e.g. differently-sized eval images, bs>1)
                     out[key] = arrs
+                    continue
+                if crops_per_item is not None and stacked.ndim >= 1 \
+                        and arrs[0].ndim >= 1:
+                    stacked = np.repeat(stacked, crops_per_item, axis=0)
+                out[key] = stacked
     return out
 
 

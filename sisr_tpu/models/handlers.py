@@ -72,16 +72,19 @@ class BaseHandler:
         self.curr_epoch = 0
         self.dtype = jnp.bfloat16 if dtype in ('bf16', 'bfloat16') else jnp.float32
         self.max_combined_im_size = max_combined_im_size
-        if grad_clip == 0:
-            grad_clip = None
-        if grad_clip is not None:
+        if grad_clip == 0:  # explicit 0 DISABLES clipping, incl. subclass defaults
+            self.grad_clip = None  # (ref: models/__init__.py:281-284)
+        elif grad_clip is not None:
             self.grad_clip = grad_clip
 
         self.module = self.build_module(scale=scale, dtype=self.dtype, **kwargs)
         self.tx, self.schedule = build_optimizer(lr, scheduler, scheduler_params,
                                                  optimizer_params, self.grad_clip)
-        vgg_apply = load_vgg_extractor(vgg_weights) if perceptual is not None else None
-        self.loss_fn = build_loss(self.loss_type, perceptual, vgg_apply)
+        # the reference only wraps the criterion with the perceptual mechanism for
+        # training (training_setup gates on eval_mode, models/__init__.py:334-342)
+        use_perceptual = perceptual if (perceptual is not None and not eval_mode) else None
+        vgg_apply = load_vgg_extractor(vgg_weights) if use_perceptual is not None else None
+        self.loss_fn = build_loss(self.loss_type, use_perceptual, vgg_apply)
 
         self.metadata_keys = None
         self.meta_indices = None
@@ -112,7 +115,24 @@ class BaseHandler:
             mask = [k in meta_cfg for k in self.metadata_keys]
         if len(self.metadata_keys) == 1:
             mask = [True]
-        self.meta_indices = np.where(np.array(mask))[0]
+        new_indices = np.where(np.array(mask))[0]
+        if self.meta_indices is None or not np.array_equal(new_indices,
+                                                           self.meta_indices):
+            # the indices are constant-folded into traced steps: drop any cached ones
+            self._invalidate_steps()
+        self.meta_indices = new_indices
+
+    def _invalidate_steps(self):
+        """Drop cached jitted steps (metadata indices / mode flags are trace-time
+        constants, so any change requires a retrace)."""
+        self._train_step = None
+        self._multi_train_step = None
+        self._eval_step_cache = {}
+
+    def set_device_degrade(self, enabled):
+        if bool(enabled) != self.device_degrade:
+            self.device_degrade = bool(enabled)
+            self._invalidate_steps()
 
     def prepare_metadata(self, x, metadata):
         """Traced metadata prep: (B, M_total) -> model metadata input (or None)."""
@@ -177,6 +197,8 @@ class BaseHandler:
         self.has_batch_stats = 'batch_stats' in variables
         self.state = TrainState.create(self.module.apply, variables['params'], self.tx,
                                        batch_stats=variables.get('batch_stats'))
+        if self.mesh_ctx is not None:
+            self.state = self.mesh_ctx.replicate(self.state)
         return self.state
 
     def _metadata_width(self, n_meta):
@@ -265,13 +287,15 @@ class BaseHandler:
             out = self._tiled_forward(batch)
             loss = None
             if request_loss and y is not None:
-                loss = float(jnp.mean(jnp.abs(out - batch['hr'])))
-            out.block_until_ready()
-            tic = time.perf_counter()
-            out = self._tiled_forward(batch)
-            out.block_until_ready()
-            toc = time.perf_counter()
-            return np.asarray(out, np.float32), loss, (toc - tic) if timing else None
+                loss = float(self.loss_fn(out, batch['hr']))
+            runtime = None
+            if timing:
+                out.block_until_ready()
+                tic = time.perf_counter()
+                out = self._tiled_forward(batch)
+                out.block_until_ready()
+                runtime = time.perf_counter() - tic
+            return np.asarray(out, np.float32), loss, runtime
 
         step = self._eval_step_for(x.shape)
         out, loss = step(self.state, batch)
@@ -392,7 +416,8 @@ class BaseHandler:
             batch_stats = serialization.from_state_dict(batch_stats,
                                                         state_dict['batch_stats'])
         if self.eval_mode:
-            self.state = self.state.replace(params=params, batch_stats=batch_stats)
+            self.state = self.state.replace(params=params, batch_stats=batch_stats,
+                                            step=jnp.asarray(state_dict['step']))
         else:
             opt_state = serialization.from_state_dict(self.state.opt_state,
                                                       state_dict['optimizer'])
@@ -624,6 +649,18 @@ class QRCANHandler(QHandler):
 
     def _metadata_width(self, n_meta):
         return self.n_feats if self.style == 'modulate' else n_meta
+
+    def _invalidate_steps(self):
+        """Drop cached jitted steps (metadata indices / mode flags are trace-time
+        constants, so any change requires a retrace)."""
+        self._train_step = None
+        self._multi_train_step = None
+        self._eval_step_cache = {}
+
+    def set_device_degrade(self, enabled):
+        if bool(enabled) != self.device_degrade:
+            self.device_degrade = bool(enabled)
+            self._invalidate_steps()
 
     def prepare_metadata(self, x, metadata):
         meta = super().prepare_metadata(x, metadata)

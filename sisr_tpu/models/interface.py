@@ -63,10 +63,12 @@ class ModelInterface:
             self.name = 'qrcan'
 
         internal = dict(self.metadata.get('internal_params') or {})
-        if scale is not None and internal.get('scale') is not None \
-                and scale != internal['scale']:
-            raise Exception('The model loaded has been trained for a different scale, '
-                            'and cannot produce the requested images.')
+        if scale is not None:
+            if internal.get('scale') is None:
+                internal['scale'] = scale  # config omitted it: honor the request
+            elif scale != internal['scale']:
+                raise Exception('The model loaded has been trained for a different '
+                                'scale, and cannot produce the requested images.')
         internal.pop('metadata_list', None)
 
         self.model = define_model(name=self.name,

@@ -87,7 +87,7 @@ class TrainingHandler:
         self.val_data = val_data
         self.model.set_metadata_keys(getattr(train_data.dataset, 'metadata_keys', []))
         if getattr(train_data.dataset, 'device_degradations', False):
-            self.model.model.device_degrade = True
+            self.model.model.set_device_degrade(True)
 
         self.metric_hub = Metrics(metrics) if metrics is not None else None
 

@@ -212,3 +212,19 @@ def test_device_mode_rejected_for_eval_usage(dataset_dirs):
         SuperResImages(hr_dir=hr_dir, split='all', input='unmodified',
                        colorspace='rgb', scale=4, online_degradations=True,
                        online_degradation_params={'device': True}, usage='eval')
+
+
+def test_request_crops_collate_repeats_companions(dataset_dirs):
+    """Flattened crop stacks must repeat per-item metadata/kernels per crop."""
+    lr_dir, hr_dir = dataset_dirs
+    ds = SuperResImages(lr_dir=lr_dir, hr_dir=hr_dir, split='all', input='unmodified',
+                        colorspace='rgb', scale=4, random_crop=4, request_crops=3,
+                        degradation_metadata_file=os.path.join(
+                            lr_dir, 'degradation_metadata.csv'))
+    loader = DataLoader(ds, batch_size=2, num_workers=1)
+    batch = next(iter(loader))
+    assert batch['lr'].shape == (6, 4, 4, 3)
+    assert batch['hr'].shape == (6, 16, 16, 3)
+    assert batch['metadata'].shape == (6, 11)
+    np.testing.assert_array_equal(batch['metadata'][0], batch['metadata'][2])
+    assert not np.array_equal(batch['metadata'][0], batch['metadata'][3])

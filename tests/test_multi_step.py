@@ -97,3 +97,19 @@ def test_sparnet_batch_stats_checkpoint_roundtrip(tmp_path):
     h2.load_model('train_model', 3, str(tmp_path))
     out_after, _, _ = h2.run_eval(batch['lr'])
     np.testing.assert_allclose(out_after, out_before, atol=1e-6)
+
+
+def test_metadata_key_change_invalidates_cached_steps():
+    """Re-pointing a handler at differently-ordered metadata keys must retrace."""
+    rng = np.random.RandomState(8)
+    h = define_model('qedsr', scale=2, num_features=8, num_blocks=1,
+                     metadata=['qpi'], lr=1e-4, eval_mode=True)
+    h.set_metadata_keys(['age', 'qpi'])
+    x = rng.rand(1, 8, 8, 3).astype(np.float32)
+    meta = np.array([[99.0, 0.5]], np.float32)  # age=99, qpi=0.5
+    out1, _, _ = h.run_eval(x, metadata=meta)
+    # swap key order: qpi now column 0
+    h.set_metadata_keys(['qpi', 'age'])
+    meta2 = np.array([[0.5, 99.0]], np.float32)
+    out2, _, _ = h.run_eval(x, metadata=meta2)
+    np.testing.assert_allclose(out2, out1, atol=1e-6)  # same semantic input
