@@ -4,7 +4,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline compares against the reference PyTorch implementation's CPU throughput for
 the identical architecture/workload, measured on this machine (see measure_torch_baseline;
-cached in .bench_baseline.json; re-measure with BENCH_MEASURE_BASELINE=1).
+cached in the untracked .bench_baseline.json, so each machine measures its own;
+re-measure with BENCH_MEASURE_BASELINE=1).
 Driver target (BASELINE.md): >10x reference CPU throughput per v5e chip.
 """
 import json

@@ -93,6 +93,7 @@ class BaseHandler:
         self._rng = jax.random.PRNGKey(seed)
         self._train_step = None
         self._eval_step_cache = {}
+        self._warm_eval_shapes = set()
         self.mesh_ctx = None  # set via set_mesh for multi-chip data parallelism
         self.device_degrade = False  # synthesize LR on device inside the train step
 
@@ -128,6 +129,7 @@ class BaseHandler:
         self._train_step = None
         self._multi_train_step = None
         self._eval_step_cache = {}
+        self._warm_eval_shapes = set()
 
     def set_device_degrade(self, enabled):
         if bool(enabled) != self.device_degrade:
@@ -209,16 +211,15 @@ class BaseHandler:
         """One training step (ref BaseModel.run_train, models/__init__.py:466-489)."""
         if self.eval_mode:
             raise RuntimeError('Model initialized in eval mode, training not possible.')
-        if isinstance(batch['lr'], (list, tuple)):
+        ragged_probe = batch['hr'] if self.device_degrade else batch['lr']
+        if isinstance(ragged_probe, (list, tuple)):
             raise RuntimeError('Training batch contains differently-sized images — use a '
                                'fixed crop (data "crop" option) or batch_size=1 so XLA '
                                'sees static shapes.')
         if self.state is None:
             spatial = batch['lr'].shape[1:3] if not self.device_degrade else \
                 (batch['hr'].shape[1] // self.scale, batch['hr'].shape[2] // self.scale)
-            self.init_state(spatial=spatial)
-            if self.mesh_ctx is not None:
-                self.state = self.mesh_ctx.replicate(self.state)
+            self.init_state(spatial=spatial)  # replicates over the mesh if one is set
         if self._train_step is None:
             self._train_step = make_train_step(self.loss_fn, self._prep_batch,
                                                self.has_batch_stats)
@@ -240,9 +241,10 @@ class BaseHandler:
         if self.eval_mode:
             raise RuntimeError('Model initialized in eval mode, training not possible.')
         if self.state is None:
-            self.init_state(spatial=batches[0]['lr'].shape[1:3])
-            if self.mesh_ctx is not None:
-                self.state = self.mesh_ctx.replicate(self.state)
+            ref = batches[0]['hr' if self.device_degrade else 'lr']
+            spatial = ref.shape[1:3] if not self.device_degrade else \
+                (ref.shape[1] // self.scale, ref.shape[2] // self.scale)
+            self.init_state(spatial=spatial)  # replicates over the mesh if one is set
         if getattr(self, '_multi_train_step', None) is None:
             self._multi_train_step = make_multi_train_step(self.loss_fn,
                                                            self._prep_batch,
@@ -297,17 +299,18 @@ class BaseHandler:
                 runtime = time.perf_counter() - tic
             return np.asarray(out, np.float32), loss, runtime
 
+        warm = tuple(x.shape) in self._warm_eval_shapes
         step = self._eval_step_for(x.shape)
+        if timing and not warm:
+            step(self.state, batch)[0].block_until_ready()  # exclude compile from timing
+        tic = time.perf_counter() if timing else None
         out, loss = step(self.state, batch)
         if timing:
             out.block_until_ready()
-            tic = time.perf_counter()
-            out2, _ = step(self.state, batch)
-            out2.block_until_ready()
-            toc = time.perf_counter()
-            runtime = toc - tic
+            runtime = time.perf_counter() - tic
         else:
             runtime = None
+        self._warm_eval_shapes.add(tuple(x.shape))
         loss_out = float(loss) if (request_loss and y is not None) else None
         return np.asarray(out, np.float32), loss_out, runtime
 
@@ -649,18 +652,6 @@ class QRCANHandler(QHandler):
 
     def _metadata_width(self, n_meta):
         return self.n_feats if self.style == 'modulate' else n_meta
-
-    def _invalidate_steps(self):
-        """Drop cached jitted steps (metadata indices / mode flags are trace-time
-        constants, so any change requires a retrace)."""
-        self._train_step = None
-        self._multi_train_step = None
-        self._eval_step_cache = {}
-
-    def set_device_degrade(self, enabled):
-        if bool(enabled) != self.device_degrade:
-            self.device_degrade = bool(enabled)
-            self._invalidate_steps()
 
     def prepare_metadata(self, x, metadata):
         meta = super().prepare_metadata(x, metadata)

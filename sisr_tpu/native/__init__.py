@@ -23,8 +23,12 @@ def _build_library():
     lib_path = os.path.join(_HERE, '_fastresize.so')
     if os.path.isfile(lib_path) and os.path.getmtime(lib_path) >= os.path.getmtime(src):
         return lib_path
-    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', src, '-o', lib_path]
+    # build to a process-unique temp path and rename atomically so concurrent
+    # processes never CDLL a half-written library
+    tmp_path = '%s.%d.tmp' % (lib_path, os.getpid())
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', src, '-o', tmp_path]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp_path, lib_path)
     return lib_path
 
 

@@ -36,8 +36,9 @@ def make_mesh(n_devices=None, axis_names=('data',), devices=None, shape=None):
     if shape is not None:
         dev_array = dev_array.reshape(shape)
     elif len(axis_names) > 1:
-        side = int(round(len(devices) ** (1.0 / len(axis_names))))
-        dev_array = dev_array.reshape((side,) * len(axis_names))
+        # default multi-axis layout: everything on the trailing (fastest/ICI) axis;
+        # pass an explicit shape for a real host x chip factorization
+        dev_array = dev_array.reshape((1,) * (len(axis_names) - 1) + (len(devices),))
     return Mesh(dev_array, axis_names)
 
 

@@ -39,7 +39,10 @@ def save_statistics(experiment_log_dir, filename, stats_dict, selected_data=None
     if selected_data is not None and os.path.isfile(true_filename):
         if type(selected_data) == int:
             selected_data = [selected_data]
+        # keep only the freshest row per selected epoch (resuming from an earlier epoch
+        # leaves a stale historical row with the same epoch number in the dict)
         pd_data = pd_data.loc[pd_data['epoch'].isin(selected_data)]
+        pd_data = pd_data.drop_duplicates(subset='epoch', keep='last')
     if not os.path.isfile(true_filename):
         append = False
     pd_data.to_csv(true_filename, mode='a' if append else 'w', header=not append,

@@ -41,6 +41,11 @@ def _format_value(value):
     raise TypeError('Cannot serialize %r to TOML' % (value,))
 
 
+def _key_txt(key):
+    bare = key.replace('_', '').replace('-', '')
+    return key if (bare.isalnum() and bare.isascii()) else '"%s"' % key
+
+
 def _dump_table(table, prefix, lines):
     scalars = {k: v for k, v in table.items() if not isinstance(v, dict) and v is not None}
     subtables = {k: v for k, v in table.items() if isinstance(v, dict)}
@@ -48,12 +53,11 @@ def _dump_table(table, prefix, lines):
     if prefix and (scalars or not subtables):
         lines.append('[%s]' % prefix)
     for key, value in scalars.items():
-        key_txt = key if key.replace('_', '').replace('-', '').isalnum() else '"%s"' % key
-        lines.append('%s = %s' % (key_txt, _format_value(value)))
+        lines.append('%s = %s' % (_key_txt(key), _format_value(value)))
     if scalars:
         lines.append('')
     for key, value in subtables.items():
-        sub_prefix = ('%s.%s' % (prefix, key)) if prefix else key
+        sub_prefix = ('%s.%s' % (prefix, _key_txt(key))) if prefix else _key_txt(key)
         _dump_table(value, sub_prefix, lines)
 
 

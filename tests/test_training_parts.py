@@ -84,3 +84,11 @@ def test_device_timer():
     with device_timer() as holder:
         holder['out'] = jnp.ones((64, 64)) * 2
     assert holder['seconds'] > 0
+
+
+def test_toml_quoted_table_keys(tmp_path):
+    data = {'data': {'training_sets': {'celeba hq': {'lr': '/x', 'crop': 4}}}}
+    path = str(tmp_path / 'q.toml')
+    toml_io.dump(data, path)
+    back = toml_io.load(path)
+    assert back['data']['training_sets']['celeba hq']['crop'] == 4
