@@ -8,13 +8,17 @@ module provides weight quantization + a quantized EDSR forward as the pattern:
 * activations: dynamic symmetric per-tensor int8, requantized before every conv;
 * accumulation in int32, dequantize -> bias/activation/residual math in f32.
 
-Quantization error on natural-image SR is small (measured: int8 EDSR output is ~58 dB
-PSNR from the bf16 output on real images) but this remains an EXPERIMENTAL opt-in:
-measured end-to-end on v5e, the int8 EDSR currently runs at 0.75x the bf16 model —
-the raw int8 conv is 1.33x faster, but per-layer dynamic activation quantization
-(max-reduce + round + cast) and f32 residual math eat the gain.  Reaching the int8
-win requires static (calibrated) activation scales and int-domain residuals — the
-natural follow-up; the building blocks here are correct and tested.
+Two activation-quantization modes, both measured end-to-end on v5e (EDSR 64f/16b,
+4x, batch 16):
+
+* dynamic per-tensor scales (``edsr_int8_forward``): 0.75x bf16 — the per-layer
+  max-reduce + round/cast overhead eats the raw 1.33x int8-conv advantage;
+* static calibrated scales (``calibrate_edsr_scales`` + ``edsr_int8_forward_static``):
+  1.04x bf16 at ~56 dB output fidelity vs the bf16 model — the quantization itself is
+  now cheap; the residual f32 requant traffic is the remaining cost, and int-domain
+  residual math is the next lever (ROADMAP).
+
+Opt-in serving path; the reference-parity eval pipeline stays f32.
 """
 import numpy as np
 
@@ -96,3 +100,81 @@ def edsr_int8_forward(qparams, x, num_blocks=16, scale=4, res_scale=0.1):
         res = qconv(qparams['upsampler']['conv_%d' % i], res)
         res = pixel_shuffle(res, 3 if scale == 3 else 2)
     return qconv(qparams['tail'], res)
+
+
+def calibrate_edsr_scales(params, sample_batches, num_blocks=16, scale=4, res_scale=0.1,
+                          margin=1.0):
+    """Record per-conv-input absmax over calibration batches -> static activation scales.
+
+    Returns a dict conv-name -> float32 scale (absmax * margin / 127).
+    """
+    maxes = {}
+
+    def track(name, x):
+        m = float(jnp.max(jnp.abs(x)))
+        maxes[name] = max(maxes.get(name, 0.0), m)
+        return x
+
+    from ..models.blocks import pixel_shuffle
+
+    def fconv(entry, h):
+        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
+                                            dimension_numbers=dn) + entry['bias']
+
+    for x in sample_batches:
+        x = jnp.asarray(x, jnp.float32)
+        h = fconv(params['head'], track('head', x))
+        res = h
+        for i in range(num_blocks):
+            blk = params['block_%d' % i]
+            y = jax.nn.relu(fconv(blk['conv_0'], track('block_%d.conv_0' % i, res)))
+            y = fconv(blk['conv_1'], track('block_%d.conv_1' % i, y))
+            res = res + y * res_scale
+        res = fconv(params['body_tail'], track('body_tail', res)) + h
+        n_up = {2: 1, 4: 2, 8: 3, 3: 1}[scale]
+        for i in range(n_up):
+            res = fconv(params['upsampler']['conv_%d' % i],
+                        track('upsampler.conv_%d' % i, res))
+            res = pixel_shuffle(res, 3 if scale == 3 else 2)
+        track('tail', res)
+    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+
+
+def conv_int8_static(x, q_kernel, w_scale, x_scale, bias=None):
+    """int8 conv with a precomputed (static) activation scale — no runtime max-reduce."""
+    x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    dn = jax.lax.conv_dimension_numbers(x_q.shape, q_kernel.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+    acc = jax.lax.conv_general_dilated(x_q, q_kernel, (1, 1), 'SAME',
+                                       dimension_numbers=dn,
+                                       preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (x_scale * w_scale)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def edsr_int8_forward_static(qparams, act_scales, x, num_blocks=16, scale=4,
+                             res_scale=0.1):
+    """Quantized EDSR forward with calibrated static activation scales."""
+    from ..models.blocks import pixel_shuffle
+
+    def qconv(name, tree, h):
+        return conv_int8_static(h, tree['kernel'], tree['scale'], act_scales[name],
+                                tree['bias'])
+
+    h = qconv('head', qparams['head'], x)
+    res = h
+    for i in range(num_blocks):
+        blk = qparams['block_%d' % i]
+        y = jax.nn.relu(qconv('block_%d.conv_0' % i, blk['conv_0'], res))
+        y = qconv('block_%d.conv_1' % i, blk['conv_1'], y)
+        res = res + y * res_scale
+    res = qconv('body_tail', qparams['body_tail'], res) + h
+    n_up = {2: 1, 4: 2, 8: 3, 3: 1}[scale]
+    for i in range(n_up):
+        res = qconv('upsampler.conv_%d' % i, qparams['upsampler']['conv_%d' % i], res)
+        res = pixel_shuffle(res, 3 if scale == 3 else 2)
+    return qconv('tail', qparams['tail'], res)

@@ -48,3 +48,22 @@ def test_edsr_int8_output_quality():
     assert err.mean() < 2.0 / 255
     # treat the f32 output as reference signal: quantized output stays >35 dB close
     assert psnr(out_int8, out_f32, max_value=1.0) > 35
+
+
+def test_static_calibration_matches_dynamic_quality():
+    from sisr_tpu.ops.quantization import (calibrate_edsr_scales,
+                                           edsr_int8_forward_static)
+    rng = np.random.RandomState(3)
+    model = EDSR(net_features=16, num_blocks=3, scale=2)
+    x = jnp.asarray(rng.rand(1, 16, 16, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    out_f32 = np.asarray(model.apply(variables, x))
+
+    qparams = quantize_edsr_params(variables['params'])
+    scales = calibrate_edsr_scales(variables['params'],
+                                   [np.asarray(x), rng.rand(2, 12, 12, 3)],
+                                   num_blocks=3, scale=2)
+    assert len(scales) == 1 + 3 * 2 + 1 + 1 + 1  # head, blocks, body_tail, up, tail
+    out_static = np.asarray(edsr_int8_forward_static(qparams, scales, x,
+                                                     num_blocks=3, scale=2))
+    assert psnr(out_static, out_f32, max_value=1.0) > 35
