@@ -73,7 +73,11 @@ def read_augmentation_list(metadata_file, filenames=None, normalize=True,
                     or pd.api.types.is_string_dtype(aug_data[col]):
                 aug_data[col] = aug_data[col].apply(json.loads)
                 keys.extend([col.lower()] * len(aug_data[col].iloc[0]))
-            elif pd.api.types.is_integer_dtype(aug_data[col]):
+            elif pd.api.types.is_integer_dtype(aug_data[col]) \
+                    or pd.api.types.is_float_dtype(aug_data[col]):
+                # floats take the same normalization path as ints (the reference only
+                # handled int columns and errored on floats; a '23.0'-style QPI column
+                # must not silently skip the (20,40) rescale)
                 aug_data[col] = aug_data[col].astype(float)
                 keys.append(col.lower())
                 minimum = 20 if (col == 'QPI' and force_qpi_range) else aug_data[col].min()
@@ -83,8 +87,6 @@ def read_augmentation_list(metadata_file, filenames=None, normalize=True,
                     if col == 'QPI' and qpi_cutoffs:
                         qpi_selection = [(q - minimum) / (maximum - minimum)
                                          for q in qpi_selection]
-            elif pd.api.types.is_float_dtype(aug_data[col]):
-                keys.append(col.lower())
             else:
                 raise RuntimeError('Unidentified datatype in metadata file.')
 

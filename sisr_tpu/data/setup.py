@@ -82,7 +82,7 @@ def sisr_data_setup(training_sets, eval_sets, batch_size=16, eval_batch_size=1,
 
     train_dataloader = DataLoader(dataset=all_train_data, batch_size=batch_size,
                                   shuffle=sampler is None,
-                                  num_workers=dataloader_threads or 8,
+                                  num_workers=8 if dataloader_threads is None else dataloader_threads,
                                   drop_last=bool(drop_last_training_batch),
                                   sampler=sampler)
     val_dataloader = DataLoader(dataset=all_val_data, batch_size=eval_batch_size)

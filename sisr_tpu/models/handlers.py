@@ -214,7 +214,8 @@ class BaseHandler:
         ragged_probe = batch['hr'] if self.device_degrade else batch['lr']
         if isinstance(ragged_probe, (list, tuple)):
             raise RuntimeError('Training batch contains differently-sized images — use a '
-                               'fixed crop (data "crop" option) or batch_size=1 so XLA '
+                               'fixed crop (data "crop" option, which must be no larger '
+                               'than the smallest LR image) or batch_size=1 so XLA '
                                'sees static shapes.')
         if self.state is None:
             spatial = batch['lr'].shape[1:3] if not self.device_degrade else \
