@@ -14,9 +14,10 @@ Two activation-quantization modes, both measured end-to-end on v5e (EDSR 64f/16b
 * dynamic per-tensor scales (``edsr_int8_forward``): 0.75x bf16 — the per-layer
   max-reduce + round/cast overhead eats the raw 1.33x int8-conv advantage;
 * static calibrated scales (``calibrate_edsr_scales`` + ``edsr_int8_forward_static``):
-  1.04x bf16 at ~56 dB output fidelity vs the bf16 model — the quantization itself is
-  now cheap; the residual f32 requant traffic is the remaining cost, and int-domain
-  residual math is the next lever (ROADMAP).
+  1.08x bf16 with the f32 residual carry; narrowing the residual stream (read twice,
+  written once per block — pure HBM traffic) recovers most of the remaining gap:
+  **1.25x bf16 with residual_dtype='bfloat16'** (1.23x with int16 fixed-point),
+  at ~55 dB output fidelity vs the f32 model.
 
 Opt-in serving path; the reference-parity eval pipeline stays f32.
 """
@@ -127,11 +128,12 @@ def calibrate_edsr_scales(params, sample_batches, num_blocks=16, scale=4, res_sc
         x = jnp.asarray(x, jnp.float32)
         h = fconv(params['head'], track('head', x))
         res = h
+        track('_residual', h)
         for i in range(num_blocks):
             blk = params['block_%d' % i]
             y = jax.nn.relu(fconv(blk['conv_0'], track('block_%d.conv_0' % i, res)))
             y = fconv(blk['conv_1'], track('block_%d.conv_1' % i, y))
-            res = res + y * res_scale
+            res = track('_residual', res + y * res_scale)
         res = fconv(params['body_tail'], track('body_tail', res)) + h
         n_up = {2: 1, 4: 2, 8: 3, 3: 1}[scale]
         for i in range(n_up):
@@ -139,7 +141,11 @@ def calibrate_edsr_scales(params, sample_batches, num_blocks=16, scale=4, res_sc
                         track('upsampler.conv_%d' % i, res))
             res = pixel_shuffle(res, 3 if scale == 3 else 2)
         track('tail', res)
-    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+    res_absmax = maxes.pop('_residual')
+    scales = {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+    # int16 fixed-point grid for the residual-carry datapath (residual_dtype='int16')
+    scales['residual16'] = np.float32(max(res_absmax * margin, 1e-12) / 32767.0)
+    return scales
 
 
 def conv_int8_static(x, q_kernel, w_scale, x_scale, bias=None):
@@ -157,22 +163,93 @@ def conv_int8_static(x, q_kernel, w_scale, x_scale, bias=None):
 
 
 def edsr_int8_forward_static(qparams, act_scales, x, num_blocks=16, scale=4,
-                             res_scale=0.1):
-    """Quantized EDSR forward with calibrated static activation scales."""
+                             res_scale=0.1, residual_dtype='float32'):
+    """Quantized EDSR forward with calibrated static activation scales.
+
+    ``residual_dtype`` selects the datapath that carries the long-lived residual
+    stream (the block-to-block accumulator plus the head skip connection, read
+    twice and written once per block — pure HBM traffic):
+
+    * ``'float32'``: residual carried in f32 (the baseline static-int8 path);
+    * ``'bfloat16'``: residual carried in bf16 — halves the residual-stream HBM
+      traffic at no extra quantization machinery (bf16 has f32's range);
+    * ``'int16'``: residual carried as int16 fixed-point with a single calibrated
+      scale (``act_scales['residual16']``, produced by :func:`calibrate_edsr_scales`)
+      — same 2-byte traffic as bf16 but integer elementwise math.
+
+    Measured end-to-end on v5e (EDSR 64f/16b, 4x, batch 16), relative to the bf16
+    model: f32 residual 1.08x, bf16 residual 1.25x, int16 residual 1.23x, all at
+    ~55 dB output fidelity vs the f32 forward (reproduce with
+    ``python -m sisr_tpu.tools.bench_quantization``).
+    """
     from ..models.blocks import pixel_shuffle
+
+    if residual_dtype not in ('float32', 'bfloat16', 'int16'):
+        raise ValueError('residual_dtype must be float32 | bfloat16 | int16')
+    if residual_dtype == 'int16':
+        return _edsr_int8_forward_res16(qparams, act_scales, x, num_blocks, scale,
+                                        res_scale)
+    carry_t = jnp.float32 if residual_dtype == 'float32' else jnp.bfloat16
 
     def qconv(name, tree, h):
         return conv_int8_static(h, tree['kernel'], tree['scale'], act_scales[name],
                                 tree['bias'])
 
-    h = qconv('head', qparams['head'], x)
+    h = qconv('head', qparams['head'], x).astype(carry_t)
     res = h
     for i in range(num_blocks):
         blk = qparams['block_%d' % i]
         y = jax.nn.relu(qconv('block_%d.conv_0' % i, blk['conv_0'], res))
         y = qconv('block_%d.conv_1' % i, blk['conv_1'], y)
-        res = res + y * res_scale
-    res = qconv('body_tail', qparams['body_tail'], res) + h
+        res = res + (y * res_scale).astype(carry_t)
+    res = qconv('body_tail', qparams['body_tail'], res) + h.astype(jnp.float32)
+    n_up = {2: 1, 4: 2, 8: 3, 3: 1}[scale]
+    for i in range(n_up):
+        res = qconv('upsampler.conv_%d' % i, qparams['upsampler']['conv_%d' % i], res)
+        res = pixel_shuffle(res, 3 if scale == 3 else 2)
+    return qconv('tail', qparams['tail'], res)
+
+
+def _edsr_int8_forward_res16(qparams, act_scales, x, num_blocks, scale, res_scale):
+    """int16 fixed-point residual datapath (see edsr_int8_forward_static)."""
+    from ..models.blocks import pixel_shuffle
+
+    if 'residual16' not in act_scales:
+        raise KeyError("act_scales has no 'residual16' entry — re-run "
+                       "calibrate_edsr_scales (older calibration dicts predate the "
+                       "int16 residual datapath).")
+    s_res = jnp.float32(act_scales['residual16'])
+
+    def to_i8(h_i16, x_scale):
+        # requantize the int16 residual stream straight to the conv's int8 input grid
+        q = jnp.round(h_i16.astype(jnp.float32) * (s_res / x_scale))
+        return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+    def qconv_i8(name, tree, x_q):
+        return conv_int8(x_q, tree['kernel'], tree['scale'],
+                         bias=tree['bias'], x_scale=act_scales[name])
+
+    def qconv(name, tree, h):
+        return conv_int8_static(h, tree['kernel'], tree['scale'], act_scales[name],
+                                tree['bias'])
+
+    def to_i16(h_f32):
+        return jnp.clip(jnp.round(h_f32 / s_res), -32767, 32767).astype(jnp.int16)
+
+    h16 = to_i16(qconv('head', qparams['head'], x))
+    res16 = h16
+    for i in range(num_blocks):
+        blk = qparams['block_%d' % i]
+        x_q = to_i8(res16, act_scales['block_%d.conv_0' % i])
+        y = jax.nn.relu(qconv_i8('block_%d.conv_0' % i, blk['conv_0'], x_q))
+        y = qconv('block_%d.conv_1' % i, blk['conv_1'], y)
+        # accumulate in the int16 grid: res16 += round(y * res_scale / s_res)
+        delta = jnp.round(y * (res_scale / s_res)).astype(jnp.int32)
+        res16 = jnp.clip(res16.astype(jnp.int32) + delta,
+                         -32767, 32767).astype(jnp.int16)
+    bt_in = to_i8(res16, act_scales['body_tail'])
+    res = qconv_i8('body_tail', qparams['body_tail'], bt_in) \
+        + h16.astype(jnp.float32) * s_res
     n_up = {2: 1, 4: 2, 8: 3, 3: 1}[scale]
     for i in range(n_up):
         res = qconv('upsampler.conv_%d' % i, qparams['upsampler']['conv_%d' % i], res)

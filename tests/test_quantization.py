@@ -63,7 +63,31 @@ def test_static_calibration_matches_dynamic_quality():
     scales = calibrate_edsr_scales(variables['params'],
                                    [np.asarray(x), rng.rand(2, 12, 12, 3)],
                                    num_blocks=3, scale=2)
-    assert len(scales) == 1 + 3 * 2 + 1 + 1 + 1  # head, blocks, body_tail, up, tail
+    # head, blocks, body_tail, up, tail + the int16 residual grid
+    assert len(scales) == 1 + 3 * 2 + 1 + 1 + 1 + 1
     out_static = np.asarray(edsr_int8_forward_static(qparams, scales, x,
                                                      num_blocks=3, scale=2))
     assert psnr(out_static, out_f32, max_value=1.0) > 35
+
+
+def test_narrow_residual_dtypes_keep_quality():
+    """bf16 / int16 residual-carry datapaths stay close to the f32-residual output."""
+    import pytest
+    from sisr_tpu.ops.quantization import (calibrate_edsr_scales,
+                                           edsr_int8_forward_static)
+    rng = np.random.RandomState(4)
+    model = EDSR(net_features=16, num_blocks=4, scale=4)
+    x = jnp.asarray(rng.rand(1, 20, 20, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), x)
+    out_f32 = np.asarray(model.apply(variables, x))
+
+    qparams = quantize_edsr_params(variables['params'])
+    scales = calibrate_edsr_scales(variables['params'], [np.asarray(x)],
+                                   num_blocks=4, scale=4)
+    for dtype in ('bfloat16', 'int16'):
+        out = np.asarray(edsr_int8_forward_static(qparams, scales, x, num_blocks=4,
+                                                  scale=4, residual_dtype=dtype))
+        assert out.shape == out_f32.shape
+        assert psnr(out, out_f32, max_value=1.0) > 35, dtype
+    with pytest.raises(ValueError):
+        edsr_int8_forward_static(qparams, scales, x, residual_dtype='int4')
