@@ -24,6 +24,7 @@ import PIL.Image
 
 from ..configuration.constants import data_splits
 from ..utils.helpers import extract_image_names_from_folder
+from ..native import decode_png_rgb8 as native_decode_png
 from ..ops.colorspace import RGBtoYCbCrConverter
 from ..ops import degradations as g_utils
 from ..ops.transforms import (center_crop, downsample, pil_to_float, float_to_pil,
@@ -308,6 +309,12 @@ class SuperResImages:
 
     @staticmethod
     def read_image(filename):
+        if filename.lower().endswith('.png'):
+            # native libpng decode (lossless => identical pixels to PIL); PNG is the
+            # dominant format for SR datasets, so this is the loader's hot path
+            arr = native_decode_png(filename)
+            if arr is not None:
+                return PIL.Image.fromarray(arr)
         im = PIL.Image.open(filename)
         if im.mode != 'RGB':
             im = im.convert('RGB')
