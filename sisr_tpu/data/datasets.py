@@ -83,11 +83,20 @@ def read_augmentation_list(metadata_file, filenames=None, normalize=True,
                 keys.append(col.lower())
                 minimum = 20 if (col == 'QPI' and force_qpi_range) else aug_data[col].min()
                 maximum = 40 if (col == 'QPI' and force_qpi_range) else aug_data[col].max()
-                if normalize:
+                if normalize and maximum != minimum:
                     aug_data[col] = (aug_data[col] - minimum) / (maximum - minimum)
                     if col == 'QPI' and qpi_cutoffs:
                         qpi_selection = [(q - minimum) / (maximum - minimum)
                                          for q in qpi_selection]
+                elif normalize:
+                    # constant column: (x-min)/(max-min) is 0/0 -> NaN would poison
+                    # the model's metadata input; a constant carries no information,
+                    # so pin it to 0 (the reference crashes the same way on constant
+                    # int columns — this guard covers both)
+                    aug_data[col] = 0.0
+                    if col == 'QPI' and qpi_cutoffs:
+                        # shift cutoffs into the same space so range checks still hold
+                        qpi_selection = [q - minimum for q in qpi_selection]
             else:
                 raise RuntimeError('Unidentified datatype in metadata file.')
 

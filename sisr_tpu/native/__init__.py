@@ -1,9 +1,9 @@
 """Native (C++) host-runtime components, loaded via ctypes.
 
-The TPU compute path is JAX/XLA/Pallas; host-side hot paths (image resampling for the
-data pipeline) are C++ compiled on first use (cached next to the sources).  Everything
-here degrades gracefully to the pure-numpy implementations when no compiler is present
-(set SISR_TPU_NO_NATIVE=1 to force the fallback).
+The TPU compute path is JAX/XLA/Pallas; host-side hot paths (image resampling and PNG
+decoding for the data pipeline) are C++ compiled on first use (cached next to the
+sources).  Everything here degrades gracefully to the pure-Python implementations when
+no compiler / library is present (set SISR_TPU_NO_NATIVE=1 to force the fallback).
 """
 import ctypes
 import os
@@ -14,46 +14,57 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LOCK = threading.Lock()
-_LIB = None
-_TRIED = False
+_LIBS = {}  # src basename -> ctypes.CDLL | None (None = tried and unavailable)
 
 
-def _build_library():
-    src = os.path.join(_HERE, 'fastresize.cpp')
-    lib_path = os.path.join(_HERE, '_fastresize.so')
-    if os.path.isfile(lib_path) and os.path.getmtime(lib_path) >= os.path.getmtime(src):
-        return lib_path
-    # build to a process-unique temp path and rename atomically so concurrent
-    # processes never CDLL a half-written library
-    tmp_path = '%s.%d.tmp' % (lib_path, os.getpid())
-    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', src, '-o', tmp_path]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(tmp_path, lib_path)
-    return lib_path
+def _load_native(src_name, extra_flags, configure):
+    """Build (if stale) + CDLL a native component, once per process.
+
+    :param src_name: C++ source basename inside this directory.
+    :param extra_flags: extra g++ args (e.g. ``['-lpng']``).
+    :param configure: callable(lib) setting restype/argtypes on the loaded lib.
+    :return: the configured CDLL, or None when unavailable (no compiler, missing
+        system library, or SISR_TPU_NO_NATIVE=1) — callers use their fallback.
+    """
+    if src_name in _LIBS:
+        return _LIBS[src_name]
+    with _LOCK:
+        if src_name in _LIBS:
+            return _LIBS[src_name]
+        if os.environ.get('SISR_TPU_NO_NATIVE') == '1':
+            _LIBS[src_name] = None
+            return None
+        try:
+            src = os.path.join(_HERE, src_name)
+            lib_path = os.path.join(_HERE,
+                                    '_' + os.path.splitext(src_name)[0] + '.so')
+            if not (os.path.isfile(lib_path)
+                    and os.path.getmtime(lib_path) >= os.path.getmtime(src)):
+                # build to a process-unique temp path and rename atomically so
+                # concurrent processes never CDLL a half-written library
+                tmp_path = '%s.%d.tmp' % (lib_path, os.getpid())
+                cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', src] \
+                    + list(extra_flags) + ['-o', tmp_path]
+                subprocess.run(cmd, check=True, capture_output=True)
+                os.replace(tmp_path, lib_path)
+            lib = ctypes.CDLL(lib_path)
+            configure(lib)
+            _LIBS[src_name] = lib
+        except Exception:
+            _LIBS[src_name] = None
+        return _LIBS[src_name]
+
+
+def _configure_resize(lib):
+    lib.resize_bicubic_u8.restype = ctypes.c_int
+    lib.resize_bicubic_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
 
 
 def get_library():
-    """Load (building if needed) the native library; None if unavailable."""
-    global _LIB, _TRIED
-    if _LIB is not None or _TRIED:
-        return _LIB
-    with _LOCK:
-        if _LIB is not None or _TRIED:
-            return _LIB
-        _TRIED = True
-        if os.environ.get('SISR_TPU_NO_NATIVE') == '1':
-            return None
-        try:
-            lib = ctypes.CDLL(_build_library())
-            lib.resize_bicubic_u8.restype = ctypes.c_int
-            lib.resize_bicubic_u8.argtypes = [
-                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-                ctypes.c_int]
-            _LIB = lib
-        except Exception:
-            _LIB = None
-        return _LIB
+    """The bit-exact resampler library; None if unavailable."""
+    return _load_native('fastresize.cpp', [], _configure_resize)
 
 
 def resize_bicubic_u8(img, out_h, out_w):
@@ -78,55 +89,28 @@ def resize_bicubic_u8(img, out_h, out_w):
     return out[:, :, 0] if squeeze else out
 
 
-_IMG_LIB = None
-_IMG_TRIED = False
-
-
-def _build_image_library():
-    src = os.path.join(_HERE, 'fastimage.cpp')
-    lib_path = os.path.join(_HERE, '_fastimage.so')
-    if os.path.isfile(lib_path) and os.path.getmtime(lib_path) >= os.path.getmtime(src):
-        return lib_path
-    tmp_path = '%s.%d.tmp' % (lib_path, os.getpid())
-    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', src, '-lpng', '-o', tmp_path]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(tmp_path, lib_path)
-    return lib_path
+def _configure_image(lib):
+    lib.fastimage_decode_png_rgb8.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.fastimage_decode_png_rgb8.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.fastimage_free.restype = None
+    lib.fastimage_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
 
 
 def get_image_library():
-    """Load (building if needed) the PNG-decode library; None if unavailable
-    (no compiler / no libpng — the data pipeline falls back to PIL)."""
-    global _IMG_LIB, _IMG_TRIED
-    if _IMG_LIB is not None or _IMG_TRIED:
-        return _IMG_LIB
-    with _LOCK:
-        if _IMG_LIB is not None or _IMG_TRIED:
-            return _IMG_LIB
-        _IMG_TRIED = True
-        if os.environ.get('SISR_TPU_NO_NATIVE') == '1':
-            return None
-        try:
-            lib = ctypes.CDLL(_build_image_library())
-            lib.fastimage_decode_png_rgb8.restype = ctypes.POINTER(ctypes.c_uint8)
-            lib.fastimage_decode_png_rgb8.argtypes = [
-                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
-                ctypes.POINTER(ctypes.c_int)]
-            lib.fastimage_free.restype = None
-            lib.fastimage_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
-            _IMG_LIB = lib
-        except Exception:
-            _IMG_LIB = None
-        return _IMG_LIB
+    """The PNG-decode library; None if unavailable (no compiler / no libpng —
+    the data pipeline falls back to PIL)."""
+    return _load_native('fastimage.cpp', ['-lpng'], _configure_image)
 
 
 def decode_png_rgb8(path):
-    """Decode a PNG straight to an (H, W, 3) uint8 array with libpng.
+    """Decode an 8-bit PNG straight to an (H, W, 3) uint8 array with libpng.
 
     PNG is lossless, so the pixels are identical to ``PIL.Image.open(...)
-    .convert('RGB')`` (every flavour — palette / gray / 16-bit / alpha — is
-    normalized in the C++ transform chain).  Returns None when the native lib is
-    unavailable or the file isn't a decodable PNG — callers fall back to PIL.
+    .convert('RGB')`` — palette / gray / alpha flavours are normalized in the C++
+    transform chain.  16-bit files deliberately return None (PIL's lossy
+    ``I;16 -> RGB`` conversion clips to the low byte, which libpng cannot
+    reproduce), as does anything undecodable — callers fall back to PIL.
     """
     lib = get_image_library()
     if lib is None:

@@ -13,7 +13,6 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
-#include <vector>
 
 namespace {
 // quiet handlers: the default ones print to stderr, which is noise from loader
@@ -50,10 +49,15 @@ unsigned char *fastimage_decode_png_rgb8(const char *path, int *w, int *h) {
     return nullptr;
   }
 
-  unsigned char *out = nullptr;
+  // volatile: both are written between setjmp and a potential longjmp, and the
+  // handler must see the real values (no non-trivially-destructible locals may
+  // live across the setjmp region either — rows is malloc'd, not a vector)
+  unsigned char *volatile out = nullptr;
+  png_bytep *volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {  // libpng error trampoline
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);
+    std::free(rows);
     std::free(out);
     return nullptr;
   }
@@ -92,19 +96,22 @@ unsigned char *fastimage_decode_png_rgb8(const char *path, int *w, int *h) {
   }
 
   out = static_cast<unsigned char *>(std::malloc(size_t(width) * height * 3));
-  if (!out) {
+  rows = static_cast<png_bytep *>(std::malloc(sizeof(png_bytep) * height));
+  if (!out || !rows) {
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);
+    std::free(rows);
+    std::free(out);
     return nullptr;
   }
-  std::vector<png_bytep> rows(height);
   for (png_uint_32 y = 0; y < height; ++y)
     rows[y] = out + size_t(y) * width * 3;
-  png_read_image(png, rows.data());
+  png_read_image(png, const_cast<png_bytep *>(rows));
   png_read_end(png, nullptr);
 
   png_destroy_read_struct(&png, &info, nullptr);
   std::fclose(fp);
+  std::free(rows);
   *w = int(width);
   *h = int(height);
   return out;

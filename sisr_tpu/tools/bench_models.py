@@ -1,0 +1,107 @@
+"""Per-family serving-throughput table on a real TPU chip.
+
+Runs each model family at its reference default size on the headline serving
+workload (4x SR, 128->512 — interp-input models consume the pre-upscaled 512
+input) in bfloat16 and prints img/s per chip.  Same in-graph ``lax.fori_loop``
+timing discipline as bench.py (``block_until_ready`` returns early through this
+platform's remote-execution tunnel).
+
+Run: ``python -m sisr_tpu.tools.bench_models [family ...]``
+(default: every family; e.g. ``... bench_models edsr rcan qrcan``).
+"""
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BATCH, ITERS, LR = 16, 10, 128
+
+
+def _timed(apply_fn, x, out_hw):
+    stride = out_hw // x.shape[1]
+
+    @jax.jit
+    def loop(h):
+        def body(i, carry):
+            y = apply_fn(carry)
+            return (y[:, ::stride, ::stride, :] * 0.999).astype(carry.dtype)
+        return jnp.sum(jax.lax.fori_loop(0, ITERS, body, h))
+
+    float(np.asarray(loop(x)))
+    t0 = time.perf_counter()
+    float(np.asarray(loop(x)))
+    return BATCH / ((time.perf_counter() - t0) / ITERS)
+
+
+def _families():
+    from ..models import advanced, basic, qmodels, san, sftmd, sparnet
+
+    bf = jnp.bfloat16
+    # name -> thunk returning (module, input-size, metadata-or-None); lazy so
+    # benchmarking one family never constructs the others or touches the device.
+    # Sizes are reference defaults: srcnn/vdsr consume the pre-upscaled 512 input
+    # (im_input='interp'); sparnet runs its native 128-face workload; the rest are
+    # true 4x 128->512.
+    return [
+        ('srcnn', lambda: (basic.SRCNN(channel_pattern=[3, 64, 32, 3], dtype=bf),
+                           512, None)),
+        ('vdsr', lambda: (basic.VDSR(channel_pattern=[3] + [64] * 19 + [3],
+                                     kernel_pattern=[3] * 20, dtype=bf), 512, None)),
+        ('edsr', lambda: (advanced.EDSR(dtype=bf), LR, None)),
+        ('rcan', lambda: (advanced.RCAN(dtype=bf), LR, None)),
+        ('han', lambda: (advanced.HAN(dtype=bf), LR, None)),
+        ('san', lambda: (san.SAN(dtype=bf), LR, None)),
+        ('srmd', lambda: (advanced.SRMD(dtype=bf), LR, 'pad15')),
+        ('sftmd', lambda: (sftmd.SFTMD(input_para=10, dtype=bf), LR,
+                           jnp.zeros((BATCH, LR, LR, 10), jnp.float32))),
+        ('sparnet', lambda: (sparnet.SPARNet(dtype=bf), 128, None)),
+        ('qrcan', lambda: (qmodels.QRCAN(style='modulate', num_metadata=1,
+                                         include_q_layer=True, dtype=bf), LR,
+                           jnp.zeros((BATCH, 1), jnp.float32))),
+        ('qedsr', lambda: (qmodels.QEDSR(input_para=1, dtype=bf), LR,
+                           jnp.zeros((BATCH, 1), jnp.float32))),
+    ]
+
+
+def main():
+    only = set(sys.argv[1:])
+    known = {name for name, _ in _families()}
+    unknown = only - known
+    if unknown:
+        sys.exit('unknown families: %s (choose from: %s)'
+                 % (', '.join(sorted(unknown)), ', '.join(sorted(known))))
+    rng = jax.random.PRNGKey(0)
+    print('%-9s %10s  %s' % ('family', 'img/s', '(bf16, batch %d, 4x 128->512)'
+                             % BATCH))
+    for name, make in _families():
+        if only and name not in only:
+            continue
+        model, in_size, meta = make()
+        x = jnp.asarray(np.random.rand(BATCH, in_size, in_size, 3), jnp.float32)
+        try:
+            if meta is None:
+                variables = model.init(rng, x)
+                fn = lambda h: model.apply(variables, h)
+            elif isinstance(meta, str) and meta == 'pad15':
+                # SRMD consumes RGB ++ 15 per-pixel degradation maps as one input
+                def pad(h):
+                    z = jnp.zeros(h.shape[:3] + (15,), h.dtype)
+                    return jnp.concatenate([h, z], axis=-1)
+                variables = model.init(rng, pad(x))
+                fn = lambda h: model.apply(variables, pad(h))
+            else:
+                variables = model.init(rng, x, meta)
+                fn = lambda h: model.apply(variables, h, meta)
+            out = jax.eval_shape(fn, x).shape
+            tput = _timed(fn, x, out[1])
+            print('%-9s %10.1f' % (name, tput))
+        except Exception as e:  # keep the table going; report the failure
+            print('%-9s %10s  (%s: %s)' % (name, 'FAILED', type(e).__name__,
+                                           str(e)[:60]))
+
+
+if __name__ == '__main__':
+    main()

@@ -228,3 +228,22 @@ def test_request_crops_collate_repeats_companions(dataset_dirs):
     assert batch['metadata'].shape == (6, 11)
     np.testing.assert_array_equal(batch['metadata'][0], batch['metadata'][2])
     assert not np.array_equal(batch['metadata'][0], batch['metadata'][3])
+
+
+def test_constant_metadata_column_does_not_nan(tmp_path):
+    """A constant-valued (float or int) column must pin to 0, not 0/0 -> NaN."""
+    p = tmp_path / 'meta.csv'
+    pd.DataFrame({'blur_sigma': [2.0, 2.0, 2.0]},
+                 index=['a.png', 'b.png', 'c.png']).to_csv(p)
+    d, keys = read_augmentation_list(str(p), filenames=['a.png', 'b.png', 'c.png'])
+    assert keys == ['blur_sigma']
+    assert all(np.isfinite(v).all() and v[0] == 0.0 for v in d.values())
+
+    # constant QPI + selection cutoffs: the range filter must still hold
+    pd.DataFrame({'QPI': [23.0, 23.0]}, index=['a.png', 'b.png']).to_csv(p)
+    d, _ = read_augmentation_list(str(p), filenames=['a.png', 'b.png'],
+                                  force_qpi_range=False, qpi_selection=[20, 25])
+    assert sorted(d) == ['a.png', 'b.png']
+    d, _ = read_augmentation_list(str(p), filenames=['a.png', 'b.png'],
+                                  force_qpi_range=False, qpi_selection=[30, 40])
+    assert sorted(d) == []
