@@ -16,8 +16,15 @@ Two activation-quantization modes, both measured end-to-end on v5e (EDSR 64f/16b
 * static calibrated scales (``calibrate_edsr_scales`` + ``edsr_int8_forward_static``):
   1.08x bf16 with the f32 residual carry; narrowing the residual stream (read twice,
   written once per block — pure HBM traffic) recovers most of the remaining gap:
-  **1.25x bf16 with residual_dtype='bfloat16'** (1.23x with int16 fixed-point),
-  at ~55 dB output fidelity vs the f32 model.
+  **1.16-1.25x bf16 across runs with residual_dtype='bfloat16' or 'int16'** (the two
+  narrow carries are within run-to-run noise of each other; f32 is consistently
+  1.08x), at ~55 dB output fidelity vs the f32 model.
+
+The same recipe generalizes to the RCAN/QRCAN family (``quantize_rcan_params`` /
+``calibrate_rcan_scales`` / ``rcan_int8_forward_static``): int8 convs + f32 channel
+attention = **1.17x** the bf16 RCAN (102.3 vs 87.4 img/s, 40.7 dB fidelity) — RCAN's
+C=64 convs run at ~13% MXU (64-of-128-lane waste), so int8's doubled MXU rate is the
+effective lever where layout changes are not (see ROADMAP 'MXU lane utilization').
 
 Opt-in serving path; the reference-parity eval pipeline stays f32.
 """
@@ -178,9 +185,9 @@ def edsr_int8_forward_static(qparams, act_scales, x, num_blocks=16, scale=4,
       — same 2-byte traffic as bf16 but integer elementwise math.
 
     Measured end-to-end on v5e (EDSR 64f/16b, 4x, batch 16), relative to the bf16
-    model: f32 residual 1.08x, bf16 residual 1.25x, int16 residual 1.23x, all at
-    ~55 dB output fidelity vs the f32 forward (reproduce with
-    ``python -m sisr_tpu.tools.bench_quantization``).
+    model: f32 residual 1.08x; bf16/int16 residuals 1.16-1.25x across runs (within
+    noise of each other), all at ~55 dB output fidelity vs the f32 forward
+    (reproduce with ``python -m sisr_tpu.tools.bench_quantization``).
     """
     from ..models.blocks import pixel_shuffle
 
@@ -207,6 +214,137 @@ def edsr_int8_forward_static(qparams, act_scales, x, num_blocks=16, scale=4,
     for i in range(n_up):
         res = qconv('upsampler.conv_%d' % i, qparams['upsampler']['conv_%d' % i], res)
         res = pixel_shuffle(res, 3 if scale == 3 else 2)
+    return qconv('tail', qparams['tail'], res)
+
+
+def quantize_rcan_params(params, n_resgroups=10, n_resblocks=20):
+    """Quantize an RCAN parameter tree (models/advanced.py naming) to int8.
+
+    Only the 3x3 convs are quantized (the MXU-lane-limited hot path at C=64 —
+    see ROADMAP 'MXU lane utilization'); each RCAB's channel-attention Dense
+    pair stays f32 (negligible FLOPs, and sigmoid gates are precision-sensitive).
+    """
+    def q(entry):
+        qk, s = quantize_kernel_int8(entry['kernel'])
+        return {'kernel': qk, 'scale': s,
+                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+
+    out = {'head': q(params['head']), 'body_tail': q(params['body_tail']),
+           'tail': q(params['tail']),
+           'upsampler': {k: q(v) for k, v in params['upsampler'].items()}}
+    for g in range(n_resgroups):
+        grp = params['group_%d' % g]
+        qg = {'conv_tail': q(grp['conv_tail'])}
+        for b in range(n_resblocks):
+            blk = grp['rcab_%d' % b]
+            qg['rcab_%d' % b] = {
+                'conv_0': q(blk['conv_0']), 'conv_1': q(blk['conv_1']),
+                'ca': jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32),
+                                             blk['ca']),
+            }
+        out['group_%d' % g] = qg
+    return out
+
+
+def _rcan_float_forward(params, x, n_resgroups, n_resblocks, track=None):
+    """f32 RCAN forward used for calibration (mirrors models/advanced.py RCAN)."""
+    from ..models.blocks import pixel_shuffle
+
+    tr = track or (lambda name, h: h)
+
+    def fconv(entry, h):
+        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
+                                            dimension_numbers=dn) + entry['bias']
+
+    def ca(entry, h):
+        a = jnp.mean(h, axis=(1, 2))
+        a = jax.nn.relu(a @ entry['du_0']['kernel'] + entry['du_0']['bias'])
+        a = jax.nn.sigmoid(a @ entry['du_1']['kernel'] + entry['du_1']['bias'])
+        return h * a[:, None, None, :]
+
+    h = fconv(params['head'], tr('head', x))
+    res = tr('_residual', h)
+    for g in range(n_resgroups):
+        grp = params['group_%d' % g]
+        r = res
+        for b in range(n_resblocks):
+            blk = grp['rcab_%d' % b]
+            pre = 'group_%d.rcab_%d' % (g, b)
+            y = jax.nn.relu(fconv(blk['conv_0'], tr(pre + '.conv_0', r)))
+            y = fconv(blk['conv_1'], tr(pre + '.conv_1', y))
+            r = tr('_residual', ca(blk['ca'], y) + r)
+        res = tr('_residual',
+                 fconv(grp['conv_tail'], tr('group_%d.conv_tail' % g, r)) + res)
+    res = fconv(params['body_tail'], tr('body_tail', res)) + h
+    # one conv + x2 shuffle per upsampler stage (power-of-2 scales; x3 unsupported)
+    for i in range(sum(1 for k in params['upsampler'] if k.startswith('conv_'))):
+        res = fconv(params['upsampler']['conv_%d' % i],
+                    tr('upsampler.conv_%d' % i, res))
+        res = pixel_shuffle(res, 2)
+    return fconv(params['tail'], tr('tail', res))
+
+
+def calibrate_rcan_scales(params, sample_batches, n_resgroups=10, n_resblocks=20,
+                          margin=1.0):
+    """Static activation scales for the int8 RCAN forward (absmax calibration)."""
+    maxes = {}
+
+    def track(name, h):
+        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
+        return h
+
+    for x in sample_batches:
+        _rcan_float_forward(params, jnp.asarray(x, jnp.float32), n_resgroups,
+                            n_resblocks, track=track)
+    res_absmax = maxes.pop('_residual')
+    scales = {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+    scales['residual16'] = np.float32(max(res_absmax * margin, 1e-12) / 32767.0)
+    return scales
+
+
+def rcan_int8_forward_static(qparams, act_scales, x, n_resgroups=10, n_resblocks=20,
+                             residual_dtype='bfloat16'):
+    """Quantized RCAN/QRCAN-base forward: int8 convs + f32 channel attention.
+
+    Same recipe as :func:`edsr_int8_forward_static` (static calibrated activation
+    scales, narrow residual carry).  The channel-attention pool/dense/sigmoid runs
+    in f32 on the (B, C) pooled vector — negligible cost next to the convs.
+    """
+    from ..models.blocks import pixel_shuffle
+
+    if residual_dtype not in ('float32', 'bfloat16'):
+        raise ValueError('residual_dtype must be float32 | bfloat16')
+    carry_t = jnp.float32 if residual_dtype == 'float32' else jnp.bfloat16
+
+    def qconv(name, tree, h):
+        return conv_int8_static(h, tree['kernel'], tree['scale'], act_scales[name],
+                                tree['bias'])
+
+    def ca(entry, h):
+        a = jnp.mean(h, axis=(1, 2)).astype(jnp.float32)
+        a = jax.nn.relu(a @ entry['du_0']['kernel'] + entry['du_0']['bias'])
+        a = jax.nn.sigmoid(a @ entry['du_1']['kernel'] + entry['du_1']['bias'])
+        return h * a[:, None, None, :].astype(h.dtype)
+
+    h = qconv('head', qparams['head'], x).astype(carry_t)
+    res = h
+    for g in range(n_resgroups):
+        grp = qparams['group_%d' % g]
+        r = res
+        for b in range(n_resblocks):
+            blk = grp['rcab_%d' % b]
+            pre = 'group_%d.rcab_%d' % (g, b)
+            y = jax.nn.relu(qconv(pre + '.conv_0', blk['conv_0'], r))
+            y = qconv(pre + '.conv_1', blk['conv_1'], y)
+            r = ca(blk['ca'], y).astype(carry_t) + r
+        res = qconv('group_%d.conv_tail' % g, grp['conv_tail'], r).astype(carry_t) \
+            + res
+    res = qconv('body_tail', qparams['body_tail'], res) + h.astype(jnp.float32)
+    for i in range(sum(1 for k in qparams['upsampler'] if k.startswith('conv_'))):
+        res = qconv('upsampler.conv_%d' % i, qparams['upsampler']['conv_%d' % i], res)
+        res = pixel_shuffle(res, 2)
     return qconv('tail', qparams['tail'], res)
 
 

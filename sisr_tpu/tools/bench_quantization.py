@@ -37,6 +37,28 @@ def _make_loop(apply_fn):
     return loop
 
 
+def _rcan_section(x):
+    from ..models.advanced import RCAN
+    from ..ops.quantization import (calibrate_rcan_scales, quantize_rcan_params,
+                                    rcan_int8_forward_static)
+
+    model = RCAN(dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    f32_model = RCAN()
+    qparams = quantize_rcan_params(variables['params'])
+    scales = calibrate_rcan_scales(variables['params'], [np.asarray(x[:2])])
+    ref = np.asarray(f32_model.apply(variables, x[:1]))
+
+    bf16_tput = _timed(_make_loop(lambda h: model.apply(variables, h)), x)
+    print('rcan bf16 model           : %8.1f img/s' % bf16_tput)
+    fwd = lambda h: rcan_int8_forward_static(qparams, scales, h)
+    tput = _timed(_make_loop(fwd), x)
+    err = np.abs(np.asarray(fwd(x[:1])) - ref)
+    fid = 10 * np.log10(1.0 / max(float((err ** 2).mean()), 1e-12))
+    print('rcan int8 static, bf16 res: %8.1f img/s  (%.2fx bf16, %4.1f dB vs f32)'
+          % (tput, tput / bf16_tput, fid))
+
+
 def main():
     from ..models.advanced import EDSR
     from ..ops.quantization import (calibrate_edsr_scales, edsr_int8_forward_static,
@@ -63,6 +85,8 @@ def main():
         fid = 10 * np.log10(1.0 / max(float((err ** 2).mean()), 1e-12))
         print('int8 static, %-9s res: %8.1f img/s  (%.2fx bf16, %4.1f dB vs f32)'
               % (dtype, tput, tput / bf16_tput, fid))
+
+    _rcan_section(x)
 
 
 if __name__ == '__main__':

@@ -91,3 +91,29 @@ def test_narrow_residual_dtypes_keep_quality():
         assert psnr(out, out_f32, max_value=1.0) > 35, dtype
     with pytest.raises(ValueError):
         edsr_int8_forward_static(qparams, scales, x, residual_dtype='int4')
+
+
+def test_rcan_int8_static_quality():
+    """Quantized RCAN (int8 convs + f32 channel attention) stays >35 dB vs f32."""
+    from sisr_tpu.models.advanced import RCAN
+    from sisr_tpu.ops.quantization import (calibrate_rcan_scales,
+                                           quantize_rcan_params,
+                                           rcan_int8_forward_static,
+                                           _rcan_float_forward)
+    rng = np.random.RandomState(5)
+    model = RCAN(n_resgroups=2, n_resblocks=2, n_feats=16, scale=4)
+    x = jnp.asarray(rng.rand(1, 16, 16, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), x)
+    out_f32 = np.asarray(model.apply(variables, x))
+
+    # the calibration-path float mirror must match the flax model bit-for-bit
+    mirror = np.asarray(_rcan_float_forward(variables['params'], x, 2, 2))
+    assert np.array_equal(mirror, out_f32)
+
+    qparams = quantize_rcan_params(variables['params'], 2, 2)
+    scales = calibrate_rcan_scales(variables['params'], [np.asarray(x)], 2, 2)
+    for dtype in ('float32', 'bfloat16'):
+        out = np.asarray(rcan_int8_forward_static(qparams, scales, x, 2, 2,
+                                                  residual_dtype=dtype))
+        assert out.shape == out_f32.shape
+        assert psnr(out, out_f32, max_value=1.0) > 35, dtype
