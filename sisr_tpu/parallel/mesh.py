@@ -42,17 +42,21 @@ def make_mesh(n_devices=None, axis_names=('data',), devices=None, shape=None):
     return Mesh(dev_array, axis_names)
 
 
-def make_multihost_mesh(devices_per_host=None, batch_axes=('dcn', 'data')):
+def make_multihost_mesh(devices_per_host=None, batch_axes=('dcn', 'data'),
+                        n_devices=None):
     """Multi-host (DCN + ICI) mesh seam.
 
     In a true multi-host deployment, call ``jax.distributed.initialize()`` before this
-    (driver/launcher responsibility); here we build the 2-D mesh over whatever devices
-    are visible, which is also how the layout is exercised in tests on virtual devices.
+    (driver/launcher responsibility); here we build the 2-D mesh over the visible
+    devices (or the first ``n_devices`` of them), which is also how the layout is
+    exercised in tests on virtual devices.
     """
     devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
     n_hosts = max(jax.process_count(), 1)
     per_host = devices_per_host or len(devices) // n_hosts
-    mesh = make_mesh(axis_names=batch_axes,
+    mesh = make_mesh(axis_names=batch_axes, devices=devices,
                      shape=(len(devices) // per_host, per_host))
     return MeshContext(mesh=mesh, batch_axis=batch_axes)
 
