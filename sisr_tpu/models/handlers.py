@@ -70,6 +70,9 @@ class BaseHandler:
         self.scale = scale
         self.lr = lr
         self.curr_epoch = 0
+        # 'msgpack' (default, the reference's single-file contract) or 'orbax'
+        # (directory checkpoints via orbax.checkpoint; loading auto-detects either)
+        self.checkpoint_backend = kwargs.pop('checkpoint_backend', 'msgpack')
         self.dtype = jnp.bfloat16 if dtype in ('bf16', 'bfloat16') else jnp.float32
         self.max_combined_im_size = max_combined_im_size
         if grad_clip == 0:  # explicit 0 DISABLES clipping, incl. subclass defaults
@@ -398,8 +401,12 @@ class BaseHandler:
             'model_name': self.model_name,
             'model_epoch': int(self.curr_epoch),
         }
-        payload = serialization.msgpack_serialize(state_dict)
         path = os.path.join(model_save_dir, '%s_%s' % (model_save_name, model_idx))
+        if self.checkpoint_backend == 'orbax':
+            from ..utils.orbax_ckpt import save_orbax
+            save_orbax(path, state_dict)
+            return
+        payload = serialization.msgpack_serialize(state_dict)
         with open(path, 'wb') as f:
             f.write(payload)
 
@@ -407,11 +414,14 @@ class BaseHandler:
                    legacy=False, preloaded_state=None):
         load_dir = load_override or model_save_dir
         path = os.path.join(load_dir, '%s_%s' % (model_save_name, model_idx))
-        if preloaded_state is None:
+        if preloaded_state is not None:
+            state_dict = preloaded_state
+        elif os.path.isdir(path):  # orbax directory checkpoint (format auto-detect)
+            from ..utils.orbax_ckpt import restore_orbax
+            state_dict = restore_orbax(path)
+        else:
             with open(path, 'rb') as f:
                 state_dict = serialization.msgpack_restore(f.read())
-        else:
-            state_dict = preloaded_state
         if self.state is None:
             self.init_state()
         params = serialization.from_state_dict(self.state.params, state_dict['network'])

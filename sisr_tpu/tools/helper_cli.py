@@ -99,7 +99,10 @@ def clean_models(model_dir, keep_epochs=None, clean_samples=False):
     for file in model_files:
         index = int(file.split('train_model_')[1])
         if index not in accepted_indices:
-            os.remove(file)
+            if os.path.isdir(file):  # orbax directory checkpoint
+                shutil.rmtree(file)
+            else:
+                os.remove(file)
     print('These models have been retained:', sorted(set(accepted_indices)))
 
     if clean_samples:

@@ -1,4 +1,5 @@
 """Unit tests: schedulers, losses, TOML IO, config-dict semantics."""
+import os
 import numpy as np
 import pytest
 
@@ -92,3 +93,25 @@ def test_toml_quoted_table_keys(tmp_path):
     toml_io.dump(data, path)
     back = toml_io.load(path)
     assert back['data']['training_sets']['celeba hq']['crop'] == 4
+
+
+def test_orbax_checkpoint_backend_roundtrip(tmp_path):
+    """checkpoint_backend='orbax' saves directory checkpoints; loading auto-detects."""
+    import jax
+    from sisr_tpu.models.handlers import define_model
+
+    h = define_model('edsr', scale=4, net_features=8, num_blocks=1,
+                     checkpoint_backend='orbax')
+    batch = {'lr': np.random.rand(2, 8, 8, 3).astype(np.float32),
+             'hr': np.random.rand(2, 32, 32, 3).astype(np.float32)}
+    h.run_train(**batch)
+    h.save_model('train_model', 0, str(tmp_path))
+    assert os.path.isdir(os.path.join(str(tmp_path), 'train_model_0'))
+
+    h2 = define_model('edsr', scale=4, net_features=8, num_blocks=1)  # default backend
+    h2.load_model('train_model', 0, str(tmp_path))
+    for a, b in zip(jax.tree_util.tree_leaves(h.state.params),
+                    jax.tree_util.tree_leaves(h2.state.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    loss, _ = h2.run_train(**batch)  # optimizer state round-trips -> resumable
+    assert np.isfinite(float(loss))
