@@ -89,9 +89,15 @@ class ModelInterface:
         else:
             self.model.pre_training_model_load()
 
-        if gpu == 'multi':  # data-parallel mesh over all local devices
-            from ..parallel import MeshContext
-            self.model.set_mesh(MeshContext())
+        if gpu == 'multi':  # data-parallel mesh over all local (or pod) devices
+            import jax
+            from ..parallel import MeshContext, make_multihost_mesh
+            if jax.process_count() > 1:
+                # multi-process launch (the CLI entry called maybe_init_distributed
+                # before any jax work): hierarchical (dcn, data) mesh over the pod
+                self.model.set_mesh(make_multihost_mesh())
+            else:
+                self.model.set_mesh(MeshContext())
 
         self.full_name = '%s_%d' % (experiment, self.model_epoch)
         self.configuration = {'input': self.model.im_input,

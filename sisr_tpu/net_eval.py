@@ -8,6 +8,11 @@ import sys
 
 import click
 
+from .parallel.distributed import maybe_init_distributed
+
+# multi-host launcher hook: must run before anything touches the XLA backend
+maybe_init_distributed()
+
 from .configuration import constants as sconst
 from .utils import toml_io
 

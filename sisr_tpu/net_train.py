@@ -4,6 +4,11 @@ import sys
 
 import click
 
+from .parallel.distributed import maybe_init_distributed
+
+# multi-host launcher hook: must run before anything touches the XLA backend
+maybe_init_distributed()
+
 from .training.handler import TrainingHandler
 from .utils import toml_io
 from .utils.helpers import read_metadata_list as read_metadata

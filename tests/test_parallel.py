@@ -118,3 +118,23 @@ def test_multihost_mesh_layout():
     multi.set_mesh(ctx)
     loss_multi, _ = multi.run_train(**batch)
     assert abs(float(loss_single) - float(loss_multi)) < 1e-6
+
+
+def test_maybe_init_distributed_single_process(monkeypatch):
+    """SISR_TPU_MULTIHOST=1 with an explicit 1-process coordinator initializes the
+    distributed runtime on a single process (the pod path, degenerately)."""
+    from sisr_tpu.parallel import distributed as dist
+    monkeypatch.delenv('SISR_TPU_MULTIHOST', raising=False)
+    monkeypatch.delenv('SISR_TPU_COORDINATOR', raising=False)
+    assert dist.maybe_init_distributed() is False  # no launcher env -> no-op
+
+    monkeypatch.setenv('SISR_TPU_COORDINATOR', 'localhost:12421')
+    monkeypatch.setenv('SISR_TPU_NUM_PROCESSES', '1')
+    monkeypatch.setenv('SISR_TPU_PROCESS_ID', '0')
+    # True when this is the first jax touch in the process (how the CLI calls it);
+    # graceful False + warning when the XLA backend is already up (late call)
+    first = dist.maybe_init_distributed()
+    assert first in (True, False)
+    import jax
+    assert jax.process_count() == 1
+    assert dist.maybe_init_distributed() is first  # stable on repeat calls
