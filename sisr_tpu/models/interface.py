@@ -180,7 +180,7 @@ class ModelInterface:
     def save(self, name='train_model', override=False, dry_run=False):
         save_path = os.path.join(self.saved_models,
                                  '{}_{}'.format(name, str(self.model_epoch)))
-        if os.path.isfile(save_path) and not override:
+        if os.path.exists(save_path) and not override:  # file (msgpack) or dir (orbax)
             raise RuntimeError('Saving this model will result in overwriting existing '
                                'data!  Change model location or enable override.')
         if not dry_run:

@@ -68,10 +68,11 @@ def experiment_setup(parameters, experiment_name, **kwargs):
     else:
         config_file = 'config.toml'
 
-    with open(os.path.join(experiment.model.base_folder, config_file), 'w') as f:
-        toml_io.dump(params, f)
-
-    experiment.model.save_metadata()
+    from .parallel.distributed import is_primary_host
+    if is_primary_host():  # on pods only rank 0 owns the experiment directory
+        with open(os.path.join(experiment.model.base_folder, config_file), 'w') as f:
+            toml_io.dump(params, f)
+        experiment.model.save_metadata()
     experiment.run_experiment()
 
 

@@ -278,12 +278,22 @@ def _rcan_float_forward(params, x, n_resgroups, n_resblocks, track=None):
         res = tr('_residual',
                  fconv(grp['conv_tail'], tr('group_%d.conv_tail' % g, r)) + res)
     res = fconv(params['body_tail'], tr('body_tail', res)) + h
-    # one conv + x2 shuffle per upsampler stage (power-of-2 scales; x3 unsupported)
+    _check_rcan_upsampler_pow2(params['upsampler'])
     for i in range(sum(1 for k in params['upsampler'] if k.startswith('conv_'))):
         res = fconv(params['upsampler']['conv_%d' % i],
                     tr('upsampler.conv_%d' % i, res))
         res = pixel_shuffle(res, 2)
     return fconv(params['tail'], tr('tail', res))
+
+
+def _check_rcan_upsampler_pow2(upsampler):
+    """One conv + x2 shuffle per stage only covers power-of-2 scales; fail early for
+    the x3 Upsampler (9*n_feat conv) instead of deep inside XLA."""
+    k = upsampler['conv_0']['kernel']
+    if k.shape[-1] != 4 * k.shape[-2]:
+        raise NotImplementedError('int8 RCAN path supports power-of-2 scales only '
+                                  '(x3 upsampler detected: conv_0 %s)'
+                                  % str(tuple(k.shape)))
 
 
 def calibrate_rcan_scales(params, sample_batches, n_resgroups=10, n_resblocks=20,
@@ -298,10 +308,8 @@ def calibrate_rcan_scales(params, sample_batches, n_resgroups=10, n_resblocks=20
     for x in sample_batches:
         _rcan_float_forward(params, jnp.asarray(x, jnp.float32), n_resgroups,
                             n_resblocks, track=track)
-    res_absmax = maxes.pop('_residual')
-    scales = {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
-    scales['residual16'] = np.float32(max(res_absmax * margin, 1e-12) / 32767.0)
-    return scales
+    maxes.pop('_residual')  # RCAN supports only f32/bf16 residual carries (no int16)
+    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
 
 
 def rcan_int8_forward_static(qparams, act_scales, x, n_resgroups=10, n_resblocks=20,
@@ -342,6 +350,7 @@ def rcan_int8_forward_static(qparams, act_scales, x, n_resgroups=10, n_resblocks
         res = qconv('group_%d.conv_tail' % g, grp['conv_tail'], r).astype(carry_t) \
             + res
     res = qconv('body_tail', qparams['body_tail'], res) + h.astype(jnp.float32)
+    _check_rcan_upsampler_pow2(qparams['upsampler'])
     for i in range(sum(1 for k in qparams['upsampler'] if k.startswith('conv_'))):
         res = qconv('upsampler.conv_%d' % i, qparams['upsampler']['conv_%d' % i], res)
         res = pixel_shuffle(res, 2)

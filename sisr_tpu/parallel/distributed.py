@@ -39,10 +39,22 @@ def maybe_init_distributed():
         }
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError as e:
-        # backend already up (initialize must precede ANY jax computation) or a
-        # second call: call this from the CLI entry point, before model/data setup
+    except (RuntimeError, ValueError) as e:
+        # RuntimeError: backend already up (initialize must precede ANY jax work)
+        # or a second call; ValueError: auto-discovery found no coordinator
+        # (SISR_TPU_MULTIHOST=1 outside a pod) — degrade to single-process
         print('WARNING: multi-host init skipped: %s' % e)
         return False
     _initialized = True
     return True
+
+
+def is_primary_host():
+    """True on the process that should own filesystem writes (rank 0).
+
+    On multi-process launches every process runs the same training loop (SPMD);
+    checkpoints, CSV logs, plots and sample images must be written once, not once
+    per host — gate them on this.
+    """
+    import jax
+    return jax.process_index() == 0

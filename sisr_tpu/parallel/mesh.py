@@ -56,8 +56,18 @@ def make_multihost_mesh(devices_per_host=None, batch_axes=('dcn', 'data'),
         devices = devices[:n_devices]
     n_hosts = max(jax.process_count(), 1)
     per_host = devices_per_host or len(devices) // n_hosts
-    mesh = make_mesh(axis_names=batch_axes, devices=devices,
-                     shape=(len(devices) // per_host, per_host))
+    if n_hosts > 1 and n_devices is None:
+        # real multi-process launch: jax.devices() ordering is NOT guaranteed
+        # host-contiguous, and a naive reshape could put the fast 'data' axis across
+        # DCN — use the topology-aware factorization
+        from jax.experimental import mesh_utils
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, per_host), dcn_mesh_shape=(len(devices) // per_host, 1),
+            devices=devices).reshape(len(devices) // per_host, per_host)
+        mesh = Mesh(dev_array, batch_axes)
+    else:
+        mesh = make_mesh(axis_names=batch_axes, devices=devices,
+                         shape=(len(devices) // per_host, per_host))
     return MeshContext(mesh=mesh, batch_axis=batch_axes)
 
 

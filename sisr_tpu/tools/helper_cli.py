@@ -74,9 +74,13 @@ def extract_best_model(model_dir, out_dir):
     best_model_idx = summary['val-PSNR'].idxmax()
     data.append('saved_models/train_model_%d' % best_model_idx)
     for file in data:
+        src = os.path.join(model_dir, file)
         try:
-            shutil.copy2(os.path.join(model_dir, file),
-                         os.path.join(new_model_dir, file))
+            if os.path.isdir(src):  # orbax directory checkpoint
+                shutil.copytree(src, os.path.join(new_model_dir, file),
+                                dirs_exist_ok=True)
+            else:
+                shutil.copy2(src, os.path.join(new_model_dir, file))
         except Exception:
             print('%s not found.' % file)
 

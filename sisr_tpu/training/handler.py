@@ -36,10 +36,14 @@ class TrainingHandler:
                  new_branch=False, logging='visual', save_samples=True,
                  experiment_group=None, steps_per_dispatch=None, **kwargs):
         """Parameter semantics follow the reference (training_handler.py:39-63)."""
+        # on multi-process launches every host runs the same SPMD loop; only rank 0
+        # owns filesystem writes (checkpoints, CSVs, plots, samples, tracking)
+        from ..parallel.distributed import is_primary_host
+        self._primary = is_primary_host()
         self.experiment_name = experiment_name
         self.num_epochs = num_epochs
         self.logging = logging
-        self.save_samples = save_samples
+        self.save_samples = save_samples and self._primary
         self.stop_patience = early_stopping_patience
         self.overwrite = overwrite_data
         self.model_cleanup_frequency = model_cleanup_frequency
@@ -91,7 +95,7 @@ class TrainingHandler:
 
         self.metric_hub = Metrics(metrics) if metrics is not None else None
 
-        if aim_track:
+        if aim_track and self._primary:
             # Aim itself is not installable here; runs are tracked to JSONL streams with
             # the same API surface (see tools/tracker.py)
             from datetime import datetime
@@ -229,24 +233,26 @@ class TrainingHandler:
                                        epoch=epoch_idx)
             total_losses['epoch'].append(epoch_idx)
 
-            if self.logging == 'visual':
+            if self.logging == 'visual' and self._primary:
                 plot_stats(stats_dict=total_losses,
                            keynames=[['train-loss', 'val-loss'], ['val-PSNR'],
                                      ['val-SSIM']],
                            experiment_log_dir=self.model.logs, filename='loss_plots.pdf')
 
-            self.model.save(override=self.overwrite)
+            if self._primary:
+                self.model.save(override=self.overwrite)
 
-            save_statistics(experiment_log_dir=self.model.logs, filename='summary.csv',
-                            stats_dict=total_losses,
-                            selected_data=epoch_idx if (self.starting_epoch != 0 or i > 0)
-                            else None,
-                            append=True if (self.starting_epoch != 0 or i > 0) else False)
+                save_statistics(experiment_log_dir=self.model.logs,
+                                filename='summary.csv', stats_dict=total_losses,
+                                selected_data=epoch_idx
+                                if (self.starting_epoch != 0 or i > 0) else None,
+                                append=True if (self.starting_epoch != 0 or i > 0)
+                                else False)
 
             out_string = " ".join(["{}_{:.4f}".format(key, np.mean(value))
                                    for key, value in current_epoch_losses.items()])
 
-            if self.model_cleanup_frequency is not None and i != 0 \
+            if self._primary and self.model_cleanup_frequency is not None and i != 0 \
                     and i % self.model_cleanup_frequency == 0:
                 from ..tools.helper_cli import clean_models
                 clean_models(self.model.base_folder, clean_samples=True)
