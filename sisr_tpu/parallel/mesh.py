@@ -31,6 +31,13 @@ def make_mesh(n_devices=None, axis_names=('data',), devices=None, shape=None):
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                'make_mesh: requested %d devices but only %d visible (%s). '
+                'For multi-chip testing without hardware, provision a virtual '
+                'platform BEFORE jax initializes: JAX_PLATFORMS=cpu plus '
+                "jax.config.update('jax_num_cpu_devices', n)."
+                % (n_devices, len(devices), [d.platform for d in devices[:4]]))
         devices = devices[:n_devices]
     dev_array = np.array(devices)
     if shape is not None:
