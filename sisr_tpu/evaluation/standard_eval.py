@@ -30,7 +30,7 @@ class EvalHub:
                  model_only, scale, model_loc, out_loc, use_test_group,
                  no_image_comparison, num_image_save, qpi_selection, data_attributes,
                  dataset_name, image_shortlist, metadata_file, sp_gpu, time_models,
-                 recursive):
+                 recursive, mesh=False):
         """Main eval class; param info in net_eval.py (mirrors the reference CLI)."""
         self.out_dir = os.path.join(out_loc, results_name)
         self.eval_name = results_name
@@ -54,7 +54,8 @@ class EvalHub:
         self.save_im = save_im
 
         self.model_bundles = self._prep_models(model_loc, experiment_names, eval_epochs,
-                                               gpu, scale=scale, sp_gpu=sp_gpu)
+                                               gpu, scale=scale, sp_gpu=sp_gpu,
+                                               mesh=mesh)
 
         if full_directory:
             split, dataset, custom_split, blacklist = 'all', None, None, None
@@ -116,14 +117,18 @@ class EvalHub:
             self.metric_hub = Metrics(metrics, delimeter='>')
 
     @staticmethod
-    def _prep_models(model_loc, experiment_names, eval_epochs, gpu, scale=4, sp_gpu=0):
-        """(ref: standard_eval.py:127-144)"""
+    def _prep_models(model_loc, experiment_names, eval_epochs, gpu, scale=4, sp_gpu=0,
+                     mesh=False):
+        """(ref: standard_eval.py:127-144).  ``mesh=True`` puts every eval model on a
+        data-parallel device mesh (batch + spatial-tile sharding) — the product path for
+        multi-chip eval."""
+        device_mode = 'multi' if mesh else ('single' if gpu else 'off')
         models = []
         for experiment, eval_epoch in zip(experiment_names, eval_epochs):
             models.append(ModelInterface(
                 model_loc, experiment,
                 load_epoch=eval_epoch if eval_epoch == 'best' else int(eval_epoch),
-                gpu='off' if not gpu else 'single', scale=scale, sp_gpu=sp_gpu))
+                gpu=device_mode, scale=scale, sp_gpu=sp_gpu))
         return models
 
     def _low_res_prep(self, lr_data, timing=True):

@@ -288,6 +288,10 @@ class BaseHandler:
             batch['metadata'] = jnp.asarray(metadata)
         if y is not None and request_loss:
             batch['hr'] = jnp.asarray(y, self.dtype)
+        if self.mesh_ctx is not None and not self.tiled_eval:
+            # data-parallel eval: split the batch across chips when it divides evenly
+            # (bs=1 stays whole; tiled models shard their tile batch instead)
+            batch = self.mesh_ctx.shard_batch(batch)
 
         if self.tiled_eval:
             out = self._tiled_forward(batch)

@@ -63,6 +63,10 @@ def _config_callback(ctx, param, value):
               help='Experiments to evaluate.')
 @click.option("--gpu/--no-gpu", default=False,
               help='Specify whether or not to use an accelerator for computations.')
+@click.option('--mesh', is_flag=True,
+              help='Shard eval over all local devices via a data-parallel mesh (the '
+                   "TPU-native analog of the reference's gpu='multi'): batches and "
+                   'spatial tiles are split across chips.')
 @click.option("--sp_gpu", default=0, show_default=True,
               help='Specify specific device to use for computation.')
 @click.option('--scale', default=4, help='Scale of SR to perform.', show_default=True)

@@ -130,6 +130,34 @@ def test_eval_hub_full_protocol(trained_experiment, tmp_path):
     assert os.path.isfile(os.path.join(out_loc, 'set5_eval', 'tiny_srcnn', 'baby.png'))
 
 
+def test_eval_cli_mesh_matches_single_device(trained_experiment, tmp_path):
+    """`eval_sisr --mesh` (data-parallel mesh over the virtual 8-device platform) must
+    produce metrics identical to the single-device run — the user-facing multi-chip
+    eval path (VERDICT r1 item 2)."""
+    from click.testing import CliRunner
+    from sisr_tpu.net_eval import eval_run
+    save_loc, handler, _ = trained_experiment
+
+    runner = CliRunner()
+    outputs = {}
+    for label, extra in (('single', []), ('mesh', ['--mesh'])):
+        out_loc = str(tmp_path / label)
+        os.makedirs(out_loc, exist_ok=True)
+        result = runner.invoke(eval_run, [
+            '--hr_dir', os.path.join(SET5, 'hr'),
+            '--lr_dir', os.path.join(SET5, 'lr_random_blur'),
+            '-me', 'tiny_srcnn', 'best', '--results_name', 'mesh_eval',
+            '--metrics', 'PSNR', '--metrics', 'SSIM', '--full_directory',
+            '--no_image_comparison', '--no-time_models',
+            '--model_loc', save_loc, '--out_loc', out_loc] + extra,
+            catch_exceptions=False)
+        assert result.exit_code == 0, result.output
+        outputs[label] = pd.read_csv(
+            os.path.join(out_loc, 'mesh_eval', 'standard_metrics',
+                         'individual_metrics.csv'), header=[0, 1], index_col=0)
+    pd.testing.assert_frame_equal(outputs['single'], outputs['mesh'])
+
+
 def test_eval_best_epoch_resolution(trained_experiment):
     """'best' must resolve to the argmax val-PSNR epoch from summary.csv."""
     from sisr_tpu.models.interface import ModelInterface
