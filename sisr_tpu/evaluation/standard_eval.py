@@ -137,16 +137,16 @@ class EvalHub:
         lr_data = np.asarray(lr_data)
         n, h, w, c = lr_data.shape
         interp = np.empty((n, h * self.scale, w * self.scale, c), np.float32)
-        toc = tic = None
+        times = [] if timing else None
         for i in range(n):
             u8 = (lr_data[i] * 255).astype(np.uint8)  # ToPILImage semantics (truncate)
             if timing:
                 tic = time.perf_counter()
             resized = resize_uint8(u8, (w * self.scale, h * self.scale))
             if timing:
-                toc = time.perf_counter()
+                times.append(time.perf_counter() - tic)
             interp[i] = resized.astype(np.float32) / 255.0
-        return interp, (toc - tic) if timing else None
+        return interp, times
 
     def _high_res_prep(self, hr_data):
         """RGB -> Y broadcast into all 3 channels, with [0,1] clip.
@@ -229,11 +229,12 @@ class EvalHub:
                     interp_data, timing_info = self._low_res_prep(
                         lr_rgb, timing=self.time_models)
                     if timing_info is not None:
-                        # one entry per image so columns stay aligned at batch_size > 1
-                        # (the reference appends once per batch and crashes in
-                        # manipulate_and_save_metrics for batch_size > 1)
+                        # one true per-image resize time per row, so columns stay
+                        # aligned AND honest at batch_size > 1 (the reference appends
+                        # once per batch and crashes in manipulate_and_save_metrics
+                        # for batch_size > 1)
                         metric_package['LR%sruntime' % self.metric_hub.delimeter].append(
-                            [timing_info] * len(im_names))
+                            timing_info)
 
                 hr_prep = self._high_res_prep(hr_rgb)
                 lr_prep = self._high_res_prep(interp_data)
