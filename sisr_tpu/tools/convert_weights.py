@@ -164,6 +164,36 @@ def convert_qrcan(sd, n_resgroups=10, n_resblocks=20, scale=4, style='modulate',
     return params
 
 
+def convert_qhan(sd, n_resgroups=10, n_resblocks=20, scale=4,
+                 num_q_layers_inner_residual=None, **kwargs):
+    """(ref: attention_manipulators/architectures.py:470-540 — HAN body of
+    QResidualGroups with style='standard', q_layer=True, pa=False)"""
+    params = {'head': _conv(sd, 'head.0')}
+    for g in range(n_resgroups):
+        group = {}
+        for b in range(n_resblocks):
+            base = 'body.%d.body.%d' % (g, b)
+            block = {'conv_0': _conv(sd, '%s.body.0' % base),
+                     'conv_1': _conv(sd, '%s.body.2' % base),
+                     'qca': _qca_layer(sd, '%s.final_body' % base, 'standard')}
+            if num_q_layers_inner_residual is None or b < num_q_layers_inner_residual:
+                block['q_node'] = _para_ca(sd, '%s.q_node' % base)
+            group['qrcab_%d' % b] = block
+        group['final_body'] = _conv(sd, 'body.%d.final_body' % g)
+        params['group_%d' % g] = group
+    params['body_tail'] = _conv(sd, 'body.%d' % n_resgroups)
+    params['la'] = {'gamma': np.asarray(sd['la.gamma'])}
+    csa_w = np.asarray(sd['csa.conv.weight'])  # (1, 1, 3, 3, 3) OIDHW
+    params['csa'] = {'gamma': np.asarray(sd['csa.gamma']),
+                     'conv3d_kernel': csa_w.transpose(2, 3, 4, 1, 0),
+                     'conv3d_bias': np.asarray(sd['csa.conv.bias'])}
+    params['last_conv'] = _conv(sd, 'last_conv')
+    params['last'] = _conv(sd, 'last')
+    params['upsampler'] = _upsampler(sd, 'tail.0', scale)
+    params['tail'] = _conv(sd, 'tail.1')
+    return params
+
+
 def convert_qedsr(sd, num_blocks=16, scale=4, q_layer_nonlinearity=False, **kwargs):
     """(ref: attention_manipulators/architectures.py:332-399)"""
     params = {'head': _conv(sd, 'head')}
@@ -394,6 +424,7 @@ CONVERTERS = {
     'han': convert_han,
     'qrcan': convert_qrcan,
     'qpircan': convert_qrcan,
+    'qhan': convert_qhan,
     'qedsr': convert_qedsr,
     'srmd': convert_srmd,
     'san': convert_san,
@@ -420,9 +451,44 @@ def legacy_switch(state_dict):
     return new
 
 
+def sftmd_legacy_switch(state_dict):
+    """SFTMD-specific key aging repairs, applied after the prefix strip
+    (ref: SFTMD_variants/handlers.py:41-60): drop dead 'sft_branch' entries and
+    rewrite pre-refactor SFT layer names ('sft1.'/'sft2.'/'sft.') to the modern
+    '…sft_module…' nesting the converters expect."""
+    new = {}
+    for k, v in state_dict.items():
+        if 'sft_branch' in k:
+            continue
+        elif 'sft_module' in k:
+            new[k] = v
+        elif 'sft1' in k or 'sft2' in k:
+            new[k.replace('sft1', 'sft1.sft_module').replace(
+                'sft2', 'sft2.sft_module')] = v
+        elif k[:4] == 'sft.':
+            new[k.replace('sft.', 'sft.sft_module.')] = v
+        else:
+            new[k] = v
+    return new
+
+
 # models whose checkpoints must NOT go through the legacy prefix-strip (their own top
 # module is literally called 'model' — ref: advanced/handlers.py:147 legacy_load=False)
 _NO_LEGACY = {'srmd'}
+
+# model-specific post-strip rewrites (ref: SFTMD handler's legacy_switch overload)
+_EXTRA_LEGACY = {'sftmd': sftmd_legacy_switch}
+
+
+def _apply_legacy(model_name, state_dict, legacy):
+    if legacy is None:
+        legacy = model_name not in _NO_LEGACY
+    if legacy:
+        state_dict = legacy_switch(state_dict)
+        extra = _EXTRA_LEGACY.get(model_name)
+        if extra is not None:
+            state_dict = extra(state_dict)
+    return state_dict
 
 
 def convert_torch_state_dict(model_name, state_dict, legacy=None, **model_kwargs):
@@ -430,10 +496,7 @@ def convert_torch_state_dict(model_name, state_dict, legacy=None, **model_kwargs
     if model_name not in CONVERTERS:
         raise NotImplementedError('No torch->flax converter for %r yet '
                                   '(available: %s)' % (model_name, sorted(CONVERTERS)))
-    if legacy is None:
-        legacy = model_name not in _NO_LEGACY
-    if legacy:
-        state_dict = legacy_switch(state_dict)
+    state_dict = _apply_legacy(model_name, state_dict, legacy)
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     out = CONVERTERS[model_name](sd, **model_kwargs)
     if model_name in _FULL_VARIABLES:
@@ -444,10 +507,7 @@ def convert_torch_state_dict(model_name, state_dict, legacy=None, **model_kwargs
 def convert_torch_variables(model_name, state_dict, legacy=None, **model_kwargs):
     """Like convert_torch_state_dict but returns the full flax variables dict
     ({'params': ..., 'batch_stats': ...} where applicable)."""
-    if legacy is None:
-        legacy = model_name not in _NO_LEGACY
-    if legacy:
-        state_dict = legacy_switch(state_dict)
+    state_dict = _apply_legacy(model_name, state_dict, legacy)
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     out = CONVERTERS[model_name](sd, **model_kwargs)
     if model_name in _FULL_VARIABLES:

@@ -292,6 +292,103 @@ def test_qsparnet_parity(ref_modules):
     np.testing.assert_allclose(ours, ref_out, atol=5e-4)
 
 
+def test_qhan_parity(ref_modules):
+    _, _, qarch = ref_modules
+    from sisr_tpu.models.qmodels import QHAN
+    from sisr_tpu.tools.convert_weights import convert_torch_state_dict
+    # like HAN, the reference hardcodes last_conv to n_feats*11 -> n_resgroups=10 only
+    cfg = dict(n_resgroups=10, n_resblocks=1, n_feats=32, scale=2, num_metadata=10)
+    tm = qarch.QHAN(**cfg)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_torch_state_dict('qhan', sd, n_resgroups=10, n_resblocks=1,
+                                      scale=2)
+    x = torch.rand(1, 3, 10, 10)
+    meta = torch.rand(1, 10, 1, 1)
+    import jax
+    tm.eval()
+    with torch.no_grad():
+        ref_out = tm(x, meta).numpy().transpose(0, 2, 3, 1)
+    fm = QHAN(**cfg)
+    ours = np.asarray(fm.apply({'params': jax.tree.map(np.asarray, params)},
+                               _to_flax_input(x), metadata=meta.numpy()[:, :, 0, 0]))
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4)
+
+
+def _trees_equal(a, b):
+    import jax
+    leaves_a, tree_a = jax.tree_util.tree_flatten(a)
+    leaves_b, tree_b = jax.tree_util.tree_flatten(b)
+    assert tree_a == tree_b
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_aged_prefix_state_dict_conversion(ref_modules):
+    """'model.module.'/'model.'-prefixed keys (DataParallel-era checkpoints) must
+    convert identically to fresh ones (ref legacy_switch, models/__init__.py:388-398)."""
+    _, advanced, _ = ref_modules
+    from sisr_tpu.tools.convert_weights import convert_torch_state_dict
+    tm = advanced.RCAN(n_resblocks=1, n_resgroups=2, n_feats=32, scale=2)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    fresh = convert_torch_state_dict('rcan', sd, n_resgroups=2, n_resblocks=1, scale=2)
+    for prefix in ('model.module.', 'model.'):
+        aged = {prefix + k: v for k, v in sd.items()}
+        converted = convert_torch_state_dict('rcan', aged, n_resgroups=2,
+                                             n_resblocks=1, scale=2)
+        _trees_equal(fresh, converted)
+
+
+def test_aged_sftmd_legacy_names(ref_modules):
+    """Pre-refactor SFTMD checkpoints (bare 'sft1'/'sft2'/'sft.' names, dead
+    'sft_branch' entries) must convert identically to modern ones
+    (ref: SFTMD_variants/handlers.py:41-60)."""
+    import SISR.models.SFTMD_variants.architectures as sftmd_ref
+    from sisr_tpu.tools.convert_weights import convert_torch_state_dict
+    tm = sftmd_ref.SFTMD(num_features=16, num_blocks=2, scale=4, input_para=10,
+                         SFT_type='standard')
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    fresh = convert_torch_state_dict('sftmd', sd, num_blocks=2, scale=4,
+                                     sft_type='standard')
+    # synthetically age: invert the reference's sft rewrite + add DataParallel prefix
+    # and a dead sft_branch entry
+    aged = {}
+    for k, v in sd.items():
+        old = k.replace('sft1.sft_module', 'sft1').replace(
+            'sft2.sft_module', 'sft2').replace('sft.sft_module.', 'sft.')
+        aged['model.module.' + old] = v
+    aged['model.module.sft_branch.0.weight'] = np.zeros((4, 4), np.float32)
+    assert any('.sft1.' in k and 'sft_module' not in k for k in aged)
+    converted = convert_torch_state_dict('sftmd', aged, num_blocks=2, scale=4,
+                                         sft_type='standard')
+    _trees_equal(fresh, converted)
+
+
+def test_import_aged_reference_experiment(ref_modules, tmp_path):
+    """Full import path on a realistically-aged checkpoint: DataParallel-prefixed
+    network keys -> import CLI -> our eval == torch."""
+    _, advanced, _ = ref_modules
+    from sisr_tpu.tools.convert_weights import import_reference_experiment
+    from sisr_tpu.models.interface import ModelInterface
+    tm = advanced.RCAN(n_resblocks=1, n_resgroups=2, n_feats=32, scale=4)
+    aged_network = {'model.module.' + k: v for k, v in tm.state_dict().items()}
+    ckpt = {'model_name': 'rcan', 'model_epoch': 3,
+            'network': aged_network, 'optimizer': {}}
+    ckpt_path = str(tmp_path / 'train_model_3')
+    torch.save(ckpt, ckpt_path)
+    base = import_reference_experiment(
+        ckpt_path, str(tmp_path / 'Results'), experiment='aged_rcan',
+        scale=4, n_resgroups=2, n_resblocks=1, n_feats=32)
+    assert os.path.isfile(os.path.join(base, 'config.toml'))
+    iface = ModelInterface(str(tmp_path / 'Results'), 'aged_rcan', load_epoch=3,
+                           scale=4)
+    x = torch.rand(1, 3, 12, 10)
+    out_rgb, _, _, _ = iface.net_run_and_process(lr=x.numpy().transpose(0, 2, 3, 1))
+    tm.eval()
+    with torch.no_grad():
+        ref = np.clip(tm(x).numpy().transpose(0, 2, 3, 1), 0, 1)
+    np.testing.assert_allclose(out_rgb, ref, atol=5e-4)
+
+
 def test_import_reference_experiment_end_to_end(ref_modules, tmp_path):
     """Reference-format checkpoint -> import CLI path -> our eval pipeline == torch."""
     _, advanced, _ = ref_modules
