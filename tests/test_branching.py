@@ -1,0 +1,186 @@
+"""Branch system, early stopping, fused K-step dispatch through the CLI, and
+orbax checkpointing on a sharded mesh (VERDICT r1 items 8 and 10).
+
+Reference semantics: branches create offshoot save dirs and resume stats from the
+parent (ref: Code/SISR/training/training_handler.py:86-99, models/__init__.py:54-70);
+early stopping breaks the epoch loop on a val-PSNR plateau
+(ref: training_handler.py:271-276, 319-321).
+"""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sisr_tpu.utils.toml_io import convert_default_none_dict
+
+SET5 = '/root/reference/Data/example_data/Set5'
+pytestmark = pytest.mark.skipif(not os.path.isdir(SET5),
+                                reason='Set5 example data unavailable')
+
+
+def _data_params(crop=None, batch_size=1):
+    return convert_default_none_dict({
+        'training_sets': {'data_1': {'lr': os.path.join(SET5, 'lr_random_blur'),
+                                     'hr': os.path.join(SET5, 'hr'),
+                                     'degradation_metadata': 'on_site',
+                                     'crop': crop}},
+        'eval_sets': {'data_1': {'lr': os.path.join(SET5, 'lr_random_blur'),
+                                 'hr': os.path.join(SET5, 'hr'),
+                                 'cutoff': 5,
+                                 'degradation_metadata': 'on_site'}},
+        'batch_size': batch_size,
+        'dataloader_threads': 2,
+    })
+
+
+def _model_params(lr=1e-4):
+    return {'name': 'srcnn',
+            'internal_params': {'scale': 4, 'kernel_pattern': [3, 3],
+                                'channel_pattern': [1, 4, 1], 'lr': lr}}
+
+
+def _write_config(handler):
+    """Write the config snapshot net_train produces (needed to reload the model)."""
+    from sisr_tpu.utils import toml_io
+    with open(os.path.join(handler.model.base_folder, 'config.toml'), 'w') as f:
+        toml_io.dump({'model': _model_params()}, f)
+
+
+def test_branch_resume(tmp_path):
+    """new_branch + continue_from_epoch must create an offshoot dir, load the parent
+    checkpoint, and carry the parent's stats history into the branch summary."""
+    from sisr_tpu.training.handler import TrainingHandler
+    save_loc = str(tmp_path)
+    parent = TrainingHandler(
+        experiment_name='branchy', save_loc=save_loc, model_params=_model_params(),
+        data_params=_data_params(), num_epochs=2, metrics=['PSNR'], seed=8)
+    _write_config(parent)
+    parent.run_experiment()
+    base = parent.model.base_folder
+    assert os.path.isfile(os.path.join(base, 'saved_models', 'train_model_1'))
+
+    branch = TrainingHandler(
+        experiment_name='branchy', save_loc=save_loc, model_params=_model_params(),
+        data_params=_data_params(), num_epochs=1, metrics=['PSNR'], seed=8,
+        continue_from_epoch=1, new_branch=True, overwrite_data=True)
+    assert branch.starting_epoch == 2
+    assert branch.model.saved_models.endswith(
+        os.path.join('saved_models', 'branch_epoch_1'))
+    branch.run_experiment()
+
+    # branch checkpoint lands in the offshoot dir; parent dir is untouched
+    assert os.path.isfile(os.path.join(base, 'saved_models', 'branch_epoch_1',
+                                       'train_model_2'))
+    assert not os.path.isfile(os.path.join(base, 'saved_models', 'train_model_2'))
+    # branch summary carries the parent's epochs 0-1 plus the new epoch 2
+    summary = pd.read_csv(os.path.join(base, 'result_outputs', 'branch_epoch_1',
+                                       'summary.csv'))
+    assert list(summary['epoch']) == [0, 1, 2]
+    # parent summary unchanged
+    parent_summary = pd.read_csv(os.path.join(base, 'result_outputs', 'summary.csv'))
+    assert list(parent_summary['epoch']) == [0, 1]
+
+
+def test_nested_branch_start(tmp_path):
+    """branch_start points a resumed run at an existing branch subdir."""
+    from sisr_tpu.training.handler import TrainingHandler
+    save_loc = str(tmp_path)
+    parent = TrainingHandler(
+        experiment_name='branchy2', save_loc=save_loc, model_params=_model_params(),
+        data_params=_data_params(), num_epochs=2, metrics=['PSNR'], seed=8)
+    _write_config(parent)
+    parent.run_experiment()
+    branch = TrainingHandler(
+        experiment_name='branchy2', save_loc=save_loc, model_params=_model_params(),
+        data_params=_data_params(), num_epochs=1, metrics=['PSNR'], seed=8,
+        continue_from_epoch=1, new_branch=True, overwrite_data=True)
+    branch.run_experiment()  # runs epoch 2 inside branch_epoch_1
+    # resume INSIDE the branch via branch_start (no new_branch)
+    resumed = TrainingHandler(
+        experiment_name='branchy2', save_loc=save_loc, model_params=_model_params(),
+        data_params=_data_params(), num_epochs=1, metrics=['PSNR'], seed=8,
+        continue_from_epoch=2, branch_start='branch_epoch_1', overwrite_data=True)
+    assert resumed.starting_epoch == 3
+    resumed.run_experiment()
+    summary = pd.read_csv(os.path.join(parent.model.base_folder, 'result_outputs',
+                                       'branch_epoch_1', 'summary.csv'))
+    assert list(summary['epoch'])[-1] == 3
+
+
+def test_early_stopping_on_plateau(tmp_path):
+    """lr=0 -> val-PSNR identical every epoch -> patience=1 stops after epoch 1."""
+    from sisr_tpu.training.handler import TrainingHandler
+    handler = TrainingHandler(
+        experiment_name='plateau', save_loc=str(tmp_path),
+        model_params=_model_params(lr=0.0), data_params=_data_params(),
+        num_epochs=5, metrics=['PSNR'], seed=8, early_stopping_patience=1)
+    losses = handler.run_experiment()
+    assert len(losses['train-loss']) == 2  # epochs 0 (improves from 0) + 1 (plateau)
+    summary = pd.read_csv(os.path.join(handler.model.logs, 'summary.csv'))
+    assert list(summary['epoch']) == [0, 1]
+
+
+def test_steps_per_dispatch_cli(tmp_path):
+    """steps_per_dispatch > 1 through train_sisr: fused lax.scan dispatch plus the
+    ragged single-step tail (5 images, batch 2, K=2 -> one fused pair + one tail).
+    Uses an unmodified-input model (EDSR): matched crops are only well-defined there
+    (the reference's random_matched_crop scales the HR anchor, which runs off the
+    image for pre-interpolated inputs — image_manipulation.py:233-239)."""
+    from click.testing import CliRunner
+    from sisr_tpu.net_train import experiment_setup
+    save_loc = str(tmp_path / 'Results')
+    os.makedirs(save_loc)
+    cfg = tmp_path / 'train.toml'
+    cfg.write_text('\n'.join([
+        'experiment = "fused"',
+        'experiment_save_loc = "%s"' % save_loc,
+        '[data]', 'batch_size = 2', 'dataloader_threads = 2',
+        '[data.training_sets.data_1]',
+        'lr = "%s"' % os.path.join(SET5, 'lr_random_blur'),
+        'hr = "%s"' % os.path.join(SET5, 'hr'),
+        'degradation_metadata = "on_site"', 'crop = 8',
+        '[data.eval_sets.data_1]',
+        'lr = "%s"' % os.path.join(SET5, 'lr_random_blur'),
+        'hr = "%s"' % os.path.join(SET5, 'hr'),
+        'cutoff = 5', 'degradation_metadata = "on_site"',
+        '[model]', 'name = "edsr"',
+        '[model.internal_params]', 'scale = 4',
+        'num_features = 8', 'num_blocks = 1',
+        '[training]', 'num_epochs = 1', 'metrics = [ "PSNR" ]',
+        'steps_per_dispatch = 2',
+    ]))
+    result = CliRunner().invoke(experiment_setup, ['--parameters', str(cfg)],
+                                catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    summary = pd.read_csv(os.path.join(save_loc, 'fused', 'result_outputs',
+                                       'summary.csv'))
+    assert len(summary) == 1 and np.isfinite(summary['train-loss'][0])
+
+
+def test_orbax_roundtrip_on_mesh(tmp_path):
+    """Orbax save/restore of a mesh-replicated TrainState (VERDICT r1 item 10)."""
+    import jax
+    from sisr_tpu.models.handlers import define_model
+    from sisr_tpu.parallel import MeshContext
+
+    h = define_model('edsr', scale=4, net_features=8, num_blocks=1,
+                     checkpoint_backend='orbax')
+    h.set_mesh(MeshContext())
+    batch = {'lr': np.random.RandomState(0).rand(8, 8, 8, 3).astype(np.float32),
+             'hr': np.random.RandomState(1).rand(8, 32, 32, 3).astype(np.float32)}
+    h.run_train(**batch)
+    h.save_model('train_model', 0, str(tmp_path))
+    assert os.path.isdir(os.path.join(str(tmp_path), 'train_model_0'))
+
+    h2 = define_model('edsr', scale=4, net_features=8, num_blocks=1,
+                      checkpoint_backend='orbax')
+    h2.set_mesh(MeshContext())
+    h2.load_model('train_model', 0, str(tmp_path))
+    for a, b in zip(jax.tree_util.tree_leaves(h.state.params),
+                    jax.tree_util.tree_leaves(h2.state.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # restored state still trains over the mesh and matches the original's next step
+    loss1, _ = h.run_train(**batch)
+    loss2, _ = h2.run_train(**batch)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
