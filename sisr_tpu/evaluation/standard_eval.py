@@ -30,7 +30,7 @@ class EvalHub:
                  model_only, scale, model_loc, out_loc, use_test_group,
                  no_image_comparison, num_image_save, qpi_selection, data_attributes,
                  dataset_name, image_shortlist, metadata_file, sp_gpu, time_models,
-                 recursive, mesh=False):
+                 recursive, mesh=False, eval_buckets=None):
         """Main eval class; param info in net_eval.py (mirrors the reference CLI)."""
         self.out_dir = os.path.join(out_loc, results_name)
         self.eval_name = results_name
@@ -56,6 +56,9 @@ class EvalHub:
         self.model_bundles = self._prep_models(model_loc, experiment_names, eval_epochs,
                                                gpu, scale=scale, sp_gpu=sp_gpu,
                                                mesh=mesh)
+        if eval_buckets:
+            for model in self.model_bundles:
+                model.model.set_eval_buckets(eval_buckets)
 
         if full_directory:
             split, dataset, custom_split, blacklist = 'all', None, None, None

@@ -163,7 +163,8 @@ class CALayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, return_attention=False):
-        y = jnp.mean(x, axis=(1, 2))  # (N, C) global average pool
+        from ..ops.masking import masked_global_mean
+        y = masked_global_mean(x)  # (N, C) global average pool (mask-aware)
         y = dense(self.channel // self.reduction, self.channel, dtype=self.dtype,
                   name='du_0')(y)
         y = nn.relu(y)

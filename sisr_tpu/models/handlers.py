@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from flax import serialization
 
 from ..training.losses import build_loss
-from ..training.state import TrainState, build_optimizer, make_eval_step, make_train_step
+from ..training.state import (TrainState, build_optimizer, make_eval_step,
+                              make_masked_eval_step, make_train_step)
 from . import basic, advanced, san, qmodels, sftmd, sparnet
 from .feature_extractors import load_vgg_extractor
 
@@ -61,6 +62,9 @@ class BaseHandler:
     uses_metadata = False
     channel_concat = False  # concat metadata maps onto the network input (SRMD/SFTMD-concat)
     tiled_eval = False      # SAN-style static tile-grid eval for large images
+    # exact bucketed eval is valid for pure-conv models (+ LAM/CSAM); spatial-softmax /
+    # covariance pooling (SAN non-local, SOCA) and strided norms (SPARNet) are excluded
+    bucketed_eval_ok = True
 
     def __init__(self, eval_mode=False, lr=1e-4, scale=4, scheduler=None,
                  scheduler_params=None, perceptual=None, optimizer_params=None,
@@ -99,6 +103,8 @@ class BaseHandler:
         self._warm_eval_shapes = set()
         self.mesh_ctx = None  # set via set_mesh for multi-chip data parallelism
         self.device_degrade = False  # synthesize LR on device inside the train step
+        self.eval_buckets = None  # pad eval shapes to multiples of this (see ops/masking)
+        self._masked_eval_step = None
 
     # --- module construction ------------------------------------------------------------
     def build_module(self, scale, dtype, **kwargs):
@@ -133,11 +139,23 @@ class BaseHandler:
         self._multi_train_step = None
         self._eval_step_cache = {}
         self._warm_eval_shapes = set()
+        self._masked_eval_step = None
 
     def set_device_degrade(self, enabled):
         if bool(enabled) != self.device_degrade:
             self.device_degrade = bool(enabled)
             self._invalidate_steps()
+
+    def set_eval_buckets(self, multiple):
+        """Enable bucketed eval: pad each eval image up to the next multiple of
+        ``multiple`` per spatial axis and run one mask-exact compiled program per
+        bucket instead of one per image shape (SURVEY §7 hard-part 2)."""
+        if multiple and not self.bucketed_eval_ok:
+            print('%s: bucketed eval is not exact for this architecture '
+                  '(spatial softmax/covariance or strided pooling) — ignoring.'
+                  % type(self).__name__)
+            return
+        self.eval_buckets = int(multiple) if multiple else None
 
     def prepare_metadata(self, x, metadata):
         """Traced metadata prep: (B, M_total) -> model metadata input (or None)."""
@@ -307,6 +325,20 @@ class BaseHandler:
                 runtime = time.perf_counter() - tic
             return np.asarray(out, np.float32), loss, runtime
 
+        if self.eval_buckets:
+            out = self._bucketed_forward(batch)
+            loss = None
+            if request_loss and y is not None:
+                loss = float(self.loss_fn(out, batch['hr']))
+            runtime = None
+            if timing:
+                out.block_until_ready()
+                tic = time.perf_counter()
+                out = self._bucketed_forward(batch)
+                out.block_until_ready()
+                runtime = time.perf_counter() - tic
+            return np.asarray(out, np.float32), loss, runtime
+
         warm = tuple(x.shape) in self._warm_eval_shapes
         step = self._eval_step_for(x.shape)
         if timing and not warm:
@@ -393,6 +425,25 @@ class BaseHandler:
                     out, tile, (0, i * tile_h * s, j * tile_w * s, 0))
                 idx += 1
         return out[:, :h * s, :w * s, :]
+
+    def _bucketed_forward(self, batch):
+        """Zero-pad the LR batch to the bucket grid, run the mask-exact padded step,
+        slice the SR output back to the true size.  One XLA program per bucket shape
+        (jit retrace), regardless of how many distinct image sizes the eval set has."""
+        x = batch['lr']
+        n, h, w, c = x.shape
+        m = self.eval_buckets
+        bh, bw = -(-h // m) * m, -(-w // m) * m
+        padded = {'lr': jnp.pad(x, ((0, 0), (0, bh - h), (0, bw - w), (0, 0))),
+                  'valid_hw': jnp.asarray([h, w], jnp.int32)}
+        if batch.get('metadata') is not None:
+            padded['metadata'] = batch['metadata']
+        if self._masked_eval_step is None:
+            self._masked_eval_step = make_masked_eval_step(self._prep_batch,
+                                                           self.has_batch_stats)
+        out = self._masked_eval_step(self.state, padded)
+        factor = out.shape[1] // bh
+        return out[:, :h * factor, :w * factor, :]
 
     # --- checkpointing (ref: models/__init__.py:349-464) -----------------------------------
     def save_model(self, model_save_name, model_idx, model_save_dir):
@@ -592,6 +643,7 @@ class HANHandler(BaseHandler):
 class SANHandler(BaseHandler):
     """(ref: advanced/handlers.py:58-129) — tiled eval replaces forward_chop."""
     tiled_eval = True
+    bucketed_eval_ok = False  # non-local spatial softmax + SOCA covariance
 
     def build_module(self, scale, dtype, **kwargs):
         return san.SAN(scale=scale, dtype=dtype)
@@ -614,6 +666,7 @@ class SRMDHandler(QHandler):
 class SPARNetHandler(BaseHandler):
     """(ref: SPARNet/handlers.py:6-18) — pre-upscaled input."""
     im_input = 'interp'
+    bucketed_eval_ok = False  # strided hourglass + spatial instance norm
 
     def build_module(self, scale, dtype, **kwargs):
         cfg = {k: v for k, v in kwargs.items() if k in
@@ -626,6 +679,7 @@ class SPARNetHandler(BaseHandler):
 class QSPARNetHandler(QHandler):
     """(ref: SPARNet/handlers.py:21-34)"""
     im_input = 'interp'
+    bucketed_eval_ok = False  # strided hourglass + spatial instance norm
 
     def build_module(self, scale, dtype, metadata_encoder_only=False, **kwargs):
         cfg = {k: v for k, v in kwargs.items() if k in
@@ -706,6 +760,7 @@ class QEDSRHandler(QHandler):
 class QSANHandler(QHandler):
     """(ref: attention_manipulators/handlers.py:79-153) — tiled eval."""
     tiled_eval = True
+    bucketed_eval_ok = False  # non-local spatial softmax + SOCA covariance
 
     def build_module(self, scale, dtype, **kwargs):
         return qmodels.QSAN(scale=scale, input_para=self.num_metadata, dtype=dtype)

@@ -102,7 +102,8 @@ class QCALayer(nn.Module):
         c = self.channel
         c_red = c // self.reduction
         meta = None if attributes is None else attributes.astype(self.dtype)
-        y = jnp.mean(x, axis=(1, 2)).astype(self.dtype)  # GAP -> (B, C)
+        from ..ops.masking import masked_global_mean
+        y = masked_global_mean(x).astype(self.dtype)  # GAP -> (B, C), mask-aware
 
         style = self.style
         if style in ('modulate', 'standard'):

@@ -67,6 +67,10 @@ def _config_callback(ctx, param, value):
               help='Shard eval over all local devices via a data-parallel mesh (the '
                    "TPU-native analog of the reference's gpu='multi'): batches and "
                    'spatial tiles are split across chips.')
+@click.option('--eval_buckets', type=int, default=None,
+              help='Pad eval images up to multiples of this size and reuse one '
+                   'compiled program per bucket (mask-exact; avoids one XLA compile '
+                   'per unique image shape on mixed-size sets). 128 is a good value.')
 @click.option("--sp_gpu", default=0, show_default=True,
               help='Specify specific device to use for computation.')
 @click.option('--scale', default=4, help='Scale of SR to perform.', show_default=True)

@@ -110,6 +110,35 @@ def _train_step_body(loss_fn, prep_fn, has_batch_stats):
     return step
 
 
+def make_masked_eval_step(prep_fn, has_batch_stats=False):
+    """Bucketed-eval forward step: the input is zero-padded to a bucket shape and
+    ``batch['valid_hw']`` carries the true (h, w).  A mask context + conv interceptor
+    keep the valid region bit-faithful to an unpadded run (see ops/masking.py);
+    jit retraces once per BUCKET shape instead of once per image shape."""
+    from flax import linen as nn
+    from ..ops.masking import (spatial_masks, apply_mask, conv_mask_interceptor)
+
+    def step(state, batch):
+        bucket_hw = batch['lr'].shape[1:3]
+        with spatial_masks(bucket_hw, batch['valid_hw']):
+            x, _, metadata = prep_fn(batch)
+            x = apply_mask(x)
+            if metadata is not None and getattr(metadata, 'ndim', 0) == 4:
+                metadata = apply_mask(metadata)
+            variables = {'params': state.params}
+            kwargs = {}
+            if metadata is not None:
+                kwargs['metadata'] = metadata
+            if has_batch_stats:
+                variables['batch_stats'] = state.batch_stats
+                kwargs['train'] = False
+            with nn.intercept_methods(conv_mask_interceptor):
+                out = state.apply_fn(variables, x, **kwargs)
+        return out
+
+    return jax.jit(step)
+
+
 def make_eval_step(loss_fn, prep_fn, has_batch_stats=False):
     """Build a jitted eval step: (state, batch) -> (sr_output, loss)."""
 
