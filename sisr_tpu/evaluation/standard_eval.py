@@ -30,7 +30,7 @@ class EvalHub:
                  model_only, scale, model_loc, out_loc, use_test_group,
                  no_image_comparison, num_image_save, qpi_selection, data_attributes,
                  dataset_name, image_shortlist, metadata_file, sp_gpu, time_models,
-                 recursive, mesh=False, eval_buckets=None):
+                 recursive, mesh=False, eval_buckets=None, int8=False):
         """Main eval class; param info in net_eval.py (mirrors the reference CLI)."""
         self.out_dir = os.path.join(out_loc, results_name)
         self.eval_name = results_name
@@ -59,6 +59,9 @@ class EvalHub:
         if eval_buckets:
             for model in self.model_bundles:
                 model.model.set_eval_buckets(eval_buckets)
+        if int8:
+            for model in self.model_bundles:
+                model.model.set_int8(True)
 
         if full_directory:
             split, dataset, custom_split, blacklist = 'all', None, None, None

@@ -65,6 +65,8 @@ class BaseHandler:
     # exact bucketed eval is valid for pure-conv models (+ LAM/CSAM); spatial-softmax /
     # covariance pooling (SAN non-local, SOCA) and strided norms (SPARNet) are excluded
     bucketed_eval_ok = True
+    # int8 serving fast path (ops/quantization.py): family key or None if unsupported
+    int8_family = None
 
     def __init__(self, eval_mode=False, lr=1e-4, scale=4, scheduler=None,
                  scheduler_params=None, perceptual=None, optimizer_params=None,
@@ -105,6 +107,9 @@ class BaseHandler:
         self.device_degrade = False  # synthesize LR on device inside the train step
         self.eval_buckets = None  # pad eval shapes to multiples of this (see ops/masking)
         self._masked_eval_step = None
+        self.int8_mode = False  # int8 serving fast path (set_int8)
+        self.int8_residual_dtype = 'bfloat16'
+        self._int8_ctx = None
 
     # --- module construction ------------------------------------------------------------
     def build_module(self, scale, dtype, **kwargs):
@@ -156,6 +161,54 @@ class BaseHandler:
                   % type(self).__name__)
             return
         self.eval_buckets = int(multiple) if multiple else None
+
+    def set_int8(self, enabled=True, residual_dtype='bfloat16'):
+        """Enable the int8 serving fast path (ops/quantization.py): per-channel int8
+        weights, static absmax-calibrated activation scales (calibrated on the first
+        eval batch with 10% margin), narrow residual carry.  v5e runs int8 convs at
+        2x the bf16 MXU rate: measured 1.16-1.25x (EDSR) / 1.17x (RCAN) end-to-end
+        at ~55 / ~40 dB fidelity vs the f32 forward.  Opt-in: metrics are computed
+        on the quantized output."""
+        if enabled and self.int8_family is None:
+            print('%s: no int8 serving path for this architecture — ignoring.'
+                  % type(self).__name__)
+            return
+        self.int8_mode = bool(enabled)
+        self.int8_residual_dtype = residual_dtype
+        self._int8_ctx = None
+
+    def _int8_forward(self, batch):
+        """Quantized forward; lazily quantizes weights + calibrates activation scales
+        from the first batch seen, then reuses the jitted int8 program."""
+        from ..ops import quantization as qz
+        x = jnp.asarray(batch['lr'], jnp.float32)
+        if self._int8_ctx is None:
+            params = jax.tree.map(lambda a: np.asarray(a, np.float32),
+                                  self.state.params)
+            m = self.module
+            if self.int8_family == 'edsr':
+                qp = qz.quantize_edsr_params(params)
+                scales = qz.calibrate_edsr_scales(
+                    params, [x], num_blocks=m.num_blocks, scale=self.scale,
+                    res_scale=m.res_scale, margin=1.1)
+                fwd = jax.jit(lambda qp_, xx: qz.edsr_int8_forward_static(
+                    qp_, scales, xx, num_blocks=m.num_blocks, scale=self.scale,
+                    res_scale=m.res_scale, residual_dtype=self.int8_residual_dtype))
+            elif self.int8_family == 'rcan':
+                qp = qz.quantize_rcan_params(params, m.n_resgroups, m.n_resblocks)
+                scales = qz.calibrate_rcan_scales(params, [x], m.n_resgroups,
+                                                  m.n_resblocks, margin=1.1)
+                rd = self.int8_residual_dtype \
+                    if self.int8_residual_dtype in ('float32', 'bfloat16') \
+                    else 'bfloat16'
+                fwd = jax.jit(lambda qp_, xx: qz.rcan_int8_forward_static(
+                    qp_, scales, xx, m.n_resgroups, m.n_resblocks,
+                    residual_dtype=rd))
+            else:
+                raise RuntimeError('unknown int8 family %r' % self.int8_family)
+            self._int8_ctx = (fwd, qp)
+        fwd, qp = self._int8_ctx
+        return fwd(qp, x)
 
     def prepare_metadata(self, x, metadata):
         """Traced metadata prep: (B, M_total) -> model metadata input (or None)."""
@@ -321,6 +374,20 @@ class BaseHandler:
                 out.block_until_ready()
                 tic = time.perf_counter()
                 out = self._tiled_forward(batch)
+                out.block_until_ready()
+                runtime = time.perf_counter() - tic
+            return np.asarray(out, np.float32), loss, runtime
+
+        if self.int8_mode:
+            out = self._int8_forward(batch)
+            loss = None
+            if request_loss and y is not None:
+                loss = float(self.loss_fn(out, batch['hr']))
+            runtime = None
+            if timing:
+                out.block_until_ready()
+                tic = time.perf_counter()
+                out = self._int8_forward(batch)
                 out.block_until_ready()
                 runtime = time.perf_counter() - tic
             return np.asarray(out, np.float32), loss, runtime
@@ -608,6 +675,7 @@ class VDSRHandler(BaseHandler):
 @register_model('edsr')
 class EDSRHandler(BaseHandler):
     """(ref: advanced/handlers.py:7-23)"""
+    int8_family = 'edsr'
 
     def build_module(self, scale, dtype, in_features=3, num_features=64, num_blocks=16,
                      res_scale=0.1, **kwargs):
@@ -621,6 +689,7 @@ class EDSRHandler(BaseHandler):
 class RCANHandler(BaseHandler):
     """(ref: advanced/handlers.py:26-39).  The reference locks the size parameters;
     we accept them as an optional superset (defaults identical)."""
+    int8_family = 'rcan'
 
     def build_module(self, scale, dtype, in_features=3, n_resblocks=20, n_resgroups=10,
                      n_feats=64, reduction=16, **kwargs):

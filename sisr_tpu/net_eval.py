@@ -71,6 +71,10 @@ def _config_callback(ctx, param, value):
               help='Pad eval images up to multiples of this size and reuse one '
                    'compiled program per bucket (mask-exact; avoids one XLA compile '
                    'per unique image shape on mixed-size sets). 128 is a good value.')
+@click.option('--int8', 'int8', is_flag=True,
+              help='Run supported models (edsr, rcan) through the int8 serving fast '
+                   'path: int8 convs at 2x the bf16 MXU rate, calibrated on the first '
+                   'batch. 1.16-1.25x faster at ~40-55 dB fidelity vs f32.')
 @click.option("--sp_gpu", default=0, show_default=True,
               help='Specify specific device to use for computation.')
 @click.option('--scale', default=4, help='Scale of SR to perform.', show_default=True)

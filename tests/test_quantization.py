@@ -117,3 +117,81 @@ def test_rcan_int8_static_quality():
                                                   residual_dtype=dtype))
         assert out.shape == out_f32.shape
         assert psnr(out, out_f32, max_value=1.0) > 35, dtype
+
+
+def test_handler_int8_serving_path():
+    """set_int8 through the handler: quantize+calibrate lazily on the first eval
+    batch, outputs stay close to the f32 eval (VERDICT r1 item 9)."""
+    from sisr_tpu.models.handlers import define_model
+    from sisr_tpu.ops.metrics import psnr
+    rng = np.random.RandomState(7)
+    for name, cfg in (('edsr', dict(num_features=16, num_blocks=2)),
+                      ('rcan', dict(n_resgroups=2, n_resblocks=1, n_feats=16))):
+        h = define_model(name, eval_mode=True, scale=4, **cfg)
+        x = rng.rand(1, 12, 14, 3).astype(np.float32)
+        ref, _, _ = h.run_eval(x)
+        h.set_int8(True)
+        out, _, runtime = h.run_eval(x, timing=True)
+        assert out.shape == ref.shape and runtime is not None
+        assert psnr(out, ref, max_value=1.0) > 35, name
+        # unsupported architectures refuse instead of silently running f32-as-int8
+        srcnn = define_model('srcnn', eval_mode=True, scale=4,
+                             kernel_pattern=[3, 3], channel_pattern=[1, 4, 1])
+        srcnn.set_int8(True)
+        assert not srcnn.int8_mode
+
+
+def test_eval_cli_int8_flag(tmp_path):
+    """--int8 through the full eval CLI: runs end-to-end and stays within 1 dB of
+    the f32 metrics on Set5."""
+    import os
+    import pandas as pd
+    from click.testing import CliRunner
+    import pytest
+    from sisr_tpu.net_train import experiment_setup
+    from sisr_tpu.net_eval import eval_run
+
+    SET5 = '/root/reference/Data/example_data/Set5'
+    if not os.path.isdir(SET5):
+        pytest.skip('Set5 example data unavailable')
+    save_loc = str(tmp_path / 'Results')
+    os.makedirs(save_loc)
+    cfg = tmp_path / 'train.toml'
+    cfg.write_text('\n'.join([
+        'experiment = "int8_edsr"',
+        'experiment_save_loc = "%s"' % save_loc,
+        '[data]', 'batch_size = 1', 'dataloader_threads = 2',
+        '[data.training_sets.data_1]',
+        'lr = "%s"' % os.path.join(SET5, 'lr_random_blur'),
+        'hr = "%s"' % os.path.join(SET5, 'hr'),
+        'degradation_metadata = "on_site"', 'crop = 8',
+        '[data.eval_sets.data_1]',
+        'lr = "%s"' % os.path.join(SET5, 'lr_random_blur'),
+        'hr = "%s"' % os.path.join(SET5, 'hr'),
+        'cutoff = 5', 'degradation_metadata = "on_site"',
+        '[model]', 'name = "edsr"',
+        '[model.internal_params]', 'scale = 4',
+        'num_features = 8', 'num_blocks = 1',
+        '[training]', 'num_epochs = 1', 'metrics = [ "PSNR" ]',
+    ]))
+    runner = CliRunner()
+    result = runner.invoke(experiment_setup, ['--parameters', str(cfg)],
+                           catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+
+    means = {}
+    for label, extra in (('f32', []), ('int8', ['--int8'])):
+        out_loc = str(tmp_path / label)
+        os.makedirs(out_loc, exist_ok=True)
+        result = runner.invoke(eval_run, [
+            '--hr_dir', os.path.join(SET5, 'hr'),
+            '--lr_dir', os.path.join(SET5, 'lr_random_blur'),
+            '-me', 'int8_edsr', 'best', '--results_name', 'r',
+            '--metrics', 'PSNR', '--full_directory', '--no_image_comparison',
+            '--no-time_models', '--model_loc', save_loc, '--out_loc', out_loc] + extra,
+            catch_exceptions=False)
+        assert result.exit_code == 0, result.output
+        av = pd.read_csv(os.path.join(out_loc, 'r', 'standard_metrics',
+                                      'average_metrics.csv'), index_col=0)
+        means[label] = float(av.loc['int8_edsr'].iloc[-2])  # PSNR Mean column
+    assert abs(means['int8'] - means['f32']) < 1.0, means
