@@ -263,6 +263,9 @@ class SuperResImages:
         self.conv_type = conv_type
         self._ycbcr = RGBtoYCbCrConverter(y_only=y_only, im_type=conv_type) \
             if colorspace == 'ycbcr' else None
+        # opt-in (fused device eval): serve lr/hr as decoded uint8, skipping the host
+        # float conversion — consumers divide by 255 on device.  rgb-only.
+        self.keep_uint8 = False
 
         print('Initialized %s data with %d image%s.' % (
             dataset if dataset is not None else 'image', self.image_count,
@@ -337,6 +340,9 @@ class SuperResImages:
 
     def __getitem__(self, index):
         """(ref: data_handler.py:433-525)"""
+        to_image = pil_to_float
+        if self.keep_uint8 and self._ycbcr is None and not self.online_degradations:
+            to_image = lambda pil: np.atleast_3d(np.asarray(pil, np.uint8))
         base_name = self.base_filenames[index]
         hr_im = None
         mask_im = np.array(0)
@@ -369,7 +375,7 @@ class SuperResImages:
                 metadata = kernel_map
         else:
             image_name = self.lr_filenames[index]
-            lr_im = pil_to_float(self.read_image(os.path.join(self.lr_base, image_name)))
+            lr_im = to_image(self.read_image(os.path.join(self.lr_base, image_name)))
             if self.metadata is not None:
                 metadata = self.metadata[index]
             else:
@@ -388,7 +394,7 @@ class SuperResImages:
                 h, w = lr_im.shape[0] * self.scale, lr_im.shape[1] * self.scale
             if hr_pil.width != w or hr_pil.height != h:
                 hr_pil = center_crop(hr_pil, height=h, width=w)
-            hr_im = self._to_model_space(pil_to_float(hr_pil))
+            hr_im = self._to_model_space(to_image(hr_pil))
             if self.mask_base is not None:
                 mask_pil = self.read_image(os.path.join(self.mask_base, base_name))
                 if mask_pil.width != w or mask_pil.height != h:

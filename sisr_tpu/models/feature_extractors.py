@@ -174,6 +174,109 @@ class LightCNN29(nn.Module):
         return out, fc
 
 
+def _conv_entry(sd, name):
+    return {'kernel': np.asarray(sd['%s.weight' % name]).transpose(2, 3, 1, 0),
+            'bias': np.asarray(sd['%s.bias' % name])}
+
+
+def _dense_entry(sd, name, chw_in=None):
+    """torch Linear -> flax Dense; ``chw_in=(C, H, W)`` permutes a flattened-conv input
+    from torch's channel-major order to our NHWC flatten order."""
+    w = np.asarray(sd['%s.weight' % name])
+    if chw_in is not None:
+        c, h, wd = chw_in
+        w = w.reshape(w.shape[0], c, h, wd).transpose(0, 2, 3, 1).reshape(w.shape[0], -1)
+    return {'kernel': w.T, 'bias': np.asarray(sd['%s.bias' % name])}
+
+
+def convert_torch_lightcnn(state_dict):
+    """LightCNN_29Layers checkpoint -> LightCNN29 flax params
+    (ref: lightCNN.py:52-122 naming; checkpoints carry DataParallel 'module.'
+    prefixes and live under a 'state_dict' key — both handled by the loader)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params = {'conv1': _conv_entry(sd, 'conv1.filter')}
+    for block, n in (('block1', 1), ('block2', 2), ('block3', 3), ('block4', 4)):
+        for i in range(n):
+            for conv_name in ('conv1', 'conv2'):
+                params['%s_%d_%s' % (block, i, conv_name)] = _conv_entry(
+                    sd, '%s.%d.%s.filter' % (block, i, conv_name))
+    for g in range(1, 5):
+        params['group%d_a' % g] = _conv_entry(sd, 'group%d.conv_a.filter' % g)
+        params['group%d_conv' % g] = _conv_entry(sd, 'group%d.conv.filter' % g)
+    # fc consumes the flattened (128, 8, 8) conv output: permute to our (H, W, C) order
+    params['fc'] = _dense_entry(sd, 'fc.filter', chw_in=(128, 8, 8))
+    params['fc2'] = _dense_entry(sd, 'fc2')
+    return params
+
+
+def convert_torch_vggface(state_dict):
+    """vgg_face_dag.pth -> VggFace flax params (ref: VGGNets.py:9-114 naming)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params = {}
+    cfg = [(1, 2), (2, 2), (3, 3), (4, 3), (5, 3)]
+    for block, n_convs in cfg:
+        for i in range(1, n_convs + 1):
+            name = 'conv%d_%d' % (block, i)
+            params[name] = _conv_entry(sd, name)
+    # fc6 consumes the flattened (512, 7, 7) conv output
+    params['fc6'] = _dense_entry(sd, 'fc6', chw_in=(512, 7, 7))
+    params['fc7'] = _dense_entry(sd, 'fc7')
+    params['fc8'] = _dense_entry(sd, 'fc8')
+    return params
+
+
+def _strip_module_prefix(state_dict):
+    return {(k[7:] if k.startswith('module.') else k): v
+            for k, v in state_dict.items()}
+
+
+def load_face_extractor(name, weights_path=None, dtype=jnp.float32):
+    """Build a pure face-embedding fn ``(N, H, W, 3) float [0,1] -> (N, D)``.
+
+    * ``'lightcnn'``: bicubic-resize to 128x128, BT.601 grayscale, LightCNN29 -> 256-d
+      fc features (ref: lightCNN.py:117-121 preprocess + forward).
+    * ``'vggface'``: bicubic-resize to 224x224, x255 - VGG-Face mean, fc7 4096-d
+      ('recognition' mode, ref: VGGNets.py:110-111).
+
+    Weights default to the reference's external-package paths
+    (configuration/constants.py); returns the embedding fn or raises if missing.
+    """
+    from ..configuration import constants as sconst
+    from ..ops.resize import resize_bicubic
+    if weights_path is None:
+        weights_path = {'lightcnn': sconst.lightcnn_weights,
+                        'vggface': sconst.vggface_weights}[name]
+    if not os.path.isfile(weights_path):
+        raise RuntimeError('No %s weights at %s — download the reference external '
+                           'package or pass face_weights.' % (name, weights_path))
+    import torch
+    raw = torch.load(weights_path, map_location='cpu', weights_only=False)
+    if isinstance(raw, dict) and 'state_dict' in raw:
+        raw = raw['state_dict']
+    sd = _strip_module_prefix({k: np.asarray(v) for k, v in raw.items()})
+
+    if name == 'lightcnn':
+        params = convert_torch_lightcnn(sd)
+        module = LightCNN29(num_classes=params['fc2']['bias'].shape[0], dtype=dtype)
+
+        def embed(x):
+            x = resize_bicubic(x.astype(jnp.float32), 128, 128, dtype=jnp.float32)
+            luma = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
+            _, fc = module.apply({'params': params}, luma[..., None])
+            return fc
+    elif name == 'vggface':
+        params = convert_torch_vggface(sd)
+        module = VggFace(mode='recognition', dtype=dtype)
+        mean = jnp.asarray(VggFace.MEAN, jnp.float32)
+
+        def embed(x):
+            x = resize_bicubic(x.astype(jnp.float32), 224, 224, dtype=jnp.float32)
+            return module.apply({'params': params}, x * 255.0 - mean)
+    else:
+        raise NotImplementedError('Unknown face extractor %r' % name)
+    return embed
+
+
 class VggFace(nn.Module):
     """VGG-Face descriptor network (ref: VGGNets.py:9-114).
 

@@ -71,6 +71,22 @@ def _config_callback(ctx, param, value):
               help='Pad eval images up to multiples of this size and reuse one '
                    'compiled program per bucket (mask-exact; avoids one XLA compile '
                    'per unique image shape on mixed-size sets). 128 is a good value.')
+@click.option('--fused_eval', is_flag=True,
+              help='Metrics-only fast path: forward + LR baseline + YCbCr + PSNR/SSIM '
+                   'fused into ONE device program per batch; only scalars return to '
+                   'the host. Needs --no_image_comparison and no image saving. '
+                   'LR prep uses the MXU bicubic (<=1 uint8 LSB vs PIL).')
+@click.option('--device_metrics', is_flag=True,
+              help='Compute PSNR/SSIM as batched jitted programs on the accelerator '
+                   'instead of per-image host numpy (host SSIM otherwise dominates '
+                   'eval wall-clock).')
+@click.option('--face_model', default='lightcnn',
+              type=click.Choice(['lightcnn', 'vggface']), show_default=True,
+              help='Face-embedding network for the FACE_SIM metric '
+                   '(request it with -m FACE_SIM).')
+@click.option('--face_weights', default=None,
+              help='Path to the face-network torch weights (defaults to the '
+                   'reference external-package paths in configuration/constants).')
 @click.option('--int8', 'int8', is_flag=True,
               help='Run supported models (edsr, rcan) through the int8 serving fast '
                    'path: int8 convs at 2x the bf16 MXU rate, calibrated on the first '

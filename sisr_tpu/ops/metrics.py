@@ -95,27 +95,43 @@ def _gaussian_kernel1d(sigma=1.5, truncate=3.5):
     return (phi / phi.sum()).astype(np.float32), r
 
 
-def _reflect_pad_2d(img, pad):
-    # scipy 'reflect' == jnp.pad 'symmetric' (edge pixel duplicated): (d c b a | a b c d)
-    return jnp.pad(img, ((0, 0), (pad, pad), (pad, pad)), mode='symmetric')
+_FILTER_MAT_CACHE = {}
+
+
+def _reflect_filter_matrix(n, kern):
+    """(n, n) matrix M with M[i, j] = summed gaussian taps mapping source j to output i
+    under scipy 'reflect' (symmetric) boundary handling: filtering along an axis of
+    length n becomes ONE dense matmul — 1-channel convs lower terribly on the TPU's
+    128-lane vector unit, while this rides the MXU."""
+    key = (n, kern.tobytes())
+    if key not in _FILTER_MAT_CACHE:
+        r = (len(kern) - 1) // 2
+        m = np.zeros((n, n), np.float32)
+        idx = np.arange(n)
+        for t, kv in enumerate(kern):
+            j = idx + (t - r)
+            j = np.where(j < 0, -j - 1, j)
+            j = np.where(j >= n, 2 * n - j - 1, j)
+            np.add.at(m, (idx, j), kv)
+        _FILTER_MAT_CACHE[key] = m
+    return _FILTER_MAT_CACHE[key]
 
 
 def _filt2d(img, kern, pad):
-    """Separable gaussian filter over (N, H, W) with reflect padding (two 1-channel convs)."""
-    k = kern.shape[0]
-    x = _reflect_pad_2d(img, pad)[..., None]  # (N, H+2p, W+2p, 1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, (k, 1, 1, 1), ('NHWC', 'HWIO', 'NHWC'))
-    x = jax.lax.conv_general_dilated(x, kern.reshape(k, 1, 1, 1), (1, 1), 'VALID',
-                                     dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kern.reshape(1, k, 1, 1), (1, 1), 'VALID',
-                                     dimension_numbers=dn)
-    return x[..., 0]
+    """Separable gaussian filter over (N, H, W) with reflect padding, as two MXU
+    matmuls (filter matrices are trace-time constants; full-f32 accumulation)."""
+    del pad  # boundary handling is folded into the filter matrices
+    n_h, n_w = img.shape[1], img.shape[2]
+    mh = jnp.asarray(_reflect_filter_matrix(n_h, kern), img.dtype)
+    mw = jnp.asarray(_reflect_filter_matrix(n_w, kern), img.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum('ij,njw->niw', mh, img, precision=hi)
+    return jnp.einsum('nhj,wj->nhw', x, mw, precision=hi)
 
 
 def ssim_nhw(im1, im2, data_range=1.0, sigma=1.5, truncate=3.5, k1=0.01, k2=0.03):
     """Batched single-channel SSIM on device: (N, H, W) -> (N,).  jit/vmap friendly."""
     kern, r = _gaussian_kernel1d(sigma, truncate)
-    kern = jnp.asarray(kern, dtype=im1.dtype)
     win_size = 2 * r + 1
     filt = lambda x: _filt2d(x, kern, r)
 
@@ -146,9 +162,30 @@ class Metrics:
     keyed output dict ``'{key}{delim}{metric}'``) match the reference.
     """
 
-    def __init__(self, metrics, delimeter='-', **kwargs):
+    def __init__(self, metrics, delimeter='-', device=False, face_extractor=None,
+                 **kwargs):
         self.metrics = metrics
         self.delimeter = delimeter
+        # (N,H,W,3)[0,1] -> (N,D) embedding fn enabling the FACE_SIM metric (cosine
+        # similarity of face embeddings — identity preservation for face SR;
+        # ref helpers: get_actual_issame, sr_tools/helper_functions.py:114-127)
+        self.face_extractor = face_extractor
+        # device=True computes PSNR/SSIM as one jitted batched program on the
+        # accelerator (psnr_nhw/ssim_nhw) instead of per-image host numpy — on eval
+        # runs the host SSIM (~50 ms/512^2 image) otherwise dominates wall-clock
+        self.device = device
+        self._dev_fns = None
+
+    def _device_metric(self, metric, im_a, im_ref, max_value):
+        import jax
+        if self._dev_fns is None:
+            self._dev_fns = {
+                'PSNR': jax.jit(lambda a, b, mv: psnr_nhw(a, b, mv)),
+                'SSIM': jax.jit(lambda a, b, mv: ssim_nhw(a, b, mv)),
+            }
+        vals = self._dev_fns[metric](im_a[:, :, :, 0], im_ref[:, :, :, 0],
+                                     float(max_value))
+        return [float(v) for v in np.asarray(vals)]
 
     def run_image_metric(self, metric, im_a, im_ref=None, single_values=False, max_value=1,
                          multichannel=False):
@@ -156,6 +193,24 @@ class Metrics:
             im_a = np.expand_dims(im_a, axis=0)
         if im_ref is not None and len(im_ref.shape) == 3:
             im_ref = np.expand_dims(im_ref, axis=0)
+
+        if metric == 'FACE_SIM':
+            if self.face_extractor is None:
+                raise RuntimeError("FACE_SIM requires a face extractor — pass "
+                                   "face_weights/face_model (eval CLI) or "
+                                   "Metrics(face_extractor=...).")
+            if im_ref is None:
+                raise Exception('Need a reference to calculate FACE_SIM.')
+            ea = np.asarray(self.face_extractor(jnp.asarray(im_a, jnp.float32)))
+            eb = np.asarray(self.face_extractor(jnp.asarray(im_ref, jnp.float32)))
+            num = np.sum(ea * eb, axis=-1)
+            den = np.linalg.norm(ea, axis=-1) * np.linalg.norm(eb, axis=-1) + 1e-12
+            sims = (num / den).tolist()
+            return sims if single_values else float(np.mean(sims))
+
+        if self.device and metric in ('PSNR', 'SSIM') and single_values \
+                and im_ref is not None and not multichannel:
+            return self._device_metric(metric, im_a, im_ref, max_value)
 
         if metric == 'PSNR':
             if im_ref is None:

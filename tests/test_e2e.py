@@ -158,6 +158,72 @@ def test_eval_cli_mesh_matches_single_device(trained_experiment, tmp_path):
     pd.testing.assert_frame_equal(outputs['single'], outputs['mesh'])
 
 
+def test_eval_cli_fused_matches_standard(tmp_path):
+    """`eval_sisr --fused_eval --device_metrics` (single device program per batch,
+    scalars-only host traffic) must reproduce the standard protocol's metrics.
+    Model metrics share the exact same forward; LR-baseline metrics may differ by the
+    MXU-bicubic's <=1 uint8 LSB rounding vs PIL (ops/resize.resize_bicubic)."""
+    from click.testing import CliRunner
+    from sisr_tpu.net_train import experiment_setup
+    from sisr_tpu.net_eval import eval_run
+
+    save_loc = str(tmp_path / 'Results')
+    os.makedirs(save_loc)
+    cfg = tmp_path / 'train.toml'
+    cfg.write_text('\n'.join([
+        'experiment = "fused_edsr"',
+        'experiment_save_loc = "%s"' % save_loc,
+        '[data]', 'batch_size = 1', 'dataloader_threads = 2',
+        '[data.training_sets.data_1]',
+        'lr = "%s"' % os.path.join(SET5, 'lr_random_blur'),
+        'hr = "%s"' % os.path.join(SET5, 'hr'),
+        'degradation_metadata = "on_site"', 'crop = 8',
+        '[data.eval_sets.data_1]',
+        'lr = "%s"' % os.path.join(SET5, 'lr_random_blur'),
+        'hr = "%s"' % os.path.join(SET5, 'hr'),
+        'cutoff = 5', 'degradation_metadata = "on_site"',
+        '[model]', 'name = "edsr"',
+        '[model.internal_params]', 'scale = 4',
+        'num_features = 8', 'num_blocks = 1',
+        '[training]', 'num_epochs = 1', 'metrics = [ "PSNR" ]',
+    ]))
+    runner = CliRunner()
+    result = runner.invoke(experiment_setup, ['--parameters', str(cfg)],
+                           catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+
+    outputs = {}
+    for label, extra in (('standard', []),
+                         ('fused', ['--fused_eval', '--device_metrics']),
+                         # bs=2 on mixed-size Set5 exercises the ragged-batch split
+                         ('fused_bs2', ['--fused_eval', '--batch_size', '2'])):
+        out_loc = str(tmp_path / label)
+        os.makedirs(out_loc, exist_ok=True)
+        result = runner.invoke(eval_run, [
+            '--hr_dir', os.path.join(SET5, 'hr'),
+            '--lr_dir', os.path.join(SET5, 'lr_random_blur'),
+            '-me', 'fused_edsr', 'best', '--results_name', 'r',
+            '--metrics', 'PSNR', '--metrics', 'SSIM', '--full_directory',
+            '--no_image_comparison', '--no-time_models',
+            '--model_loc', save_loc, '--out_loc', out_loc] + extra,
+            catch_exceptions=False)
+        assert result.exit_code == 0, result.output
+        outputs[label] = pd.read_csv(
+            os.path.join(out_loc, 'r', 'standard_metrics',
+                         'individual_metrics.csv'), header=[0, 1], index_col=0)
+    for label in ('fused', 'fused_bs2'):
+        got, want = outputs[label], outputs['standard']
+        assert list(got.index) == list(want.index)
+        np.testing.assert_allclose(got[('fused_edsr', 'PSNR')],
+                                   want[('fused_edsr', 'PSNR')], atol=1e-2)
+        np.testing.assert_allclose(got[('fused_edsr', 'SSIM')],
+                                   want[('fused_edsr', 'SSIM')], atol=1e-3)
+        np.testing.assert_allclose(got[('LR', 'PSNR')], want[('LR', 'PSNR')],
+                                   atol=0.05)
+        np.testing.assert_allclose(got[('LR', 'SSIM')], want[('LR', 'SSIM')],
+                                   atol=1e-3)
+
+
 def test_low_res_prep_per_image_timing():
     """At batch_size > 1, LR>runtime rows must be per-image truths, not the last
     image's time replicated (VERDICT r1 item 7)."""

@@ -1,0 +1,227 @@
+"""Face feature extractors: torch->flax weight conversion parity against the actual
+reference networks, the FACE_SIM metric, and the eval-CSV column (VERDICT r1 item 6).
+
+Pretrained weights (vgg_face_dag.pth / LightCNN_29Layers) are external downloads the
+environment lacks, so parity is proven on randomly-initialized reference modules saved
+in the reference's own checkpoint formats — the exact code path real weights take.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+REF_CODE = '/root/reference/Code'
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF_CODE),
+                                reason='reference code unavailable')
+
+
+@pytest.fixture(scope='module')
+def ref_face_modules():
+    import types
+    import collections
+    import collections.abc
+    if not hasattr(collections, 'Callable'):
+        collections.Callable = collections.abc.Callable
+    for name in ['moviepy', 'moviepy.video', 'moviepy.video.io',
+                 'moviepy.video.io.ImageSequenceClip', 'skvideo', 'skvideo.io',
+                 'skvideo.utils', 'click_config_file', 'skimage',
+                 'skimage.metrics', 'skimage.io', 'aim', 'torchvision',
+                 'torchvision.models', 'torchvision.transforms', 'toml',
+                 'colorama']:
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == 'torchvision.models':
+                mod.vgg19 = None
+            if name == 'torchvision.transforms':
+                mod.ToTensor = object
+                mod.ToPILImage = object
+                mod.Compose = object
+                mod.Normalize = lambda **kw: None
+            if name == 'skimage.metrics':
+                mod.structural_similarity = None
+            if name == 'skimage.io':
+                mod.imsave = None
+            if name == 'colorama':
+                mod.init = lambda *a, **k: None
+                mod.Fore = types.SimpleNamespace(RED='', GREEN='', RESET='')
+            sys.modules[name] = mod
+    sys.path.insert(0, REF_CODE)
+    import SISR.models.feature_extractors.lightCNN as ref_lightcnn
+    return ref_lightcnn
+
+
+def test_lightcnn_conversion_parity(ref_face_modules, tmp_path):
+    """Random-init reference LightCNN29 saved as its real checkpoint format
+    ('state_dict' key + DataParallel 'module.' prefixes) -> converted -> same fc
+    features and logits."""
+    import jax.numpy as jnp
+    from sisr_tpu.models.feature_extractors import (LightCNN29,
+                                                    convert_torch_lightcnn,
+                                                    _strip_module_prefix)
+    ref = ref_face_modules.network_29layers(ref_face_modules.resblock,
+                                            [1, 2, 3, 4], num_classes=50).eval()
+    sd = {'module.' + k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_torch_lightcnn(_strip_module_prefix(sd))
+    x = torch.rand(2, 1, 128, 128)
+    with torch.no_grad():
+        ref_out, ref_fc = ref(x)
+    model = LightCNN29(num_classes=50)
+    out, fc = model.apply({'params': params},
+                          jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(fc), ref_fc.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), atol=5e-4)
+
+
+def test_lightcnn_extract_features_parity(ref_face_modules):
+    """extract_features (the reference's face-similarity tap) matches too."""
+    import jax.numpy as jnp
+    from sisr_tpu.models.feature_extractors import LightCNN29, convert_torch_lightcnn
+    ref = ref_face_modules.network_29layers(ref_face_modules.resblock,
+                                            [1, 2, 3, 4], num_classes=10).eval()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_torch_lightcnn(sd)
+    x = torch.rand(1, 1, 128, 128)
+    with torch.no_grad():
+        c1_ref, c2_ref = ref.extract_features(x)
+    model = LightCNN29(num_classes=10)
+    c1, c2 = model.apply({'params': params},
+                         jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                         extract_features=True)
+    np.testing.assert_allclose(np.asarray(c1), c1_ref.numpy().transpose(0, 2, 3, 1),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(c2), c2_ref.numpy().transpose(0, 2, 3, 1),
+                               atol=5e-4)
+
+
+def test_vggface_conversion_parity(tmp_path):
+    """vgg_face_dag-format state dict -> converted -> same fc7 recognition features.
+    (The reference VggFace module hard-loads weights in __init__, so the torch side
+    is rebuilt inline with identical layer names.)"""
+    import torch.nn as tnn
+    import jax.numpy as jnp
+    from sisr_tpu.models.feature_extractors import VggFace, convert_torch_vggface
+
+    layers = {}
+    cfg = [(1, 2, 3, 64), (2, 2, 64, 128), (3, 3, 128, 256), (4, 3, 256, 512),
+           (5, 3, 512, 512)]
+    mods = {}
+    for block, n, c_in, c_out in cfg:
+        for i in range(1, n + 1):
+            mods['conv%d_%d' % (block, i)] = tnn.Conv2d(c_in if i == 1 else c_out,
+                                                        c_out, 3, padding=1)
+    mods['fc6'] = tnn.Linear(25088, 4096)
+    mods['fc7'] = tnn.Linear(4096, 4096)
+    mods['fc8'] = tnn.Linear(4096, 2622)
+    sd = {}
+    for name, mod in mods.items():
+        sd[name + '.weight'] = mod.weight.detach().numpy()
+        sd[name + '.bias'] = mod.bias.detach().numpy()
+
+    x = torch.rand(1, 3, 224, 224)
+    with torch.no_grad():
+        h = x
+        for block, n, _, _ in cfg:
+            for i in range(1, n + 1):
+                h = torch.relu(mods['conv%d_%d' % (block, i)](h))
+            h = tnn.functional.max_pool2d(h, 2, 2)
+        h = h.view(1, -1)
+        h = torch.relu(mods['fc6'](h))
+        ref_fc7 = torch.relu(mods['fc7'](h)).numpy()
+
+    params = convert_torch_vggface(sd)
+    model = VggFace(mode='recognition')
+    out = model.apply({'params': params},
+                      jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref_fc7, atol=5e-3)
+
+
+def _save_lightcnn_ckpt(ref_face_modules, path, num_classes=10):
+    ref = ref_face_modules.network_29layers(ref_face_modules.resblock,
+                                            [1, 2, 3, 4], num_classes=num_classes)
+    torch.save({'state_dict': {'module.' + k: v for k, v in
+                               ref.state_dict().items()}}, path)
+
+
+def test_face_sim_metric(ref_face_modules, tmp_path):
+    """FACE_SIM through the Metrics hub: 1.0 for identical images, lower for
+    different ones."""
+    from sisr_tpu.models.feature_extractors import load_face_extractor
+    from sisr_tpu.ops.metrics import Metrics
+    ckpt = str(tmp_path / 'lightcnn.pth.tar')
+    _save_lightcnn_ckpt(ref_face_modules, ckpt)
+    extractor = load_face_extractor('lightcnn', ckpt)
+    hub = Metrics(['FACE_SIM'], delimeter='>', face_extractor=extractor)
+    rng = np.random.RandomState(3)
+    a = rng.rand(2, 64, 64, 3).astype(np.float32)
+    b = rng.rand(2, 64, 64, 3).astype(np.float32)
+    same = hub.run_image_metric('FACE_SIM', a, a, single_values=True)
+    np.testing.assert_allclose(same, [1.0, 1.0], atol=1e-5)
+    diff = hub.run_image_metric('FACE_SIM', a, b, single_values=True)
+    assert all(d < 1.0 - 1e-6 for d in diff)
+
+
+def test_face_sim_eval_csv_column(ref_face_modules, tmp_path):
+    """-m FACE_SIM through the full eval CLI adds the face-metric columns."""
+    import pandas as pd
+    from click.testing import CliRunner
+    from sisr_tpu.net_train import experiment_setup
+    from sisr_tpu.net_eval import eval_run
+
+    SET5 = '/root/reference/Data/example_data/Set5'
+    if not os.path.isdir(SET5):
+        pytest.skip('Set5 example data unavailable')
+    ckpt = str(tmp_path / 'lightcnn.pth.tar')
+    _save_lightcnn_ckpt(ref_face_modules, ckpt)
+    save_loc = str(tmp_path / 'Results')
+    os.makedirs(save_loc)
+    cfg = tmp_path / 'train.toml'
+    cfg.write_text('\n'.join([
+        'experiment = "face_edsr"',
+        'experiment_save_loc = "%s"' % save_loc,
+        '[data]', 'batch_size = 1', 'dataloader_threads = 2',
+        '[data.training_sets.data_1]',
+        'lr = "%s"' % os.path.join(SET5, 'lr_random_blur'),
+        'hr = "%s"' % os.path.join(SET5, 'hr'),
+        'degradation_metadata = "on_site"', 'crop = 8',
+        '[data.eval_sets.data_1]',
+        'lr = "%s"' % os.path.join(SET5, 'lr_random_blur'),
+        'hr = "%s"' % os.path.join(SET5, 'hr'),
+        'cutoff = 5', 'degradation_metadata = "on_site"',
+        '[model]', 'name = "edsr"',
+        '[model.internal_params]', 'scale = 4',
+        'num_features = 8', 'num_blocks = 1',
+        '[training]', 'num_epochs = 1', 'metrics = [ "PSNR" ]',
+    ]))
+    runner = CliRunner()
+    result = runner.invoke(experiment_setup, ['--parameters', str(cfg)],
+                           catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+
+    out_loc = str(tmp_path / 'eval')
+    os.makedirs(out_loc)
+    result = runner.invoke(eval_run, [
+        '--hr_dir', os.path.join(SET5, 'hr'),
+        '--lr_dir', os.path.join(SET5, 'lr_random_blur'),
+        '-me', 'face_edsr', 'best', '--results_name', 'r',
+        '--metrics', 'PSNR', '--metrics', 'FACE_SIM',
+        '--face_weights', ckpt, '--full_directory', '--no_image_comparison',
+        '--no-time_models', '--model_loc', save_loc, '--out_loc', out_loc],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    indiv = pd.read_csv(os.path.join(out_loc, 'r', 'standard_metrics',
+                                     'individual_metrics.csv'),
+                        header=[0, 1], index_col=0)
+    cols = set(indiv.columns)
+    assert ('LR', 'FACE_SIM') in cols and ('face_edsr', 'FACE_SIM') in cols
+    assert ('face_edsr', 'PSNR') in cols
+    sims = indiv[('face_edsr', 'FACE_SIM')]
+    assert ((-1.0 <= sims) & (sims <= 1.0)).all()
+
+
+def test_get_actual_issame():
+    from sisr_tpu.utils.helpers import get_actual_issame
+    m = get_actual_issame([1, 2], [2, 1, 2])
+    assert m == [[False, True, False], [True, False, True]]
