@@ -28,7 +28,7 @@ import numpy as np
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               '.bench_baseline.json')
 BATCH = int(os.environ.get('BENCH_BATCH', '8'))
-N_IMAGES = int(os.environ.get('BENCH_IMAGES', '16'))
+N_IMAGES = int(os.environ.get('BENCH_IMAGES', '32'))
 ITERS = int(os.environ.get('BENCH_ITERS', '20'))
 SET5_HR = '/root/reference/Data/example_data/Set5/hr'
 

@@ -260,7 +260,8 @@ class EvalHub:
                 diag = ''
                 for idx, model in enumerate(self.model_bundles):
                     (keys, vals), runtime = model.model.run_eval_fused(
-                        batch, metrics=tuple(self.metrics), timing=self.time_models)
+                        batch, metrics=tuple(self.metrics), timing=self.time_models,
+                        include_lr=idx == 0)
                     pending.append((model.experiment, idx == 0, keys, vals,
                                     runtime, len(im_names)))
                     if runtime is not None and 'PSNR' in self.metrics:

@@ -32,6 +32,11 @@ from .feature_extractors import load_vgg_extractor
 
 available_models = {}
 
+# handler-side name -> reference checkpoint key for optional adversarial components
+# (ref: models/__init__.py:368-380 save, 445-456 load)
+_GAN_STATE_KEYS = (('params', 'discriminator'), ('opt_state', 'optimizer_D'),
+                   ('scheduler', 'scheduler_D'), ('steps', 'steps'))
+
 
 def register_model(name, *aliases):
     def wrap(cls):
@@ -104,6 +109,12 @@ class BaseHandler:
         self._eval_step_cache = {}
         self._warm_eval_shapes = set()
         self.mesh_ctx = None  # set via set_mesh for multi-chip data parallelism
+        # optional adversarial-training components, persisted under the reference's
+        # checkpoint keys (discriminator/optimizer_D/scheduler_D/steps — ref:
+        # models/__init__.py:368-380, 445-456).  A GAN handler populates this dict
+        # with 'params' / 'opt_state' / 'scheduler' / 'steps' pytrees; no model in the
+        # reference zoo ships one, but the checkpoint contract round-trips them.
+        self.gan_state = None
         self.device_degrade = False  # synthesize LR on device inside the train step
         self.eval_buckets = None  # pad eval shapes to multiples of this (see ops/masking)
         self._masked_eval_step = None
@@ -500,7 +511,8 @@ class BaseHandler:
                 and not self.tiled_eval and not self.int8_mode
                 and not self.eval_buckets)
 
-    def run_eval_fused(self, batch, metrics=('PSNR', 'SSIM'), timing=False):
+    def run_eval_fused(self, batch, metrics=('PSNR', 'SSIM'), timing=False,
+                       include_lr=True):
         """TPU-native eval fast path: ONE device program runs forward + bicubic LR
         baseline + YCbCr + PSNR/SSIM, and only per-image scalars return to the host.
 
@@ -516,11 +528,13 @@ class BaseHandler:
         single tunnel round trip — realize with ``np.asarray`` when collecting.
 
         :return: ((keys, values): keys a K-tuple like ('LR>PSNR', 'model>PSNR', ...)
-            and values the matching (K, N) device array, runtime).
+            and values the matching (K, N) device array, runtime).  With
+            ``include_lr=False`` the LR-baseline rows are omitted entirely (the eval
+            protocol computes them once, on the first model only).
         """
         import time
-        keys = tuple('%s>%s' % (side, met) for met in metrics
-                     for side in ('LR', 'model'))
+        sides = ('LR', 'model') if include_lr else ('model',)
+        keys = tuple('%s>%s' % (side, met) for met in metrics for side in sides)
         if isinstance(batch['lr'], (list, tuple)) or \
                 getattr(batch['lr'], 'dtype', None) == object:
             # ragged batch (mixed-size eval images at bs>1): run per image
@@ -532,7 +546,8 @@ class BaseHandler:
                 one['lr'] = np.asarray(batch['lr'][i])[None]
                 one['hr'] = np.asarray(batch['hr'][i])[None]
                 (_, vals), rt = self.run_eval_fused(one, metrics=metrics,
-                                                    timing=timing)
+                                                    timing=timing,
+                                                    include_lr=include_lr)
                 parts.append(vals)
                 total += rt or 0.0
             return (keys, jnp.concatenate(parts, axis=1)), \
@@ -554,9 +569,10 @@ class BaseHandler:
         if batch.get('metadata') is not None and self.uses_metadata:
             dev_batch['metadata'] = jnp.asarray(np.asarray(batch['metadata'],
                                                            np.float32))
-        key = ('fused', tuple(metrics))
+        key = ('fused', tuple(metrics), include_lr)
         if key not in self._eval_step_cache:
-            self._eval_step_cache[key] = self._make_fused_step(tuple(metrics))
+            self._eval_step_cache[key] = self._make_fused_step(tuple(metrics),
+                                                               include_lr)
         step = self._eval_step_cache[key]
         out = step(self.state, dev_batch)  # async dispatch: does not block the host
         runtime = None
@@ -568,7 +584,7 @@ class BaseHandler:
             runtime = time.perf_counter() - tic
         return (keys, out), runtime
 
-    def _make_fused_step(self, metrics):
+    def _make_fused_step(self, metrics, include_lr=True):
         from ..ops.colorspace import rgb_to_ycbcr_nhwc
         from ..ops.resize import resize_bicubic
         from ..ops.metrics import psnr_nhw, ssim_nhw
@@ -591,17 +607,21 @@ class BaseHandler:
                 variables['batch_stats'] = state.batch_stats
                 kwargs['train'] = False
             sr = state.apply_fn(variables, x, **kwargs)
-            interp = resize_bicubic(batch['lr'].astype(jnp.float32),
-                                    hr.shape[1], hr.shape[2], dtype=jnp.float32)
 
             def prep_y(img):  # mirrors EvalHub._high_res_prep: clip + Y ('jpg')
                 img = jnp.clip(img.astype(jnp.float32), 0.0, 1.0)
                 return rgb_to_ycbcr_nhwc(img, y_only=True, im_type='jpg')[..., 0]
 
-            hr_y, lr_y, sr_y = prep_y(hr), prep_y(interp), prep_y(sr)
+            hr_y, sr_y = prep_y(hr), prep_y(sr)
+            lr_y = None
+            if include_lr:
+                interp = resize_bicubic(batch['lr'].astype(jnp.float32),
+                                        hr.shape[1], hr.shape[2], dtype=jnp.float32)
+                lr_y = prep_y(interp)
             rows = []
             for met in metrics:  # row order matches run_eval_fused's keys tuple
-                rows.append(fns[met](lr_y, hr_y))
+                if include_lr:
+                    rows.append(fns[met](lr_y, hr_y))
                 rows.append(fns[met](sr_y, hr_y))
             return jnp.stack(rows)  # (K, N): one host round trip for the whole batch
 
@@ -637,6 +657,11 @@ class BaseHandler:
             'model_name': self.model_name,
             'model_epoch': int(self.curr_epoch),
         }
+        if self.gan_state:  # optional GAN entries (ref: models/__init__.py:368-380)
+            for ours, ref_key in _GAN_STATE_KEYS:
+                if ours in self.gan_state:
+                    state_dict[ref_key] = serialization.to_state_dict(
+                        self.gan_state[ours])
         path = os.path.join(model_save_dir, '%s_%s' % (model_save_name, model_idx))
         if self.checkpoint_backend == 'orbax':
             from ..utils.orbax_ckpt import save_orbax
@@ -674,6 +699,13 @@ class BaseHandler:
             self.state = self.state.replace(params=params, opt_state=opt_state,
                                             batch_stats=batch_stats,
                                             step=jnp.asarray(state_dict['step']))
+        if not self.eval_mode and self.gan_state is not None:
+            # optional GAN entries restore into the handler's templates, mirroring the
+            # reference's hasattr-guarded loads (ref: models/__init__.py:445-456)
+            for ours, ref_key in _GAN_STATE_KEYS:
+                if ref_key in state_dict and ours in self.gan_state:
+                    self.gan_state[ours] = serialization.from_state_dict(
+                        self.gan_state[ours], state_dict[ref_key])
         self.set_epoch(int(state_dict['model_epoch']))
         print('Loaded model uses the following architecture:', state_dict['model_name'])
         return state_dict

@@ -224,6 +224,25 @@ def test_eval_cli_fused_matches_standard(tmp_path):
                                    atol=1e-3)
 
 
+def test_run_eval_fused_include_lr_false():
+    """include_lr=False omits the LR-baseline rows (multi-model eval computes the LR
+    baseline only once, on the first model)."""
+    from sisr_tpu.models.handlers import define_model
+    h = define_model('edsr', scale=4, net_features=8, num_blocks=1, eval_mode=True)
+    rng = np.random.RandomState(0)
+    batch = {'lr': rng.rand(2, 8, 8, 3).astype(np.float32),
+             'hr': rng.rand(2, 32, 32, 3).astype(np.float32)}
+    (keys, vals), _ = h.run_eval_fused(batch, metrics=('PSNR', 'SSIM'))
+    assert keys == ('LR>PSNR', 'model>PSNR', 'LR>SSIM', 'model>SSIM')
+    full = dict(zip(keys, np.asarray(vals)))
+    (keys2, vals2), _ = h.run_eval_fused(batch, metrics=('PSNR', 'SSIM'),
+                                         include_lr=False)
+    assert keys2 == ('model>PSNR', 'model>SSIM')
+    sub = dict(zip(keys2, np.asarray(vals2)))
+    np.testing.assert_allclose(sub['model>PSNR'], full['model>PSNR'], atol=1e-5)
+    np.testing.assert_allclose(sub['model>SSIM'], full['model>SSIM'], atol=1e-6)
+
+
 def test_low_res_prep_per_image_timing():
     """At batch_size > 1, LR>runtime rows must be per-image truths, not the last
     image's time replicated (VERDICT r1 item 7)."""

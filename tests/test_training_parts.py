@@ -115,3 +115,45 @@ def test_orbax_checkpoint_backend_roundtrip(tmp_path):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     loss, _ = h2.run_train(**batch)  # optimizer state round-trips -> resumable
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize('backend', ['msgpack', 'orbax'])
+def test_gan_state_checkpoint_roundtrip(tmp_path, backend):
+    """Optional adversarial components persist under the reference's checkpoint keys
+    (discriminator/optimizer_D/scheduler_D/steps — ref models/__init__.py:368-380,
+    445-456) and restore into a fresh handler's templates."""
+    import jax
+    import optax
+    import flax.linen as nn
+    from sisr_tpu.models.handlers import define_model
+
+    disc = nn.Dense(1)
+    dp = disc.init(jax.random.PRNGKey(0), np.zeros((1, 4)))['params']
+    opt = optax.adam(1e-4)
+
+    def make_handler():
+        h = define_model('edsr', scale=4, net_features=8, num_blocks=1,
+                         checkpoint_backend=backend)
+        h.gan_state = {'params': jax.tree.map(np.zeros_like, dp),
+                       'opt_state': opt.init(dp), 'steps': 0}
+        return h
+
+    h = make_handler()
+    h.gan_state['params'] = dp
+    h.gan_state['steps'] = 7
+    batch = {'lr': np.random.rand(1, 8, 8, 3).astype(np.float32),
+             'hr': np.random.rand(1, 32, 32, 3).astype(np.float32)}
+    h.run_train(**batch)
+    h.save_model('train_model', 0, str(tmp_path))
+
+    h2 = make_handler()
+    h2.load_model('train_model', 0, str(tmp_path))
+    for a, b in zip(jax.tree_util.tree_leaves(dp),
+                    jax.tree_util.tree_leaves(h2.gan_state['params'])):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert int(h2.gan_state['steps']) == 7
+
+    # a handler WITHOUT gan templates ignores the extra keys (hasattr-guard parity)
+    h3 = define_model('edsr', scale=4, net_features=8, num_blocks=1)
+    h3.load_model('train_model', 0, str(tmp_path))
+    assert h3.gan_state is None
