@@ -11,7 +11,9 @@ torch-CPU EDSR forward + host (skimage-equivalent) metrics, measured on this mac
 BENCH_MEASURE_BASELINE=1).  Driver target (BASELINE.md): >10x per v5e chip.
 
 Forward-only device throughput (the round-1 headline) is still measured and printed to
-stderr for the record.  Per-family numbers incl. q-RCAN / tiled SAN / SPARNet:
+stderr for the record.  The other BASELINE configs (srcnn interp / q-RCAN metadata /
+tiled SAN / SPARNet face) run through the same protocol via
+``python -m sisr_tpu.tools.bench_models --e2e``; forward-only per-family numbers via
 ``python -m sisr_tpu.tools.bench_models``.
 """
 import json
@@ -25,82 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from sisr_tpu.tools.e2e_bench import (E2E_CONFIGS, build_experiment, build_workload,
+                                      log, measure_e2e)
+
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               '.bench_baseline.json')
 BATCH = int(os.environ.get('BENCH_BATCH', '8'))
 N_IMAGES = int(os.environ.get('BENCH_IMAGES', '32'))
 ITERS = int(os.environ.get('BENCH_ITERS', '20'))
-SET5_HR = '/root/reference/Data/example_data/Set5/hr'
-
-
-def log(msg):
-    print(msg, file=sys.stderr, flush=True)
-
-
-def build_workload(root):
-    """N_IMAGES LR(128^2)/HR(512^2) PNG pairs — DIV2K-shaped 4x eval data.
-
-    Sourced from Set5 crops when available (realistic PNG entropy), else noise."""
-    from PIL import Image
-    lr_dir = os.path.join(root, 'lr')
-    hr_dir = os.path.join(root, 'hr')
-    os.makedirs(lr_dir)
-    os.makedirs(hr_dir)
-    sources = []
-    if os.path.isdir(SET5_HR):
-        for f in sorted(os.listdir(SET5_HR)):
-            im = Image.open(os.path.join(SET5_HR, f)).convert('RGB')
-            if im.width >= 256 and im.height >= 256:
-                sources.append(np.asarray(im.resize((512, 512), Image.BICUBIC)))
-    rng = np.random.RandomState(0)
-    for i in range(N_IMAGES):
-        if sources:
-            hr = sources[i % len(sources)].copy()
-            hr[:8, :8] = rng.randint(0, 255, (8, 8, 3))  # decorrelate duplicates
-        else:
-            hr = rng.randint(0, 255, (512, 512, 3)).astype(np.uint8)
-        hr_im = Image.fromarray(hr.astype(np.uint8))
-        hr_im.save(os.path.join(hr_dir, 'im_%03d.png' % i))
-        hr_im.resize((128, 128), Image.BICUBIC).save(
-            os.path.join(lr_dir, 'im_%03d.png' % i))
-    return lr_dir, hr_dir
-
-
-def build_experiment(root):
-    """A ready-to-evaluate EDSR 64f/16b experiment (random init, bf16 compute)."""
-    from sisr_tpu.models.handlers import define_model
-    from sisr_tpu.utils import toml_io
-    internal = {'scale': 4, 'num_features': 64, 'num_blocks': 16, 'dtype': 'bf16'}
-    base = os.path.join(root, 'Results', 'bench_edsr')
-    saved = os.path.join(base, 'saved_models')
-    os.makedirs(saved)
-    with open(os.path.join(base, 'config.toml'), 'w') as f:
-        toml_io.dump({'model': {'name': 'edsr', 'internal_params': internal}}, f)
-    h = define_model('edsr', eval_mode=False, **internal)
-    h.init_state(spatial=(128, 128))
-    h.save_model('train_model', 0, saved)
-    return os.path.join(root, 'Results')
-
-
-def measure_e2e_tpu(lr_dir, hr_dir, model_loc, out_root):
-    """Time the full product eval protocol (second run: compiles amortized)."""
-    from sisr_tpu.evaluation.standard_eval import EvalHub
-    hub = EvalHub(
-        hr_dir=hr_dir, lr_dir=lr_dir, model_and_epoch=[('bench_edsr', '0')],
-        results_name='bench_eval', gpu=True, metrics=['PSNR', 'SSIM'],
-        data_split='all', save_im=False, batch_size=BATCH, full_directory=True,
-        lr_dir_interp=None, model_only=False, scale=4, model_loc=model_loc,
-        out_loc=out_root, use_test_group=False, no_image_comparison=True,
-        num_image_save=0, qpi_selection=(None, None), data_attributes=None,
-        dataset_name=None, image_shortlist=None, metadata_file=None, sp_gpu=0,
-        time_models=False, recursive=False, device_metrics=True, fused_eval=True)
-    log('warmup protocol run (compiles)...')
-    hub.full_image_protocol()
-    log('timed protocol run...')
-    t0 = time.perf_counter()
-    hub.full_image_protocol()
-    dt = time.perf_counter() - t0
-    return N_IMAGES / dt
 
 
 def measure_e2e_torch(lr_dir, hr_dir):
@@ -177,7 +111,7 @@ def get_baseline():
     if os.environ.get('BENCH_MEASURE_BASELINE') == '1' \
             or 'torch_cpu_e2e_img_per_sec' not in cache:
         with tempfile.TemporaryDirectory() as tmp:
-            lr_dir, hr_dir = build_workload(tmp)
+            lr_dir, hr_dir = build_workload(tmp, N_IMAGES)
             log('measuring torch-CPU eval-protocol baseline (one-time, cached)...')
             cache['torch_cpu_e2e_img_per_sec'] = measure_e2e_torch(lr_dir, hr_dir)
             cache['e2e_workload'] = ('EDSR 64f/16b 4x 128->512 eval protocol '
@@ -220,11 +154,14 @@ def main():
     tmp = tempfile.mkdtemp(prefix='sisr_bench_')
     try:
         log('building workload...')
-        lr_dir, hr_dir = build_workload(tmp)
+        lr_dir, hr_dir = build_workload(tmp, N_IMAGES)
         log('building experiment (device init)...')
-        model_loc = build_experiment(tmp)
+        cfg = E2E_CONFIGS['edsr']
+        model_loc = build_experiment(tmp, 'bench_edsr', cfg['model'],
+                                     cfg['internal'], cfg['spatial'])
         log('running eval protocol...')
-        e2e = measure_e2e_tpu(lr_dir, hr_dir, model_loc, os.path.join(tmp, 'out'))
+        e2e = measure_e2e(lr_dir, hr_dir, model_loc, os.path.join(tmp, 'out'),
+                          'bench_edsr', BATCH, N_IMAGES, fused=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     try:

@@ -432,7 +432,7 @@ class BaseHandler:
         loss_out = float(loss) if (request_loss and y is not None) else None
         return np.asarray(out, np.float32), loss_out, runtime
 
-    def _tiled_forward(self, batch, shave=10):
+    def _tiled_forward(self, batch, shave=10, state=None):
         """Static-shape tile-grid eval replacing the reference's recursive forward_chop
         (ref: advanced/handlers.py:80-129).
 
@@ -441,6 +441,7 @@ class BaseHandler:
         shape), and stitches the centers.  TPU-native: one batched static-shape call
         instead of data-dependent recursion.
         """
+        state = self.state if state is None else state
         x = batch['lr']
         n, h, w, c = x.shape
         # choose the number of halvings like the reference's recursion depth
@@ -450,7 +451,7 @@ class BaseHandler:
             level += 1
         if level == 0:
             step = self._eval_step_for(x.shape)
-            return step(self.state, batch)[0]
+            return step(state, batch)[0]
 
         grid = 2 ** level
         tile_h, tile_w = -(-h // grid), -(-w // grid)
@@ -461,7 +462,7 @@ class BaseHandler:
             span_h, span_w = tile_h + 2 * shave, tile_w + 2 * shave
         if grid == 1:
             step = self._eval_step_for(x.shape)
-            return step(self.state, batch)[0]
+            return step(state, batch)[0]
 
         # tiles carry `shave` halo on each side; anchors are clamped inside the image so
         # border tiles see the exact image edge (same zero-pad context as the untiled
@@ -487,7 +488,7 @@ class BaseHandler:
                 {k: np.asarray(v) for k, v in tile_batch.items()})
             tile_batch = self.mesh_ctx.shard_batch(tile_batch)
         step = self._eval_step_for(tile_batch['lr'].shape)
-        sr_tiles, _ = step(self.state, tile_batch)
+        sr_tiles, _ = step(state, tile_batch)
         sr_tiles = sr_tiles[:n_tiles_total]
 
         s = self.scale
@@ -505,11 +506,15 @@ class BaseHandler:
         return out[:, :h * s, :w * s, :]
 
     def supports_fused_eval(self):
-        """Fused device eval applies to plain rgb/unmodified forward paths (the other
-        modes keep their dedicated paths: tiling, bucketing, int8, y-channel prep)."""
-        return (self.colorspace == 'rgb' and self.im_input == 'unmodified'
-                and not self.tiled_eval and not self.int8_mode
-                and not self.eval_buckets)
+        """Fused device eval covers every family mode: rgb/unmodified (edsr...),
+        metadata models (augmented_rgb: qrcan/srmd/...), pre-upscaled interp inputs
+        (sparnet), y-channel ycbcr models (srcnn/vdsr) and the tiled eval (san) —
+        the tile grid traces into the same program.  int8 and bucketed eval keep
+        their dedicated paths; mesh-sharded tiled eval stays on the standard path
+        (its tile scatter is host-side)."""
+        return (not self.int8_mode and not self.eval_buckets
+                and not (self.tiled_eval and self.mesh_ctx is not None)
+                and self.colorspace in ('rgb', 'augmented_rgb', 'ycbcr'))
 
     def run_eval_fused(self, batch, metrics=('PSNR', 'SSIM'), timing=False,
                        include_lr=True):
@@ -597,27 +602,50 @@ class BaseHandler:
                 hr = hr.astype(jnp.float32) / 255.0
             if lr.dtype == jnp.uint8:
                 lr = lr.astype(jnp.float32) / 255.0
-            batch = {**batch, 'hr': hr, 'lr': lr}
-            x, _, metadata = self._prep_batch(batch)
-            kwargs = {}
-            if metadata is not None:
-                kwargs['metadata'] = metadata
-            variables = {'params': state.params}
-            if self.has_batch_stats:
-                variables['batch_stats'] = state.batch_stats
-                kwargs['train'] = False
-            sr = state.apply_fn(variables, x, **kwargs)
 
             def prep_y(img):  # mirrors EvalHub._high_res_prep: clip + Y ('jpg')
                 img = jnp.clip(img.astype(jnp.float32), 0.0, 1.0)
                 return rgb_to_ycbcr_nhwc(img, y_only=True, im_type='jpg')[..., 0]
 
-            hr_y, sr_y = prep_y(hr), prep_y(sr)
-            lr_y = None
-            if include_lr:
-                interp = resize_bicubic(batch['lr'].astype(jnp.float32),
-                                        hr.shape[1], hr.shape[2], dtype=jnp.float32)
+            hr_y = prep_y(hr)
+            need_interp = include_lr or self.im_input == 'interp'
+            interp = lr_y = None
+            if need_interp:
+                # device bicubic stands in for the host PIL prep (same filter
+                # weights; <=1 uint8 LSB fixed-point difference)
+                interp = resize_bicubic(lr, hr.shape[1], hr.shape[2],
+                                        dtype=jnp.float32)
                 lr_y = prep_y(interp)
+
+            if self.im_input == 'interp':
+                # pre-upscaled pipeline: ycbcr models consume the Y channel of the
+                # upscaled LR (ref eval feeds lr_prep[..., :1]); rgb models the image
+                x_in = lr_y[..., None] if self.colorspace == 'ycbcr' else interp
+            else:
+                x_in = lr
+
+            if self.tiled_eval:
+                # the static tile grid traces into this same program (anchors are
+                # shape-derived constants); the inner jitted eval step is inlined
+                tb = {'lr': x_in}
+                if batch.get('metadata') is not None:
+                    tb['metadata'] = batch['metadata']
+                sr = self._tiled_forward(tb, state=state)
+            else:
+                x, _, metadata = self._prep_batch({**batch, 'hr': hr, 'lr': x_in})
+                kwargs = {}
+                if metadata is not None:
+                    kwargs['metadata'] = metadata
+                variables = {'params': state.params}
+                if self.has_batch_stats:
+                    variables['batch_stats'] = state.batch_stats
+                    kwargs['train'] = False
+                sr = state.apply_fn(variables, x, **kwargs)
+
+            if self.colorspace == 'ycbcr':  # model emits Y directly
+                sr_y = jnp.clip(sr[..., 0].astype(jnp.float32), 0.0, 1.0)
+            else:
+                sr_y = prep_y(sr)
             rows = []
             for met in metrics:  # row order matches run_eval_fused's keys tuple
                 if include_lr:
@@ -699,6 +727,10 @@ class BaseHandler:
             self.state = self.state.replace(params=params, opt_state=opt_state,
                                             batch_stats=batch_stats,
                                             step=jnp.asarray(state_dict['step']))
+        # from_state_dict restores HOST numpy leaves; commit them to the accelerator
+        # once, or every subsequent jitted call re-uploads the full parameter set
+        # (60 MB/step for RCAN-sized models on a remote-attached chip)
+        self.state = jax.device_put(self.state)
         if not self.eval_mode and self.gan_state is not None:
             # optional GAN entries restore into the handler's templates, mirroring the
             # reference's hasattr-guarded loads (ref: models/__init__.py:445-456)
@@ -861,7 +893,10 @@ class SANHandler(BaseHandler):
     bucketed_eval_ok = False  # non-local spatial softmax + SOCA covariance
 
     def build_module(self, scale, dtype, **kwargs):
-        return san.SAN(scale=scale, dtype=dtype)
+        cfg = {k: v for k, v in kwargs.items()
+               if k in ('n_resgroups', 'n_resblocks', 'n_feats', 'reduction')
+               and v is not None}
+        return san.SAN(scale=scale, dtype=dtype, **cfg)
 
 
 @register_model('srmd')

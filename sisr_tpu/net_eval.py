@@ -75,7 +75,9 @@ def _config_callback(ctx, param, value):
               help='Metrics-only fast path: forward + LR baseline + YCbCr + PSNR/SSIM '
                    'fused into ONE device program per batch; only scalars return to '
                    'the host. Needs --no_image_comparison and no image saving. '
-                   'LR prep uses the MXU bicubic (<=1 uint8 LSB vs PIL).')
+                   'Covers metadata, y-channel, pre-upscaled and tiled families; '
+                   'LR prep (and interp-model input) uses the MXU bicubic '
+                   '(<=1 uint8 LSB vs PIL).')
 @click.option('--device_metrics', is_flag=True,
               help='Compute PSNR/SSIM as batched jitted programs on the accelerator '
                    'instead of per-image host numpy (host SSIM otherwise dominates '

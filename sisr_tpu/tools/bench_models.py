@@ -8,6 +8,11 @@ platform's remote-execution tunnel).
 
 Run: ``python -m sisr_tpu.tools.bench_models [family ...]``
 (default: every family; e.g. ``... bench_models edsr rcan qrcan``).
+
+``--e2e``: instead of forward-only loops, measure the BASELINE benchmark configs
+#1-#5 (srcnn/edsr/qrcan/san/sparnet — see tools/e2e_bench.py) through the REAL
+product eval protocol (decode -> prep -> forward -> YCbCr -> PSNR/SSIM -> CSV),
+in img/s per chip: ``python -m sisr_tpu.tools.bench_models --e2e [config ...]``.
 """
 import sys
 import time
@@ -66,8 +71,29 @@ def _families():
     ]
 
 
+def main_e2e(only):
+    from .e2e_bench import E2E_CONFIGS, run_config
+    keys = [k for k in E2E_CONFIGS if not only or k in only]
+    unknown = only - set(E2E_CONFIGS)
+    if unknown:
+        sys.exit('unknown e2e configs: %s (choose from: %s)'
+                 % (', '.join(sorted(unknown)), ', '.join(E2E_CONFIGS)))
+    print('%-9s %10s  %s' % ('config', 'img/s', '(end-to-end eval protocol, '
+                             '32 images, batch 8)'))
+    for key in keys:
+        try:
+            tput = run_config(key)
+            print('%-9s %10.2f' % (key, tput))
+        except Exception as e:
+            print('%-9s %10s  (%s: %s)' % (key, 'FAILED', type(e).__name__,
+                                           str(e)[:60]))
+
+
 def main():
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    if '--e2e' in args:
+        return main_e2e({a for a in args if a != '--e2e'})
+    only = set(args)
     known = {name for name, _ in _families()}
     unknown = only - known
     if unknown:

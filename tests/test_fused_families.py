@@ -1,0 +1,80 @@
+"""Fused device eval across every family mode vs the standard (host-path) protocol:
+metadata models (qrcan), y-channel interp models (srcnn), pre-upscaled rgb models
+(sparnet) and tiled models (san).  Model metrics must agree with the standard
+protocol; interp-input families may deviate slightly because the fused path feeds the
+MXU bicubic (<=1 uint8 LSB vs the host PIL prep) as the model input."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sisr_tpu.tools.e2e_bench import build_workload
+
+# family -> (model, internal_params, metadata_cols, model-PSNR atol)
+FAMILIES = {
+    'qrcan': ('qrcan', {'scale': 4, 'n_feats': 16, 'n_resblocks': 1,
+                        'n_resgroups': 1, 'style': 'max_concat',
+                        'include_q_layer': True, 'metadata': ['blur_kernel']},
+              10, 2e-2),
+    'srcnn': ('srcnn', {'scale': 4, 'kernel_pattern': [3, 3],
+                        'channel_pattern': [1, 8, 1]}, 0, 0.3),
+    'sparnet': ('sparnet', {'scale': 4}, 0, 0.3),
+    'san': ('san', {'scale': 4, 'n_feats': 16, 'n_resgroups': 1, 'n_resblocks': 1,
+                    'max_combined_im_size': 600}, 0, 2e-2),
+}
+
+
+def _make_experiment(save_loc, name, model_name, internal, metadata_cols):
+    from sisr_tpu.models.handlers import define_model
+    from sisr_tpu.utils import toml_io
+    base = os.path.join(save_loc, name)
+    os.makedirs(os.path.join(base, 'saved_models'))
+    with open(os.path.join(base, 'config.toml'), 'w') as f:
+        toml_io.dump({'model': {'name': model_name, 'internal_params': internal}}, f)
+    handler = define_model(model_name, eval_mode=False, **internal)
+    if handler.uses_metadata:
+        handler.set_metadata_keys(['blur_kernel'] * metadata_cols)
+    handler.init_state()
+    handler.save_model('train_model', 0, os.path.join(base, 'saved_models'))
+
+
+@pytest.mark.parametrize('family', sorted(FAMILIES))
+def test_fused_eval_matches_standard(tmp_path, family):
+    from sisr_tpu.evaluation.standard_eval import EvalHub
+    model_name, internal, metadata_cols, atol_psnr = FAMILIES[family]
+    lr_dir, hr_dir = build_workload(str(tmp_path), 4, lr_size=32,
+                                    metadata_cols=metadata_cols)
+    save_loc = str(tmp_path / 'Results')
+    os.makedirs(save_loc)
+    _make_experiment(save_loc, 'exp', model_name, internal, metadata_cols)
+
+    results = {}
+    for mode, fused in (('standard', False), ('fused', True)):
+        out_loc = str(tmp_path / mode)
+        os.makedirs(out_loc)
+        hub = EvalHub(
+            hr_dir=hr_dir, lr_dir=lr_dir, model_and_epoch=[('exp', '0')],
+            results_name='r', gpu=False, metrics=['PSNR', 'SSIM'],
+            data_split='all', save_im=False, batch_size=2, full_directory=True,
+            lr_dir_interp=None, model_only=False, scale=4, model_loc=save_loc,
+            out_loc=out_loc, use_test_group=False, no_image_comparison=True,
+            num_image_save=0, qpi_selection=(None, None), data_attributes=None,
+            dataset_name=None, image_shortlist=None, metadata_file=None, sp_gpu=0,
+            time_models=False, recursive=False, fused_eval=fused)
+        if fused:
+            assert all(m.model.supports_fused_eval() for m in hub.model_bundles), \
+                '%s must take the fused path' % family
+        hub.full_image_protocol()
+        results[mode] = pd.read_csv(
+            os.path.join(out_loc, 'r', 'standard_metrics',
+                         'individual_metrics.csv'), header=[0, 1], index_col=0)
+
+    std, fus = results['standard'], results['fused']
+    assert list(std.index) == list(fus.index)
+    np.testing.assert_allclose(fus[('exp', 'PSNR')], std[('exp', 'PSNR')],
+                               atol=atol_psnr)
+    np.testing.assert_allclose(fus[('exp', 'SSIM')], std[('exp', 'SSIM')],
+                               atol=max(1e-3, atol_psnr / 30))
+    np.testing.assert_allclose(fus[('LR', 'PSNR')], std[('LR', 'PSNR')], atol=0.1)
+    np.testing.assert_allclose(fus[('LR', 'SSIM')], std[('LR', 'SSIM')], atol=2e-3)
