@@ -117,6 +117,21 @@ def test_orbax_checkpoint_backend_roundtrip(tmp_path):
     assert np.isfinite(float(loss))
 
 
+def test_loaded_state_is_device_committed(tmp_path):
+    """After load_model, every state leaf must be a committed jax.Array — host numpy
+    leaves make every subsequent jitted call re-upload the full parameter set
+    (60 MB/step for RCAN-sized models on a remote-attached chip)."""
+    import jax
+    from sisr_tpu.models.handlers import define_model
+    h = define_model('edsr', scale=4, net_features=8, num_blocks=1)
+    h.init_state()
+    h.save_model('train_model', 0, str(tmp_path))
+    h2 = define_model('edsr', scale=4, net_features=8, num_blocks=1, eval_mode=True)
+    h2.load_model('train_model', 0, str(tmp_path))
+    for leaf in jax.tree_util.tree_leaves(h2.state.params):
+        assert isinstance(leaf, jax.Array), type(leaf)
+
+
 @pytest.mark.parametrize('backend', ['msgpack', 'orbax'])
 def test_gan_state_checkpoint_roundtrip(tmp_path, backend):
     """Optional adversarial components persist under the reference's checkpoint keys
