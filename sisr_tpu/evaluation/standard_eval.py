@@ -288,8 +288,8 @@ class EvalHub:
         if self.fused_eval:
             if all(m.model.supports_fused_eval() for m in self.model_bundles):
                 return self._fused_image_protocol()
-            print('fused_eval: some models lack a fused path (int8/bucketed/'
-                  'mesh-tiled) — using the standard protocol.')
+            print('fused_eval: some models lack a fused path (bucketed eval / '
+                  'mesh-sharded tiling) — using the standard protocol.')
         metric_package = defaultdict(list)
         with tqdm(total=len(self.rgb_data)) as pbar:
             for index, batch in enumerate(self.rgb_data):

@@ -187,12 +187,20 @@ class BaseHandler:
         self.int8_mode = bool(enabled)
         self.int8_residual_dtype = residual_dtype
         self._int8_ctx = None
+        self._invalidate_steps()  # int8 is traced into cached (fused) eval steps
 
     def _int8_forward(self, batch):
         """Quantized forward; lazily quantizes weights + calibrates activation scales
         from the first batch seen, then reuses the jitted int8 program."""
-        from ..ops import quantization as qz
         x = jnp.asarray(batch['lr'], jnp.float32)
+        self._ensure_int8_ctx(x)
+        fwd, qp = self._int8_ctx
+        return fwd(qp, x)
+
+    def _ensure_int8_ctx(self, x):
+        """Quantize weights + calibrate activation scales on the first batch seen
+        (host-side, OUTSIDE any trace — the resulting int8 program is pure)."""
+        from ..ops import quantization as qz
         if self._int8_ctx is None:
             params = jax.tree.map(lambda a: np.asarray(a, np.float32),
                                   self.state.params)
@@ -218,8 +226,6 @@ class BaseHandler:
             else:
                 raise RuntimeError('unknown int8 family %r' % self.int8_family)
             self._int8_ctx = (fwd, qp)
-        fwd, qp = self._int8_ctx
-        return fwd(qp, x)
 
     def prepare_metadata(self, x, metadata):
         """Traced metadata prep: (B, M_total) -> model metadata input (or None)."""
@@ -511,8 +517,10 @@ class BaseHandler:
         (sparnet), y-channel ycbcr models (srcnn/vdsr) and the tiled eval (san) —
         the tile grid traces into the same program.  int8 and bucketed eval keep
         their dedicated paths; mesh-sharded tiled eval stays on the standard path
-        (its tile scatter is host-side)."""
-        return (not self.int8_mode and not self.eval_buckets
+        (its tile scatter is host-side).  int8 serving composes with the fused step
+        for the families that have an int8 program (edsr/rcan)."""
+        return (not (self.int8_mode and self.int8_family is None)
+                and not self.eval_buckets
                 and not (self.tiled_eval and self.mesh_ctx is not None)
                 and self.colorspace in ('rgb', 'augmented_rgb', 'ycbcr'))
 
@@ -574,7 +582,11 @@ class BaseHandler:
         if batch.get('metadata') is not None and self.uses_metadata:
             dev_batch['metadata'] = jnp.asarray(np.asarray(batch['metadata'],
                                                            np.float32))
-        key = ('fused', tuple(metrics), include_lr)
+        if self.int8_mode:
+            lr_f32 = lr.astype(np.float32) / 255.0 if lr.dtype == np.uint8 \
+                else np.asarray(lr, np.float32)
+            self._ensure_int8_ctx(jnp.asarray(lr_f32))  # calibrate OUTSIDE the trace
+        key = ('fused', tuple(metrics), include_lr, self.int8_mode)
         if key not in self._eval_step_cache:
             self._eval_step_cache[key] = self._make_fused_step(tuple(metrics),
                                                                include_lr)
@@ -624,7 +636,13 @@ class BaseHandler:
             else:
                 x_in = lr
 
-            if self.tiled_eval:
+            if self.int8_mode:
+                # calibrated int8 serving program, inlined into the fused step
+                # (int8 convs at 2x the bf16 MXU rate; quantized params are trace
+                # constants, refreshed via set_int8/_invalidate_steps)
+                fwd, qp = self._int8_ctx
+                sr = fwd(qp, x_in.astype(jnp.float32))
+            elif self.tiled_eval:
                 # the static tile grid traces into this same program (anchors are
                 # shape-derived constants); the inner jitted eval step is inlined
                 tb = {'lr': x_in}

@@ -5,7 +5,10 @@ REAL product eval path (`EvalHub.full_image_protocol`: PNG decode -> LR prep ->
 jitted forward -> YCbCr -> PSNR/SSIM -> CSV), not a synthetic forward loop:
 
 1. srcnn   — pre-upscaled (interp) y-channel input, host-PIL upscale in the loop
-2. edsr    — 4x 128->512, fused device eval (the bench.py headline)
+2. edsr    — 4x 128->512, fused device eval (the bench.py headline); also measured
+             with the int8 serving fast path composed in ('edsr_int8' — NB: the e2e
+             protocol at batch 8 is decode/transfer-bound, so int8's 1.16-1.25x
+             forward-path win does not surface here; measured 30.0 vs 35.5 img/s)
 3. qrcan   — meta-attention with 10-d blur-kernel metadata through the QModel path
 4. san     — second-order attention with the static tile-grid eval engaged
 5. sparnet — face SR 128->512 on the pre-upscaled pipeline
@@ -33,6 +36,10 @@ E2E_CONFIGS = {
         model='edsr',
         internal={'scale': 4, 'num_features': 64, 'num_blocks': 16, 'dtype': 'bf16'},
         spatial=(128, 128), fused=True, metadata_cols=0),
+    'edsr_int8': dict(
+        model='edsr',
+        internal={'scale': 4, 'num_features': 64, 'num_blocks': 16, 'dtype': 'bf16'},
+        spatial=(128, 128), fused=True, metadata_cols=0, int8=True),
     'qrcan': dict(
         model='qrcan',
         internal={'scale': 4, 'style': 'max_concat', 'include_q_layer': True,
@@ -114,10 +121,10 @@ def build_experiment(root, name, model, internal, spatial, metadata_cols=0):
 
 
 def measure_e2e(lr_dir, hr_dir, model_loc, out_root, experiment, batch_size,
-                n_images, fused=True, scale=4):
+                n_images, fused=True, scale=4, int8=False):
     """Wall-clock the full product eval protocol; second pass (compiles amortized)."""
     from ..evaluation.standard_eval import EvalHub
-    hub = EvalHub(
+    hub = EvalHub(int8=int8,
         hr_dir=hr_dir, lr_dir=lr_dir, model_and_epoch=[(experiment, '0')],
         results_name='bench_eval', gpu=True, metrics=['PSNR', 'SSIM'],
         data_split='all', save_im=False, batch_size=batch_size, full_directory=True,
@@ -154,6 +161,6 @@ def run_config(key, n_images=32, batch_size=8):
                                      metadata_cols=cfg['metadata_cols'])
         return measure_e2e(lr_dir, hr_dir, model_loc, os.path.join(tmp, 'out'),
                            'bench_%s' % key, batch_size, n_images,
-                           fused=cfg['fused'])
+                           fused=cfg['fused'], int8=cfg.get('int8', False))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -195,3 +195,23 @@ def test_eval_cli_int8_flag(tmp_path):
                                       'average_metrics.csv'), index_col=0)
         means[label] = float(av.loc['int8_edsr'].iloc[-2])  # PSNR Mean column
     assert abs(means['int8'] - means['f32']) < 1.0, means
+
+
+def test_int8_composes_with_fused_eval():
+    """--int8 + --fused_eval: the calibrated int8 program inlines into the fused
+    device step; metrics stay close to the f32 fused run."""
+    import jax
+    from sisr_tpu.models.handlers import define_model
+    rng = np.random.RandomState(3)
+    h = define_model('edsr', eval_mode=True, scale=4, num_features=16, num_blocks=2)
+    batch = {'lr': rng.rand(2, 12, 14, 3).astype(np.float32),
+             'hr': rng.rand(2, 48, 56, 3).astype(np.float32)}
+    (keys, vals), _ = h.run_eval_fused(batch, metrics=('PSNR',))
+    f32 = dict(zip(keys, np.asarray(vals)))
+    h.set_int8(True)
+    assert h.supports_fused_eval()
+    (keys8, vals8), _ = h.run_eval_fused(batch, metrics=('PSNR',))
+    q = dict(zip(keys8, np.asarray(vals8)))
+    np.testing.assert_allclose(q['LR>PSNR'], f32['LR>PSNR'], atol=1e-5)
+    # quantized forward output: within 1 dB of the f32 metrics on random data
+    np.testing.assert_allclose(q['model>PSNR'], f32['model>PSNR'], atol=1.0)
