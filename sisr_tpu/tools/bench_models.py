@@ -13,6 +13,10 @@ Run: ``python -m sisr_tpu.tools.bench_models [family ...]``
 #1-#5 (srcnn/edsr/qrcan/san/sparnet — see tools/e2e_bench.py) through the REAL
 product eval protocol (decode -> prep -> forward -> YCbCr -> PSNR/SSIM -> CSV),
 in img/s per chip: ``python -m sisr_tpu.tools.bench_models --e2e [config ...]``.
+
+``--train``: end-to-end training-epoch throughput (decode + crops + prefetch +
+jitted fwd/bwd/adam) for EDSR 64f/16b; add ``--fused-dispatch`` for the 8-step
+lax.scan dispatch and ``--vs-torch`` for the torch-CPU train-step baseline.
 """
 import sys
 import time
@@ -89,8 +93,22 @@ def main_e2e(only):
                                            str(e)[:60]))
 
 
+def main_train(args):
+    from .e2e_bench import measure_train_torch, run_train_bench
+    k = 8 if '--fused-dispatch' in args else 1
+    tput = run_train_bench(steps_per_dispatch=k)
+    print('train epoch throughput (EDSR 64f/16b, crop 32, batch 8%s): %.2f img/s'
+          % (', 8-step fused dispatch' if k > 1 else '', tput))
+    if '--vs-torch' in args:
+        torch_tput = measure_train_torch()
+        print('torch-CPU train-step baseline (same model/batch/crop): %.2f img/s '
+              '(%.1fx)' % (torch_tput, tput / torch_tput))
+
+
 def main():
     args = sys.argv[1:]
+    if '--train' in args:
+        return main_train(set(args))
     if '--e2e' in args:
         return main_e2e({a for a in args if a != '--e2e'})
     only = set(args)

@@ -164,3 +164,89 @@ def run_config(key, n_images=32, batch_size=8):
                            fused=cfg['fused'], int8=cfg.get('int8', False))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_train_bench(n_images=32, batch_size=8, crop=32, steps_per_dispatch=1):
+    """END-TO-END training-epoch throughput (BASELINE config #2's train side):
+    the real product loop — threaded decode, random crops/augments, device
+    prefetch, jitted train step (fwd+bwd+adam+schedule in one XLA program),
+    optional K-step fused dispatch — for EDSR 64f/16b at LR crop `crop`.
+
+    Returns images/sec over the best of 3 epochs (first epoch compiles)."""
+    import shutil
+    import tempfile
+    from ..training.handler import TrainingHandler
+    from ..utils.toml_io import convert_default_none_dict
+    tmp = tempfile.mkdtemp(prefix='sisr_trainbench_')
+    try:
+        lr_dir, hr_dir = build_workload(tmp, n_images)
+        data_params = convert_default_none_dict({
+            'training_sets': {'data_1': {'lr': lr_dir, 'hr': hr_dir, 'crop': crop,
+                                         'random_augment': True}},
+            'eval_sets': {'data_1': {'lr': lr_dir, 'hr': hr_dir, 'cutoff': 2}},
+            'batch_size': batch_size, 'dataloader_threads': 8})
+        handler = TrainingHandler(
+            experiment_name='bench_train', save_loc=os.path.join(tmp, 'Results'),
+            model_params={'name': 'edsr',
+                          'internal_params': {'scale': 4, 'num_features': 64,
+                                              'num_blocks': 16, 'dtype': 'bf16'}},
+            data_params=data_params, num_epochs=1, metrics=[], seed=8,
+            logging=None, save_samples=False,
+            steps_per_dispatch=steps_per_dispatch)
+        log('warmup training epoch (compiles)...')
+        handler.train()
+        best = 0.0
+        for i in range(3):
+            log('timed training epoch %d...' % i)
+            t0 = time.perf_counter()
+            handler.train()
+            best = max(best, n_images / (time.perf_counter() - t0))
+        return best
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def measure_train_torch(n_steps=6, batch_size=8, crop=32):
+    """torch-CPU train-step baseline: the same EDSR 64f/16b forward+backward+Adam
+    at the same crop/batch (model definition shared with bench.py's baseline)."""
+    import torch
+    import torch.nn as nn
+    torch.set_num_threads(os.cpu_count())
+
+    class ResBlock(nn.Module):
+        def __init__(s, n):
+            super().__init__()
+            s.c1 = nn.Conv2d(n, n, 3, padding=1)
+            s.c2 = nn.Conv2d(n, n, 3, padding=1)
+
+        def forward(s, x):
+            return x + 0.1 * s.c2(torch.relu(s.c1(x)))
+
+    class EDSR(nn.Module):
+        def __init__(s, n=64, blocks=16):
+            super().__init__()
+            s.head = nn.Conv2d(3, n, 3, padding=1)
+            s.body = nn.Sequential(*[ResBlock(n) for _ in range(blocks)])
+            s.bt = nn.Conv2d(n, n, 3, padding=1)
+            ups = []
+            for _ in range(2):
+                ups += [nn.Conv2d(n, 4 * n, 3, padding=1), nn.PixelShuffle(2)]
+            s.up = nn.Sequential(*ups)
+            s.tail = nn.Conv2d(n, 3, 3, padding=1)
+
+        def forward(s, x):
+            x = s.head(x)
+            r = s.bt(s.body(x)) + x
+            return s.tail(s.up(r))
+
+    model = EDSR().train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    crit = nn.L1Loss()
+    x = torch.rand(batch_size, 3, crop, crop)
+    y = torch.rand(batch_size, 3, crop * 4, crop * 4)
+    for _ in range(2):  # warmup
+        opt.zero_grad(); crit(model(x), y).backward(); opt.step()
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        opt.zero_grad(); crit(model(x), y).backward(); opt.step()
+    return n_steps * batch_size / (time.perf_counter() - t0)
