@@ -582,6 +582,10 @@ class BaseHandler:
         if batch.get('metadata') is not None and self.uses_metadata:
             dev_batch['metadata'] = jnp.asarray(np.asarray(batch['metadata'],
                                                            np.float32))
+        if self.mesh_ctx is not None:
+            # multi-chip fused eval: batch sharded over the data axis (when it
+            # divides evenly), metrics computed per shard and gathered
+            dev_batch = self.mesh_ctx.shard_batch(dev_batch)
         if self.int8_mode:
             lr_f32 = lr.astype(np.float32) / 255.0 if lr.dtype == np.uint8 \
                 else np.asarray(lr, np.float32)

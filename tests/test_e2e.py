@@ -140,7 +140,8 @@ def test_eval_cli_mesh_matches_single_device(trained_experiment, tmp_path):
 
     runner = CliRunner()
     outputs = {}
-    for label, extra in (('single', []), ('mesh', ['--mesh'])):
+    for label, extra in (('single', []), ('mesh', ['--mesh']),
+                         ('mesh_fused', ['--mesh', '--fused_eval'])):
         out_loc = str(tmp_path / label)
         os.makedirs(out_loc, exist_ok=True)
         result = runner.invoke(eval_run, [
@@ -156,6 +157,12 @@ def test_eval_cli_mesh_matches_single_device(trained_experiment, tmp_path):
             os.path.join(out_loc, 'mesh_eval', 'standard_metrics',
                          'individual_metrics.csv'), header=[0, 1], index_col=0)
     pd.testing.assert_frame_equal(outputs['single'], outputs['mesh'])
+    # fused-on-mesh runs the MXU-bicubic/ycbcr fused step sharded over the data
+    # axis — equal to the host protocol within the documented <=1 LSB LR-prep skew
+    np.testing.assert_allclose(outputs['mesh_fused'][('tiny_srcnn', 'PSNR')],
+                               outputs['single'][('tiny_srcnn', 'PSNR')], atol=0.3)
+    np.testing.assert_allclose(outputs['mesh_fused'][('LR', 'PSNR')],
+                               outputs['single'][('LR', 'PSNR')], atol=0.1)
 
 
 def test_eval_cli_fused_matches_standard(tmp_path):

@@ -22,6 +22,12 @@ FAMILIES = {
     'sparnet': ('sparnet', {'scale': 4}, 0, 0.3),
     'san': ('san', {'scale': 4, 'n_feats': 16, 'n_resgroups': 1, 'n_resblocks': 1,
                     'max_combined_im_size': 600}, 0, 2e-2),
+    # tiled eval composed with q-injection metadata
+    'qsan': ('qsan', {'scale': 4, 'metadata': ['blur_kernel'],
+                      'max_combined_im_size': 600}, 10, 2e-2),
+    # channel-concat metadata (input maps)
+    'srmd': ('srmd', {'scale': 4, 'nc': 16, 'nb': 2,
+                      'metadata': ['blur_kernel']}, 10, 2e-2),
 }
 
 
