@@ -85,8 +85,11 @@ def extract_best_model(model_dir, out_dir):
             print('%s not found.' % file)
 
 
-def clean_models(model_dir, keep_epochs=None, clean_samples=False):
-    """Delete unneeded checkpoints (ref: helper_functions.py:276-317)."""
+def clean_models(model_dir, keep_epochs=None, clean_samples=False, keep_every=None):
+    """Delete unneeded checkpoints (ref: helper_functions.py:276-317).
+
+    ``keep_every=N`` additionally retains every Nth epoch checkpoint (a keep-period
+    retention schedule for long runs — periodic restore points survive cleanup)."""
     summary = pd.read_csv(os.path.join(model_dir, 'result_outputs/summary.csv'))
     save_dir = os.path.join(model_dir, 'saved_models')
     model_files = glob.glob(os.path.join(save_dir, 'train_model_*'))
@@ -99,6 +102,10 @@ def clean_models(model_dir, keep_epochs=None, clean_samples=False):
                         int(model_files[-1].split('train_model_')[1])]
     if keep_epochs is not None:
         accepted_indices.extend(keep_epochs)
+    if keep_every:
+        accepted_indices.extend(
+            i for f in model_files
+            for i in [int(f.split('train_model_')[1])] if i % keep_every == 0)
 
     for file in model_files:
         index = int(file.split('train_model_')[1])
@@ -148,10 +155,13 @@ def extract_best_models(home_dir, out_dir, models, clean, keep_epoch, clean_samp
               help='Model numbers to retain apart from best epochs.')
 @click.option('--clean_samples', is_flag=True,
               help='Also remove all image samples generated during training.')
-def click_clean(base_dir, models, keep_epoch, clean_samples):
+@click.option('--keep_every', default=None, type=int,
+              help='Keep-period retention: additionally retain every Nth epoch '
+                   'checkpoint (periodic restore points for long runs).')
+def click_clean(base_dir, models, keep_epoch, clean_samples, keep_every):
     for model in tqdm(models):
         clean_models(os.path.join(base_dir, model), keep_epochs=keep_epoch,
-                     clean_samples=clean_samples)
+                     clean_samples=clean_samples, keep_every=keep_every)
 
 
 def convert_image_sequence_to_movie(image_folder, video_name, output_loc=None, fps=24):

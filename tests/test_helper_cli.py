@@ -40,6 +40,14 @@ def test_clean_models(experiment_dir):
     assert not (experiment_dir / 'result_outputs' / 'epoch_3_samples').exists()
 
 
+def test_clean_models_keep_every(experiment_dir):
+    """keep_every=2 (keep-period retention) additionally keeps epochs 0/2/4."""
+    helper_cli.clean_models(str(experiment_dir), keep_every=2)
+    kept = sorted(os.listdir(experiment_dir / 'saved_models'))
+    assert kept == ['train_model_0', 'train_model_1', 'train_model_2',
+                    'train_model_4', 'train_model_5']
+
+
 def test_extract_best_model(experiment_dir, tmp_path):
     out = tmp_path / 'bundles'
     out.mkdir()
