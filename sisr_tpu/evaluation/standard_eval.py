@@ -137,13 +137,16 @@ class EvalHub:
                                       face_extractor=face_extractor)
 
         # fused device eval: metrics-only runs where forward + LR baseline + YCbCr +
-        # PSNR/SSIM execute as one device program and only scalars reach the host
+        # PSNR/SSIM execute as one device program and only scalars reach the host.
+        # lr_dir_interp supplies externally-interpolated LR images the fused path
+        # cannot honor (it computes the device bicubic instead) — stay standard.
         self.fused_eval = bool(fused_eval) and metrics is not None \
             and not model_only and not save_im and no_image_comparison \
-            and not self.face_metric
+            and not self.face_metric and not lr_dir_interp
         if fused_eval and not self.fused_eval:
             print('fused_eval needs metrics and no image outputs '
-                  '(--no_image_comparison, no --save_im/--model_only) — disabled.')
+                  '(--no_image_comparison, no --save_im/--model_only, no '
+                  '--lr_dir_interp) — disabled.')
 
     @staticmethod
     def _prep_models(model_loc, experiment_names, eval_epochs, gpu, scale=4, sp_gpu=0,
@@ -240,7 +243,10 @@ class EvalHub:
 
     def _fused_image_protocol(self):
         """Metrics-only eval with the whole per-batch pipeline fused on device
-        (see BaseHandler.run_eval_fused).  Output CSV contract is unchanged.
+        (see BaseHandler.run_eval_fused).  Output CSV contract is unchanged, except
+        ``LR>runtime`` under --time_models: the LR prep is fused into the device
+        program, so no separable host resize time exists — the column is emitted
+        as NaN to keep the schema stable across fused/standard runs.
 
         The per-batch metric matrix stays as ONE unrealized (K, N) device array until
         the whole set is dispatched (jax async): host decode of batch i+1 overlaps
@@ -280,6 +286,9 @@ class EvalHub:
                 metric_package['%s>%s' % (experiment, met)].append(
                     [float(x) for x in rows['model>%s' % met]])
             if runtime is not None:
+                if is_first:  # schema parity with the standard protocol; the LR
+                    # prep is fused on device, so no host resize time exists
+                    metric_package['LR>runtime'].append([float('nan')] * n)
                 metric_package['%s>runtime' % experiment].append([runtime / n] * n)
         self.manipulate_and_save_metrics(metric_package)
 

@@ -753,6 +753,11 @@ class BaseHandler:
         # once, or every subsequent jitted call re-uploads the full parameter set
         # (60 MB/step for RCAN-sized models on a remote-attached chip)
         self.state = jax.device_put(self.state)
+        if self._int8_ctx is not None or self.int8_mode:
+            # int8 quantized weights are derived from (now-replaced) params and baked
+            # as trace constants — drop them so the next call requantizes/recompiles
+            self._int8_ctx = None
+            self._eval_step_cache = {}
         if not self.eval_mode and self.gan_state is not None:
             # optional GAN entries restore into the handler's templates, mirroring the
             # reference's hasattr-guarded loads (ref: models/__init__.py:445-456)

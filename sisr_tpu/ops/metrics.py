@@ -95,7 +95,11 @@ def _gaussian_kernel1d(sigma=1.5, truncate=3.5):
     return (phi / phi.sum()).astype(np.float32), r
 
 
-_FILTER_MAT_CACHE = {}
+from collections import OrderedDict as _OrderedDict
+
+_FILTER_MAT_CACHE = _OrderedDict()
+_FILTER_MAT_CACHE_MAX = 16  # LRU cap: mixed-size eval sets would otherwise
+# accumulate one dense (n, n) f32 matrix per distinct image dimension forever
 
 
 def _reflect_filter_matrix(n, kern):
@@ -114,6 +118,10 @@ def _reflect_filter_matrix(n, kern):
             j = np.where(j >= n, 2 * n - j - 1, j)
             np.add.at(m, (idx, j), kv)
         _FILTER_MAT_CACHE[key] = m
+        while len(_FILTER_MAT_CACHE) > _FILTER_MAT_CACHE_MAX:
+            _FILTER_MAT_CACHE.popitem(last=False)
+    else:
+        _FILTER_MAT_CACHE.move_to_end(key)
     return _FILTER_MAT_CACHE[key]
 
 

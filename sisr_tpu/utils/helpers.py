@@ -86,12 +86,3 @@ def get_tpu_memory(msg=''):
                   % (msg, device, 100.0 * used / total, used, total))
         else:
             print('%s %s: memory stats unavailable' % (msg, device))
-
-
-def get_actual_issame(probe_ids, gallery_ids):
-    """Boolean match matrix between probe and gallery identity arrays
-    (ref: sr_tools/helper_functions.py:114-127)."""
-    matches = []
-    for p in probe_ids:
-        matches.append([p == g for g in gallery_ids])
-    return matches

@@ -215,3 +215,30 @@ def test_int8_composes_with_fused_eval():
     np.testing.assert_allclose(q['LR>PSNR'], f32['LR>PSNR'], atol=1e-5)
     # quantized forward output: within 1 dB of the f32 metrics on random data
     np.testing.assert_allclose(q['model>PSNR'], f32['model>PSNR'], atol=1.0)
+
+
+def test_int8_ctx_refreshes_after_load(tmp_path):
+    """load_model must drop the quantized-weight context (trace constants derived
+    from the replaced params) so int8 eval reflects the loaded checkpoint."""
+    from sisr_tpu.models.handlers import define_model
+    rng = np.random.RandomState(5)
+    src = define_model('edsr', scale=4, num_features=8, num_blocks=1)
+    src.init_state()
+    src.save_model('train_model', 0, str(tmp_path))
+
+    h = define_model('edsr', eval_mode=True, scale=4, num_features=8, num_blocks=1,
+                     seed=123)
+    h.set_int8(True)
+    x = rng.rand(1, 8, 8, 3).astype(np.float32)
+    h.run_eval(x)  # builds _int8_ctx from the RANDOM-init params
+    assert h._int8_ctx is not None
+    h.load_model('train_model', 0, str(tmp_path))
+    assert h._int8_ctx is None  # stale quantized weights dropped
+    out_new, _, _ = h.run_eval(x)
+
+    fresh = define_model('edsr', eval_mode=True, scale=4, num_features=8,
+                         num_blocks=1)
+    fresh.load_model('train_model', 0, str(tmp_path))
+    fresh.set_int8(True)
+    out_fresh, _, _ = fresh.run_eval(x)
+    np.testing.assert_allclose(out_new, out_fresh, atol=1e-6)
