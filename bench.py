@@ -41,41 +41,12 @@ def measure_e2e_torch(lr_dir, hr_dir):
     """The same protocol with the reference's engines: torch-CPU EDSR forward +
     host metrics (skimage-equivalent SSIM), shared decode/prep/colorspace code."""
     import torch
-    import torch.nn as nn
     from PIL import Image
     from sisr_tpu.ops.metrics import Metrics
-    from sisr_tpu.ops.resize import resize_uint8
-    from sisr_tpu.models.interface import ModelInterface
     from sisr_tpu.evaluation.standard_eval import EvalHub
+    from sisr_tpu.tools.e2e_bench import build_torch_edsr
     torch.set_num_threads(os.cpu_count())
-
-    class ResBlock(nn.Module):
-        def __init__(s, n):
-            super().__init__()
-            s.c1 = nn.Conv2d(n, n, 3, padding=1)
-            s.c2 = nn.Conv2d(n, n, 3, padding=1)
-
-        def forward(s, x):
-            return x + 0.1 * s.c2(torch.relu(s.c1(x)))
-
-    class EDSR(nn.Module):
-        def __init__(s, n=64, blocks=16):
-            super().__init__()
-            s.head = nn.Conv2d(3, n, 3, padding=1)
-            s.body = nn.Sequential(*[ResBlock(n) for _ in range(blocks)])
-            s.bt = nn.Conv2d(n, n, 3, padding=1)
-            ups = []
-            for _ in range(2):
-                ups += [nn.Conv2d(n, 4 * n, 3, padding=1), nn.PixelShuffle(2)]
-            s.up = nn.Sequential(*ups)
-            s.tail = nn.Conv2d(n, 3, 3, padding=1)
-
-        def forward(s, x):
-            x = s.head(x)
-            r = s.bt(s.body(x)) + x
-            return s.tail(s.up(r))
-
-    model = EDSR().eval()
+    model = build_torch_edsr().eval()
     hub = Metrics(['PSNR', 'SSIM'], delimeter='>')  # host metrics (reference path)
     fake = type('H', (), {'scale': 4})()
     names = sorted(os.listdir(lr_dir))

@@ -17,6 +17,7 @@ All metadata preparation is expressed as pure jax ops traced into the train/eval
 the whole batch -> SR pipeline is one XLA program.
 """
 import os
+import time
 from typing import Optional
 
 import numpy as np
@@ -368,7 +369,6 @@ class BaseHandler:
 
         Returns (sr NHWC numpy float32, loss or None, runtime seconds or None).
         """
-        import time
         if self.state is None:
             self.init_state(spatial=x.shape[1:3])
         batch = {'lr': jnp.asarray(x, self.dtype)}
@@ -545,19 +545,18 @@ class BaseHandler:
             ``include_lr=False`` the LR-baseline rows are omitted entirely (the eval
             protocol computes them once, on the first model only).
         """
-        import time
         sides = ('LR', 'model') if include_lr else ('model',)
         keys = tuple('%s>%s' % (side, met) for met in metrics for side in sides)
         if isinstance(batch['lr'], (list, tuple)) or \
                 getattr(batch['lr'], 'dtype', None) == object:
-            # ragged batch (mixed-size eval images at bs>1): run per image
+            # ragged batch (mixed-size eval images at bs>1): run per image, using
+            # only the entries the fused path consumes (lr/hr/metadata)
+            meta = batch.get('metadata')
             parts, total = [], 0.0
             for i in range(len(batch['lr'])):
-                one = {k: (v[i:i + 1] if k in ('metadata',) and v is not None
-                           else [v[i]] if isinstance(v, (list, tuple))
-                           else v) for k, v in batch.items()}
-                one['lr'] = np.asarray(batch['lr'][i])[None]
-                one['hr'] = np.asarray(batch['hr'][i])[None]
+                one = {'lr': np.asarray(batch['lr'][i])[None],
+                       'hr': np.asarray(batch['hr'][i])[None],
+                       'metadata': None if meta is None else meta[i:i + 1]}
                 (_, vals), rt = self.run_eval_fused(one, metrics=metrics,
                                                     timing=timing,
                                                     include_lr=include_lr)

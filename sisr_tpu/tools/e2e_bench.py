@@ -124,7 +124,7 @@ def measure_e2e(lr_dir, hr_dir, model_loc, out_root, experiment, batch_size,
                 n_images, fused=True, scale=4, int8=False):
     """Wall-clock the full product eval protocol; second pass (compiles amortized)."""
     from ..evaluation.standard_eval import EvalHub
-    hub = EvalHub(int8=int8,
+    hub = EvalHub(
         hr_dir=hr_dir, lr_dir=lr_dir, model_and_epoch=[(experiment, '0')],
         results_name='bench_eval', gpu=True, metrics=['PSNR', 'SSIM'],
         data_split='all', save_im=False, batch_size=batch_size, full_directory=True,
@@ -132,7 +132,8 @@ def measure_e2e(lr_dir, hr_dir, model_loc, out_root, experiment, batch_size,
         out_loc=out_root, use_test_group=False, no_image_comparison=True,
         num_image_save=0, qpi_selection=(None, None), data_attributes=None,
         dataset_name=None, image_shortlist=None, metadata_file=None, sp_gpu=0,
-        time_models=False, recursive=False, device_metrics=True, fused_eval=fused)
+        time_models=False, recursive=False, device_metrics=True, fused_eval=fused,
+        int8=int8)
     log('warmup protocol run (compiles)...')
     hub.full_image_protocol()
     # best-of-3: the remote device tunnel's throughput varies wildly run to run;
@@ -206,12 +207,11 @@ def run_train_bench(n_images=32, batch_size=8, crop=32, steps_per_dispatch=1):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def measure_train_torch(n_steps=6, batch_size=8, crop=32):
-    """torch-CPU train-step baseline: the same EDSR 64f/16b forward+backward+Adam
-    at the same crop/batch (model definition shared with bench.py's baseline)."""
+def build_torch_edsr():
+    """The reference-equivalent torch EDSR 64f/16b (public standard architecture),
+    shared by the eval baseline (bench.py) and the train baseline below."""
     import torch
     import torch.nn as nn
-    torch.set_num_threads(os.cpu_count())
 
     class ResBlock(nn.Module):
         def __init__(s, n):
@@ -239,7 +239,16 @@ def measure_train_torch(n_steps=6, batch_size=8, crop=32):
             r = s.bt(s.body(x)) + x
             return s.tail(s.up(r))
 
-    model = EDSR().train()
+    return EDSR()
+
+
+def measure_train_torch(n_steps=6, batch_size=8, crop=32):
+    """torch-CPU train-step baseline: the same EDSR 64f/16b forward+backward+Adam
+    at the same crop/batch (model definition shared with bench.py's baseline)."""
+    import torch
+    import torch.nn as nn
+    torch.set_num_threads(os.cpu_count())
+    model = build_torch_edsr().train()
     opt = torch.optim.Adam(model.parameters(), lr=1e-4)
     crit = nn.L1Loss()
     x = torch.rand(batch_size, 3, crop, crop)

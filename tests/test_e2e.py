@@ -171,34 +171,11 @@ def test_eval_cli_fused_matches_standard(tmp_path):
     Model metrics share the exact same forward; LR-baseline metrics may differ by the
     MXU-bicubic's <=1 uint8 LSB rounding vs PIL (ops/resize.resize_bicubic)."""
     from click.testing import CliRunner
-    from sisr_tpu.net_train import experiment_setup
     from sisr_tpu.net_eval import eval_run
+    from helpers import train_tiny_experiment
 
-    save_loc = str(tmp_path / 'Results')
-    os.makedirs(save_loc)
-    cfg = tmp_path / 'train.toml'
-    cfg.write_text('\n'.join([
-        'experiment = "fused_edsr"',
-        'experiment_save_loc = "%s"' % save_loc,
-        '[data]', 'batch_size = 1', 'dataloader_threads = 2',
-        '[data.training_sets.data_1]',
-        'lr = "%s"' % os.path.join(SET5, 'lr_random_blur'),
-        'hr = "%s"' % os.path.join(SET5, 'hr'),
-        'degradation_metadata = "on_site"', 'crop = 8',
-        '[data.eval_sets.data_1]',
-        'lr = "%s"' % os.path.join(SET5, 'lr_random_blur'),
-        'hr = "%s"' % os.path.join(SET5, 'hr'),
-        'cutoff = 5', 'degradation_metadata = "on_site"',
-        '[model]', 'name = "edsr"',
-        '[model.internal_params]', 'scale = 4',
-        'num_features = 8', 'num_blocks = 1',
-        '[training]', 'num_epochs = 1', 'metrics = [ "PSNR" ]',
-    ]))
+    save_loc = train_tiny_experiment(tmp_path, 'fused_edsr')
     runner = CliRunner()
-    result = runner.invoke(experiment_setup, ['--parameters', str(cfg)],
-                           catch_exceptions=False)
-    assert result.exit_code == 0, result.output
-
     outputs = {}
     for label, extra in (('standard', []),
                          ('fused', ['--fused_eval', '--device_metrics']),

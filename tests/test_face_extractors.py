@@ -167,38 +167,15 @@ def test_face_sim_eval_csv_column(ref_face_modules, tmp_path):
     """-m FACE_SIM through the full eval CLI adds the face-metric columns."""
     import pandas as pd
     from click.testing import CliRunner
-    from sisr_tpu.net_train import experiment_setup
     from sisr_tpu.net_eval import eval_run
+    from helpers import SET5, train_tiny_experiment
 
-    SET5 = '/root/reference/Data/example_data/Set5'
     if not os.path.isdir(SET5):
         pytest.skip('Set5 example data unavailable')
     ckpt = str(tmp_path / 'lightcnn.pth.tar')
     _save_lightcnn_ckpt(ref_face_modules, ckpt)
-    save_loc = str(tmp_path / 'Results')
-    os.makedirs(save_loc)
-    cfg = tmp_path / 'train.toml'
-    cfg.write_text('\n'.join([
-        'experiment = "face_edsr"',
-        'experiment_save_loc = "%s"' % save_loc,
-        '[data]', 'batch_size = 1', 'dataloader_threads = 2',
-        '[data.training_sets.data_1]',
-        'lr = "%s"' % os.path.join(SET5, 'lr_random_blur'),
-        'hr = "%s"' % os.path.join(SET5, 'hr'),
-        'degradation_metadata = "on_site"', 'crop = 8',
-        '[data.eval_sets.data_1]',
-        'lr = "%s"' % os.path.join(SET5, 'lr_random_blur'),
-        'hr = "%s"' % os.path.join(SET5, 'hr'),
-        'cutoff = 5', 'degradation_metadata = "on_site"',
-        '[model]', 'name = "edsr"',
-        '[model.internal_params]', 'scale = 4',
-        'num_features = 8', 'num_blocks = 1',
-        '[training]', 'num_epochs = 1', 'metrics = [ "PSNR" ]',
-    ]))
+    save_loc = train_tiny_experiment(tmp_path, 'face_edsr')
     runner = CliRunner()
-    result = runner.invoke(experiment_setup, ['--parameters', str(cfg)],
-                           catch_exceptions=False)
-    assert result.exit_code == 0, result.output
 
     out_loc = str(tmp_path / 'eval')
     os.makedirs(out_loc)

@@ -148,37 +148,13 @@ def test_eval_cli_int8_flag(tmp_path):
     import pandas as pd
     from click.testing import CliRunner
     import pytest
-    from sisr_tpu.net_train import experiment_setup
     from sisr_tpu.net_eval import eval_run
+    from helpers import SET5, train_tiny_experiment
 
-    SET5 = '/root/reference/Data/example_data/Set5'
     if not os.path.isdir(SET5):
         pytest.skip('Set5 example data unavailable')
-    save_loc = str(tmp_path / 'Results')
-    os.makedirs(save_loc)
-    cfg = tmp_path / 'train.toml'
-    cfg.write_text('\n'.join([
-        'experiment = "int8_edsr"',
-        'experiment_save_loc = "%s"' % save_loc,
-        '[data]', 'batch_size = 1', 'dataloader_threads = 2',
-        '[data.training_sets.data_1]',
-        'lr = "%s"' % os.path.join(SET5, 'lr_random_blur'),
-        'hr = "%s"' % os.path.join(SET5, 'hr'),
-        'degradation_metadata = "on_site"', 'crop = 8',
-        '[data.eval_sets.data_1]',
-        'lr = "%s"' % os.path.join(SET5, 'lr_random_blur'),
-        'hr = "%s"' % os.path.join(SET5, 'hr'),
-        'cutoff = 5', 'degradation_metadata = "on_site"',
-        '[model]', 'name = "edsr"',
-        '[model.internal_params]', 'scale = 4',
-        'num_features = 8', 'num_blocks = 1',
-        '[training]', 'num_epochs = 1', 'metrics = [ "PSNR" ]',
-    ]))
+    save_loc = train_tiny_experiment(tmp_path, 'int8_edsr')
     runner = CliRunner()
-    result = runner.invoke(experiment_setup, ['--parameters', str(cfg)],
-                           catch_exceptions=False)
-    assert result.exit_code == 0, result.output
-
     means = {}
     for label, extra in (('f32', []), ('int8', ['--int8'])):
         out_loc = str(tmp_path / label)
