@@ -45,6 +45,42 @@ def _make_experiment(save_loc, name, model_name, internal, metadata_cols):
     handler.save_model('train_model', 0, os.path.join(base, 'saved_models'))
 
 
+def test_fused_multi_model_csv(tmp_path):
+    """Two models through one fused run: the LR baseline is computed once (first
+    model only, include_lr), and the CSV carries both experiments' columns."""
+    from sisr_tpu.evaluation.standard_eval import EvalHub
+    lr_dir, hr_dir = build_workload(str(tmp_path), 4, lr_size=32)
+    save_loc = str(tmp_path / 'Results')
+    os.makedirs(save_loc)
+    internal = {'scale': 4, 'num_features': 8, 'num_blocks': 1}
+    _make_experiment(save_loc, 'exp_a', 'edsr', internal, 0)
+    _make_experiment(save_loc, 'exp_b', 'edsr', internal, 0)
+    out_loc = str(tmp_path / 'out')
+    os.makedirs(out_loc)
+    hub = EvalHub(
+        hr_dir=hr_dir, lr_dir=lr_dir,
+        model_and_epoch=[('exp_a', '0'), ('exp_b', '0')],
+        results_name='r', gpu=False, metrics=['PSNR', 'SSIM'], data_split='all',
+        save_im=False, batch_size=2, full_directory=True, lr_dir_interp=None,
+        model_only=False, scale=4, model_loc=save_loc, out_loc=out_loc,
+        use_test_group=False, no_image_comparison=True, num_image_save=0,
+        qpi_selection=(None, None), data_attributes=None, dataset_name=None,
+        image_shortlist=None, metadata_file=None, sp_gpu=0, time_models=True,
+        recursive=False, fused_eval=True)
+    hub.full_image_protocol()
+    indiv = pd.read_csv(os.path.join(out_loc, 'r', 'standard_metrics',
+                                     'individual_metrics.csv'),
+                        header=[0, 1], index_col=0)
+    cols = set(indiv.columns)
+    for exp in ('exp_a', 'exp_b'):
+        assert {(exp, 'PSNR'), (exp, 'SSIM'), (exp, 'runtime')} <= cols
+    assert {('LR', 'PSNR'), ('LR', 'SSIM'), ('LR', 'runtime')} <= cols
+    # same weights (seed) -> identical metrics; LR runtime is NaN (fused on device)
+    np.testing.assert_allclose(indiv[('exp_a', 'PSNR')], indiv[('exp_b', 'PSNR')])
+    assert indiv[('LR', 'runtime')].isna().all()
+    assert indiv[('exp_a', 'runtime')].notna().all()
+
+
 @pytest.mark.parametrize('family', sorted(FAMILIES))
 def test_fused_eval_matches_standard(tmp_path, family):
     from sisr_tpu.evaluation.standard_eval import EvalHub
