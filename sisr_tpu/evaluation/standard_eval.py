@@ -124,14 +124,16 @@ class EvalHub:
         # FACE_SIM (face-embedding cosine similarity, the reference's half-wired
         # face-recognition eval completed) runs on the RGB images, not the Y-channel
         # preps, so it is split out of the standard metric loop
-        self.face_metric = metrics is not None and 'FACE_SIM' in metrics
+        self.face_metric = metrics is not None and 'FACE_SIM' in metrics \
+            and not model_only  # model_only never computes metrics: skip the weights
         if self.face_metric:
             from ..models.feature_extractors import load_face_extractor
             face_extractor = load_face_extractor(face_model, face_weights)
-            metrics = [m for m in metrics if m != 'FACE_SIM']
-            self.metrics = metrics
         else:
             face_extractor = None
+        if metrics is not None and 'FACE_SIM' in metrics:
+            metrics = [m for m in metrics if m != 'FACE_SIM']
+            self.metrics = metrics
         if metrics is not None:
             self.metric_hub = Metrics(metrics, delimeter='>', device=device_metrics,
                                       face_extractor=face_extractor)
@@ -289,7 +291,9 @@ class EvalHub:
                 if is_first:  # schema parity with the standard protocol; the LR
                     # prep is fused on device, so no host resize time exists
                     metric_package['LR>runtime'].append([float('nan')] * n)
-                metric_package['%s>runtime' % experiment].append([runtime / n] * n)
+                # whole-batch seconds repeated per row — identical semantics to the
+                # standard protocol's model runtime column
+                metric_package['%s>runtime' % experiment].append([runtime] * n)
         self.manipulate_and_save_metrics(metric_package)
 
     def full_image_protocol(self):

@@ -519,8 +519,8 @@ class BaseHandler:
         their dedicated paths; mesh-sharded tiled eval stays on the standard path
         (its tile scatter is host-side).  int8 serving composes with the fused step
         for the families that have an int8 program (edsr/rcan)."""
-        return (not (self.int8_mode and self.int8_family is None)
-                and not self.eval_buckets
+        # (int8_mode implies int8_family is set — set_int8 refuses otherwise)
+        return (not self.eval_buckets
                 and not (self.tiled_eval and self.mesh_ctx is not None)
                 and self.colorspace in ('rgb', 'augmented_rgb', 'ycbcr'))
 
@@ -585,7 +585,7 @@ class BaseHandler:
             # multi-chip fused eval: batch sharded over the data axis (when it
             # divides evenly), metrics computed per shard and gathered
             dev_batch = self.mesh_ctx.shard_batch(dev_batch)
-        if self.int8_mode:
+        if self.int8_mode and self._int8_ctx is None:
             lr_f32 = lr.astype(np.float32) / 255.0 if lr.dtype == np.uint8 \
                 else np.asarray(lr, np.float32)
             self._ensure_int8_ctx(jnp.asarray(lr_f32))  # calibrate OUTSIDE the trace
@@ -594,14 +594,20 @@ class BaseHandler:
             self._eval_step_cache[key] = self._make_fused_step(tuple(metrics),
                                                                include_lr)
         step = self._eval_step_cache[key]
-        out = step(self.state, dev_batch)  # async dispatch: does not block the host
         runtime = None
         if timing:
-            jax.block_until_ready(out)
+            # timing inherently serializes per batch; exclude compile like run_eval
+            # by warming once per (program, shape), not re-running on every batch
+            warm_key = key + (tuple(lr.shape),)
+            if warm_key not in self._warm_eval_shapes:
+                jax.block_until_ready(step(self.state, dev_batch))
+                self._warm_eval_shapes.add(warm_key)
             tic = time.perf_counter()
             out = step(self.state, dev_batch)
             jax.block_until_ready(out)
             runtime = time.perf_counter() - tic
+        else:
+            out = step(self.state, dev_batch)  # async dispatch: never blocks the host
         return (keys, out), runtime
 
     def _make_fused_step(self, metrics, include_lr=True):
