@@ -121,3 +121,23 @@ def test_jpeg_pipeline(tmp_path):
     assert result.exit_code == 0, result.output
     meta = pd.read_csv(os.path.join(out_dir, 'degradation_metadata.csv'), index_col=0)
     assert (meta['jpeg_quality'] == 40).all()
+
+
+def test_create_h5(tmp_path):
+    """create_h5 bundles a folder of same-sized images (the reference's version was
+    left unusable; ref data_converter.py:52-70)."""
+    import h5py
+    import numpy as np
+    from PIL import Image
+    from sisr_tpu.tools.data_converter import create_h5
+    rng = np.random.RandomState(0)
+    imgs = []
+    for i in range(3):
+        arr = (rng.rand(16, 20, 3) * 255).astype(np.uint8)
+        imgs.append(arr)
+        Image.fromarray(arr).save(tmp_path / ('im%d.png' % i))
+    out = create_h5(str(tmp_path), str(tmp_path / 'bundle.h5'))
+    with h5py.File(out, 'r') as f:
+        data = np.asarray(f['images'])
+    assert data.shape == (3, 16, 20, 3)
+    np.testing.assert_array_equal(data[0], imgs[0])
