@@ -229,12 +229,26 @@ class SuperResImages:
                 attribute_amplification=attribute_amplification, filenames=meta_names,
                 legacy_blur_kernels=legacy_blur_kernels)
             self.metadata_keys = meta_keys
-            if qpi_selection is not None and not online_degradations:
-                pairs = [(lr, base) for lr, base in zip(self.lr_filenames,
-                                                        self.base_filenames)
-                         if lr in att_dict]
-                self.lr_filenames, self.base_filenames = map(list, zip(*pairs))
-                meta_names = self.lr_filenames
+            if qpi_selection is not None:
+                if online_degradations:
+                    # the QPI filter drops images from att_dict: keep the base list
+                    # in sync (the non-online branch below re-filters lr/base pairs)
+                    self.base_filenames = [b for b in self.base_filenames
+                                           if b in att_dict]
+                    meta_names = self.base_filenames
+                else:
+                    pairs = [(lr, base) for lr, base in zip(self.lr_filenames,
+                                                            self.base_filenames)
+                             if lr in att_dict]
+                    if not pairs:
+                        raise RuntimeError(
+                            'qpi_selection %s filtered out every image.'
+                            % (qpi_selection,))
+                    self.lr_filenames, self.base_filenames = map(list, zip(*pairs))
+                    meta_names = self.lr_filenames
+                if not meta_names:
+                    raise RuntimeError('qpi_selection %s filtered out every image.'
+                                       % (qpi_selection,))
             metadata_list = [att_dict[image] for image in meta_names]
 
             if qpi_sort and not online_degradations:
@@ -294,7 +308,8 @@ class SuperResImages:
     @staticmethod
     def dataset_split(current_files, custom_split, image_shortlist, split, dataset,
                       main_dir):
-        if custom_split is not None or (image_shortlist is None and split != 'all'
+        if custom_split is not None or (image_shortlist is None
+                                        and split not in ('all', None)
                                         and len(current_files) != 1):
             if custom_split is None:
                 start, end = data_splits[dataset][split]
@@ -415,9 +430,11 @@ class SuperResImages:
             lr_im, hr_im = random_flip_rotate(lr_im, hr_im)
 
         if self.patch_crop is not None:
+            # interp-input models carry an HR-sized LR: patches align 1:1 (scale 1)
+            crop_scale = 1 if self.lr_type == 'interp' else self.scale
             if self.request_crops is not None:
                 images = [random_matched_crop(lr_im, hr_im, crop_size=self.patch_crop,
-                                              scale=self.scale)
+                                              scale=crop_scale)
                           for _ in range(self.request_crops)]
                 lr_ims, hr_ims = zip(*images)
                 lr_im = np.stack(lr_ims, 0)
@@ -425,7 +442,7 @@ class SuperResImages:
             else:
                 lr_im, hr_im = random_matched_crop(lr_im, hr_im,
                                                    crop_size=self.patch_crop,
-                                                   scale=self.scale)
+                                                   scale=crop_scale)
 
         return {'lr': lr_im,
                 'hr': hr_im,

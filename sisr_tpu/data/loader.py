@@ -57,8 +57,9 @@ class CelebaSplitSampler:
         metadata_pos = int(np.where([self.discriminatory_attribute in m
                                      for m in dataset.metadata_keys])[0][0])
         pertinent = [m[metadata_pos] for m in dataset.metadata]
-        positive = np.where([m == 1 for m in pertinent])[0].tolist()
-        negative = np.where([m == 0 for m in pertinent])[0].tolist()
+        # sign test rather than ==1/==0: attribute_amplification stores +/-2
+        positive = np.where([m > 0 for m in pertinent])[0].tolist()
+        negative = np.where([m <= 0 for m in pertinent])[0].tolist()
         return positive, negative, len(dataset.metadata)
 
     def __iter__(self):
@@ -148,24 +149,25 @@ class DataLoader:
                 yield _collate([self.dataset[i] for i in batch])
             return
 
-        def load_batch(batch):
-            return _collate([self.dataset[i] for i in batch])
-
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             from collections import deque
+
+            def submit(batch):  # per-ITEM futures: all workers decode in parallel
+                return [pool.submit(self.dataset.__getitem__, i) for i in batch]
+
             pending = deque()
             it = iter(batches)
             for _ in range(self.prefetch_batches):
                 b = next(it, None)
                 if b is None:
                     break
-                pending.append(pool.submit(load_batch, b))
+                pending.append(submit(b))
             while pending:
-                fut = pending.popleft()
+                futs = pending.popleft()
                 b = next(it, None)
                 if b is not None:
-                    pending.append(pool.submit(load_batch, b))
-                yield fut.result()
+                    pending.append(submit(b))
+                yield _collate([f.result() for f in futs])
 
 
 def device_prefetch(iterator, size=2, sharding=None):

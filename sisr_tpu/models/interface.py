@@ -76,12 +76,18 @@ class ModelInterface:
         self.model.model_save_dir = self.saved_models
 
         if load_epoch is not None:
-            if load_epoch == 'best':
-                load_epoch = int(pd.read_csv(os.path.join(
-                    self.logs, 'summary.csv'))['val-PSNR'].idxmax())
-            elif load_epoch == 'last':
-                load_epoch = len(pd.read_csv(os.path.join(
-                    self.logs, 'summary.csv'))['val-PSNR']) - 1
+            if load_epoch in ('best', 'last'):
+                summary = pd.read_csv(os.path.join(self.logs, 'summary.csv'))
+                # resolve through the 'epoch' column, not row position: resumed /
+                # branched runs can leave stale duplicate-epoch rows appended to
+                # summary.csv, where idxmax/row-count would pick the wrong checkpoint
+                if load_epoch == 'best':
+                    row = summary['val-PSNR'].idxmax()
+                    load_epoch = int(summary['epoch'].loc[row]) \
+                        if 'epoch' in summary else int(row)
+                else:
+                    load_epoch = int(summary['epoch'].iloc[-1]) \
+                        if 'epoch' in summary else len(summary) - 1
             self.model_epoch = load_epoch
             self.model.load_model(model_save_name='train_model', model_idx=load_epoch,
                                   model_save_dir=self.saved_models,

@@ -121,7 +121,19 @@ class TrainingHandler:
         with tqdm.tqdm(total=len(self.train_data)) as pbar_train:
             if self.steps_per_dispatch > 1:
                 buffer = []
+                expected_bs = None
                 for batch in self.train_data:
+                    n = len(batch['hr']) if hasattr(batch['hr'], '__len__') \
+                        else len(batch['lr'])
+                    if expected_bs is None:
+                        expected_bs = n
+                    if n != expected_bs:
+                        # ragged (final) batch: a K-step scan needs uniform shapes —
+                        # run it as a single step instead of poisoning the buffer
+                        loss = float(self.model.train_batch(**batch)[0])
+                        current_epoch_losses['train-loss'].append(loss)
+                        pbar_train.update(1)
+                        continue
                     buffer.append(batch)
                     if len(buffer) == self.steps_per_dispatch:
                         losses = self.model.train_batch_multi(buffer)
@@ -193,7 +205,9 @@ class TrainingHandler:
             raise RuntimeError('Model initialized in eval mode, training not possible.')
 
         total_losses = defaultdict(list)
-        if self.starting_epoch != 0:
+        if self.starting_epoch != 0 and self._primary:
+            # summary.csv only exists where rank 0 wrote it; non-primary hosts keep
+            # empty stats (they never write plots/CSVs anyway)
             logs = os.path.dirname(self.model.logs) if self.branch_off else self.model.logs
             loaded = legacy_load_statistics(logs, 'summary.csv')
             total_losses = defaultdict(list, loaded)
@@ -214,14 +228,16 @@ class TrainingHandler:
             eval_loss = self.eval(epoch_idx)
             current_epoch_losses = {**training_loss, **eval_loss}
 
-            val_mean_psnr = np.mean(current_epoch_losses['val-PSNR']) \
-                if 'val-PSNR' in current_epoch_losses else 0.0
-            if val_mean_psnr > self.best_val_model_psnr:
-                self.best_val_model_psnr = val_mean_psnr
-                self.best_val_model_idx = epoch_idx
-                improvement_count = 0
-            else:
-                improvement_count += 1
+            if 'val-PSNR' in current_epoch_losses:
+                val_mean_psnr = np.mean(current_epoch_losses['val-PSNR'])
+                if val_mean_psnr > self.best_val_model_psnr:
+                    self.best_val_model_psnr = val_mean_psnr
+                    self.best_val_model_idx = epoch_idx
+                    improvement_count = 0
+                else:
+                    improvement_count += 1
+            # without a tracked val-PSNR there is no improvement signal: the patience
+            # counter must not tick, or it would silently stop a healthy run
 
             for key, value in current_epoch_losses.items():
                 avg_val = np.nanmean(value)

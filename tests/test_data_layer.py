@@ -12,6 +12,8 @@ from PIL import Image
 from sisr_tpu.data.datasets import SuperResImages, read_augmentation_list
 from sisr_tpu.data.loader import DataLoader, CelebaSplitSampler
 
+SET5 = '/root/reference/Data/example_data/Set5'
+
 
 @pytest.fixture(scope='module')
 def dataset_dirs(tmp_path_factory):
@@ -247,3 +249,28 @@ def test_constant_metadata_column_does_not_nan(tmp_path):
     d, _ = read_augmentation_list(str(p), filenames=['a.png', 'b.png'],
                                   force_qpi_range=False, qpi_selection=[30, 40])
     assert sorted(d) == []
+
+
+def test_split_none_returns_all_images():
+    """split=None is an accepted constructor value and must behave like 'all'."""
+    from sisr_tpu.data.datasets import SuperResImages
+    ds = SuperResImages(lr_dir=os.path.join(SET5, 'lr_random_blur'),
+                        hr_dir=os.path.join(SET5, 'hr'), split=None,
+                        colorspace='rgb', y_only=False, input='unmodified', scale=4)
+    assert len(ds) == 5
+
+
+def test_interp_crop_alignment():
+    """interp-input datasets carry an HR-sized LR: random crops must align 1:1
+    (the crop offset must NOT be scaled by the SR factor)."""
+    from sisr_tpu.data.datasets import SuperResImages
+    ds = SuperResImages(lr_dir=os.path.join(SET5, 'hr'),
+                        hr_dir=os.path.join(SET5, 'hr'), split='all',
+                        colorspace='rgb', y_only=False, input='interp', scale=4,
+                        random_crop=16)
+    for i in range(len(ds)):
+        item = ds[i]
+        assert item['lr'].shape == (16, 16, 3)
+        assert item['hr'].shape == (16, 16, 3)
+        # same source dir + aligned offsets -> identical patches
+        np.testing.assert_array_equal(item['lr'], item['hr'])

@@ -249,3 +249,59 @@ def test_eval_best_epoch_resolution(trained_experiment):
     expected = int(summary['val-PSNR'].idxmax())
     iface = ModelInterface(save_loc, 'tiny_srcnn', load_epoch='best')
     assert iface.model_epoch == expected
+
+
+def test_fused_dispatch_ragged_final_batch(tmp_path):
+    """A ragged final batch landing inside a full K-step buffer must run as a single
+    step instead of crashing the lax.scan stack (5 imgs, bs=2 -> (2,2,1), K=3)."""
+    from sisr_tpu.training.handler import TrainingHandler
+    handler = TrainingHandler(
+        experiment_name='ragged_k', save_loc=str(tmp_path),
+        model_params=_model_params('edsr', num_features=8, num_blocks=1),
+        data_params=_data_params(crop=8, batch_size=2),
+        num_epochs=1, metrics=['PSNR'], seed=8, steps_per_dispatch=3)
+    losses = handler.run_experiment()
+    assert np.isfinite(losses['train-loss'][0])
+
+
+def test_early_stopping_needs_psnr_signal(tmp_path):
+    """Without a tracked val-PSNR there is no improvement signal: the patience
+    counter must not tick (previously every epoch counted as 'no improvement' and
+    training stopped after `patience` epochs)."""
+    from sisr_tpu.training.handler import TrainingHandler
+    handler = TrainingHandler(
+        experiment_name='nostop', save_loc=str(tmp_path),
+        model_params=_model_params('edsr', num_features=8, num_blocks=1),
+        data_params=_data_params(crop=8), num_epochs=3, metrics=[],
+        early_stopping_patience=1, seed=8)
+    losses = handler.run_experiment()
+    assert len(losses['train-loss']) == 3  # ran to completion, no spurious stop
+
+
+def test_best_last_resolution_with_duplicate_epoch_rows(tmp_path):
+    """'best'/'last' must resolve through the 'epoch' COLUMN: resumed runs append
+    stale duplicate-epoch rows where row position != epoch number."""
+    import pandas as pd
+    from sisr_tpu.models.handlers import define_model
+    from sisr_tpu.models.interface import ModelInterface
+    from sisr_tpu.utils import toml_io
+    base = tmp_path / 'exp'
+    (base / 'saved_models').mkdir(parents=True)
+    (base / 'result_outputs').mkdir()
+    internal = {'scale': 4, 'num_features': 8, 'num_blocks': 1}
+    with open(base / 'config.toml', 'w') as f:
+        toml_io.dump({'model': {'name': 'edsr', 'internal_params': internal}}, f)
+    h = define_model('edsr', **internal)
+    h.init_state()
+    for epoch in range(3):
+        h.set_epoch(epoch)
+        h.save_model('train_model', epoch, str(base / 'saved_models'))
+    # resumed-run artifact: epochs 0,1,2 then stale duplicates of 1,2 appended —
+    # the best row (PSNR 30.0) sits at ROW 3 but is EPOCH 1
+    pd.DataFrame({'epoch': [0, 1, 2, 1, 2],
+                  'val-PSNR': [20.0, 29.0, 25.0, 30.0, 26.0]}).to_csv(
+        base / 'result_outputs' / 'summary.csv', index=False)
+    best = ModelInterface(str(tmp_path), 'exp', load_epoch='best')
+    assert best.model_epoch == 1
+    last = ModelInterface(str(tmp_path), 'exp', load_epoch='last')
+    assert last.model_epoch == 2
