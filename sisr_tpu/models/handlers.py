@@ -194,13 +194,19 @@ class BaseHandler:
         """Quantized forward; lazily quantizes weights + calibrates activation scales
         from the first batch seen, then reuses the jitted int8 program."""
         x = jnp.asarray(batch['lr'], jnp.float32)
-        self._ensure_int8_ctx(x)
+        meta = self.prepare_metadata(x, batch.get('metadata')) \
+            if self.uses_metadata else None
+        self._ensure_int8_ctx(x, meta)
         fwd, qp = self._int8_ctx
-        return fwd(qp, x)
+        return fwd(qp, x, meta)
 
-    def _ensure_int8_ctx(self, x):
+    def _ensure_int8_ctx(self, x, meta=None):
         """Quantize weights + calibrate activation scales on the first batch seen
-        (host-side, OUTSIDE any trace — the resulting int8 program is pure)."""
+        (host-side, OUTSIDE any trace — the resulting int8 program is pure).
+
+        Every family's jitted program has the uniform signature ``fwd(qp, x, meta)``;
+        metadata-free families ignore ``meta``.  ``meta`` is the handler-PREPARED
+        vector (key-masked + scale_qpi-expanded where applicable)."""
         from ..ops import quantization as qz
         if self._int8_ctx is None:
             params = jax.tree.map(lambda a: np.asarray(a, np.float32),
@@ -211,7 +217,7 @@ class BaseHandler:
                 scales = qz.calibrate_edsr_scales(
                     params, [x], num_blocks=m.num_blocks, scale=self.scale,
                     res_scale=m.res_scale, margin=1.1)
-                fwd = jax.jit(lambda qp_, xx: qz.edsr_int8_forward_static(
+                fwd = jax.jit(lambda qp_, xx, mm: qz.edsr_int8_forward_static(
                     qp_, scales, xx, num_blocks=m.num_blocks, scale=self.scale,
                     res_scale=m.res_scale, residual_dtype=self.int8_residual_dtype))
             elif self.int8_family == 'rcan':
@@ -221,9 +227,23 @@ class BaseHandler:
                 rd = self.int8_residual_dtype \
                     if self.int8_residual_dtype in ('float32', 'bfloat16') \
                     else 'bfloat16'
-                fwd = jax.jit(lambda qp_, xx: qz.rcan_int8_forward_static(
+                fwd = jax.jit(lambda qp_, xx, mm: qz.rcan_int8_forward_static(
                     qp_, scales, xx, m.n_resgroups, m.n_resblocks,
                     residual_dtype=rd))
+            elif self.int8_family == 'qrcan':
+                if meta is None:
+                    raise RuntimeError('int8 QRCAN calibration needs a metadata '
+                                       'batch alongside the first LR batch.')
+                qp = qz.quantize_qrcan_params(params, m.n_resgroups, m.n_resblocks)
+                scales = qz.calibrate_qrcan_scales(
+                    params, [x], [meta], style=m.style, n_resgroups=m.n_resgroups,
+                    n_resblocks=m.n_resblocks, margin=1.1)
+                rd = self.int8_residual_dtype \
+                    if self.int8_residual_dtype in ('float32', 'bfloat16') \
+                    else 'bfloat16'
+                fwd = jax.jit(lambda qp_, xx, mm: qz.qrcan_int8_forward_static(
+                    qp_, scales, xx, mm, style=m.style, n_resgroups=m.n_resgroups,
+                    n_resblocks=m.n_resblocks, residual_dtype=rd))
             else:
                 raise RuntimeError('unknown int8 family %r' % self.int8_family)
             self._int8_ctx = (fwd, qp)
@@ -518,7 +538,7 @@ class BaseHandler:
         the tile grid traces into the same program.  int8 and bucketed eval keep
         their dedicated paths; mesh-sharded tiled eval stays on the standard path
         (its tile scatter is host-side).  int8 serving composes with the fused step
-        for the families that have an int8 program (edsr/rcan)."""
+        for the families that have an int8 program (edsr/rcan/qrcan)."""
         # (int8_mode implies int8_family is set — set_int8 refuses otherwise)
         return (not self.eval_buckets
                 and not (self.tiled_eval and self.mesh_ctx is not None)
@@ -588,7 +608,10 @@ class BaseHandler:
         if self.int8_mode and self._int8_ctx is None:
             lr_f32 = lr.astype(np.float32) / 255.0 if lr.dtype == np.uint8 \
                 else np.asarray(lr, np.float32)
-            self._ensure_int8_ctx(jnp.asarray(lr_f32))  # calibrate OUTSIDE the trace
+            x_cal = jnp.asarray(lr_f32)
+            meta_cal = self.prepare_metadata(x_cal, dev_batch.get('metadata')) \
+                if self.uses_metadata else None
+            self._ensure_int8_ctx(x_cal, meta_cal)  # calibrate OUTSIDE the trace
         key = ('fused', tuple(metrics), include_lr, self.int8_mode)
         if key not in self._eval_step_cache:
             self._eval_step_cache[key] = self._make_fused_step(tuple(metrics),
@@ -650,7 +673,9 @@ class BaseHandler:
                 # (int8 convs at 2x the bf16 MXU rate; quantized params are trace
                 # constants, refreshed via set_int8/_invalidate_steps)
                 fwd, qp = self._int8_ctx
-                sr = fwd(qp, x_in.astype(jnp.float32))
+                meta_in = self.prepare_metadata(x_in, batch.get('metadata')) \
+                    if self.uses_metadata else None
+                sr = fwd(qp, x_in.astype(jnp.float32), meta_in)
             elif self.tiled_eval:
                 # the static tile grid traces into this same program (anchors are
                 # shape-derived constants); the inner jitted eval step is inlined
@@ -977,6 +1002,9 @@ class QRCANHandler(QHandler):
     """(ref: attention_manipulators/handlers.py:7-54).  'qpircan' legacy alias
     (ref: models/__init__.py:92-93)."""
     colorspace = 'augmented_rgb'
+    # int8 serving: int8 convs + f32 meta-attention (QCALayer/PALayer/ParaCALayer
+    # on pooled vectors) — ops/quantization.qrcan_int8_forward_static
+    int8_family = 'qrcan'
 
     def __init__(self, style='modulate', clamp=False, min_mu=-0.2, max_mu=0.8,
                  n_feats=64, **kwargs):

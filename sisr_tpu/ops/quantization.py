@@ -357,6 +357,209 @@ def rcan_int8_forward_static(qparams, act_scales, x, n_resgroups=10, n_resblocks
     return qconv('tail', qparams['tail'], res)
 
 
+def quantize_qrcan_params(params, n_resgroups=10, n_resblocks=20):
+    """Quantize a QRCAN parameter tree (models/qmodels.py naming) to int8.
+
+    Same split as RCAN: the 3x3 convs (the MXU-lane-limited hot path) go int8;
+    every attention stage stays f32 — QCALayer/ParaCALayer operate on (B, C)
+    pooled/metadata vectors (negligible FLOPs, sigmoid-gated and therefore
+    precision-sensitive), and PALayer's two 1x1 convs are C/8-channel.
+    """
+    def q(entry):
+        qk, s = quantize_kernel_int8(entry['kernel'])
+        return {'kernel': qk, 'scale': s,
+                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+
+    def f32(tree):
+        return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
+
+    out = {'head': q(params['head']), 'final_body': q(params['final_body']),
+           'tail': q(params['tail']),
+           'upsampler': {k: q(v) for k, v in params['upsampler'].items()}}
+    for g in range(n_resgroups):
+        grp = params['group_%d' % g]
+        qg = {'final_body': q(grp['final_body'])}
+        for b in range(n_resblocks):
+            blk = grp['qrcab_%d' % b]
+            qb = {'conv_0': q(blk['conv_0']), 'conv_1': q(blk['conv_1']),
+                  'qca': f32(blk['qca'])}
+            for extra in ('pa_node', 'q_node'):  # presence mirrors the module config
+                if extra in blk:
+                    qb[extra] = f32(blk[extra])
+            qg['qrcab_%d' % b] = qb
+        out['group_%d' % g] = qg
+    return out
+
+
+def _dense_apply(entry, y):
+    return y @ entry['kernel'] + entry['bias']
+
+
+def _qca_apply(entry, pooled, meta, style):
+    """QCALayer math in f32 on the pooled (B, C) vector (models/q_layers.py:100-146)."""
+    y = pooled
+    if style in ('modulate', 'standard'):
+        y = jax.nn.relu(_dense_apply(entry['du_0'], y))
+        y = jax.nn.sigmoid(_dense_apply(entry['du_1'], y))
+        if style == 'modulate':
+            y = y * meta
+    elif style in ('max_concat', 'softmax'):
+        y = jnp.concatenate([y, meta], axis=-1)
+        y = jax.nn.relu(_dense_apply(entry['du_0'], y))
+        y = jax.nn.sigmoid(_dense_apply(entry['du_1'], y))
+        if style == 'softmax':
+            y = jax.nn.softmax(y, axis=-1)
+    elif style == 'mini_concat':
+        y = _dense_apply(entry['pre_concat'], y)
+        y = jax.nn.relu(jnp.concatenate([y, meta], axis=-1))
+        y = jax.nn.sigmoid(_dense_apply(entry['du_1'], y))
+    elif style == 'extended_attention':
+        for i in range(3):
+            y = jnp.concatenate([y, meta], axis=-1)
+            y = jax.nn.relu(_dense_apply(entry['feature_%d' % i], y))
+        y = jax.nn.sigmoid(_dense_apply(entry['final'], y))
+    else:
+        raise NotImplementedError('Unknown QCALayer style %s' % style)
+    return y
+
+
+def _para_ca_apply(entry, meta):
+    """ParaCALayer math in f32 (models/q_layers.py:30-59; nonlinearity=True as used
+    by QRCAB's q_node)."""
+    n_fc = sum(1 for k in entry if k.startswith('fc_'))
+    y = meta
+    for i in range(n_fc):
+        y = _dense_apply(entry['fc_%d' % i], y)
+        if i < n_fc - 1:
+            y = jax.nn.relu(y)
+    return jax.nn.sigmoid(y)
+
+
+def _pa_apply(entry, h):
+    """PALayer: two 1x1 convs + sigmoid gate, f32 (models/q_layers.py:62-76)."""
+    def c1x1(e, z):
+        dn = jax.lax.conv_dimension_numbers(z.shape, e['kernel'].shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(z, e['kernel'], (1, 1), 'VALID',
+                                            dimension_numbers=dn) + e['bias']
+    hf = h.astype(jnp.float32)
+    y = jax.nn.relu(c1x1(entry['pa_0'], hf))
+    y = jax.nn.sigmoid(c1x1(entry['pa_1'], y))
+    return h * y.astype(h.dtype)
+
+
+def _qrcan_float_forward(params, x, metadata, style, n_resgroups, n_resblocks,
+                         track=None):
+    """f32 QRCAN forward used for calibration (mirrors models/qmodels.py QRCAN;
+    pa_node/q_node presence is read off the parameter tree)."""
+    from ..models.blocks import pixel_shuffle
+
+    tr = track or (lambda name, h: h)
+    meta = jnp.asarray(metadata, jnp.float32)
+
+    def fconv(entry, h):
+        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
+                                            dimension_numbers=dn) + entry['bias']
+
+    h = fconv(params['head'], tr('head', jnp.asarray(x, jnp.float32)))
+    res = tr('_residual', h)
+    for g in range(n_resgroups):
+        grp = params['group_%d' % g]
+        r = res
+        for b in range(n_resblocks):
+            blk = grp['qrcab_%d' % b]
+            pre = 'group_%d.qrcab_%d' % (g, b)
+            y = jax.nn.relu(fconv(blk['conv_0'], tr(pre + '.conv_0', r)))
+            y = fconv(blk['conv_1'], tr(pre + '.conv_1', y))
+            att = _qca_apply(blk['qca'], jnp.mean(y, axis=(1, 2)), meta, style)
+            y = y * att[:, None, None, :]
+            if 'pa_node' in blk:
+                y = _pa_apply(blk['pa_node'], y)
+            if 'q_node' in blk:
+                y = y * _para_ca_apply(blk['q_node'], meta)[:, None, None, :]
+            r = tr('_residual', y + r)
+        res = tr('_residual',
+                 fconv(grp['final_body'], tr('group_%d.final_body' % g, r)) + res)
+    res = fconv(params['final_body'], tr('final_body', res)) + h
+    _check_rcan_upsampler_pow2(params['upsampler'])
+    for i in range(sum(1 for k in params['upsampler'] if k.startswith('conv_'))):
+        res = fconv(params['upsampler']['conv_%d' % i],
+                    tr('upsampler.conv_%d' % i, res))
+        res = pixel_shuffle(res, 2)
+    return fconv(params['tail'], tr('tail', res))
+
+
+def calibrate_qrcan_scales(params, sample_batches, metadata_batches, style='modulate',
+                           n_resgroups=10, n_resblocks=20, margin=1.0):
+    """Static activation scales for the int8 QRCAN forward (absmax calibration).
+
+    ``metadata_batches`` must be the HANDLER-PREPARED metadata (key-masked, and
+    scale_qpi-expanded for style='modulate') matching each sample batch.
+    """
+    maxes = {}
+
+    def track(name, h):
+        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
+        return h
+
+    for x, meta in zip(sample_batches, metadata_batches):
+        _qrcan_float_forward(params, x, meta, style, n_resgroups, n_resblocks,
+                             track=track)
+    maxes.pop('_residual')
+    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+
+
+def qrcan_int8_forward_static(qparams, act_scales, x, metadata, style='modulate',
+                              n_resgroups=10, n_resblocks=20,
+                              residual_dtype='bfloat16'):
+    """Quantized QRCAN forward: int8 convs + f32 meta-attention.
+
+    The paper's flagship family: same static-scale int8 recipe as RCAN, with the
+    QCALayer/PALayer/ParaCALayer attention stages (QRCAB, models/qmodels.py:18-44)
+    computed in f32 on pooled vectors and re-applied as channel gates.  ``metadata``
+    is the handler-prepared vector (scale_qpi-expanded for style='modulate').
+    """
+    from ..models.blocks import pixel_shuffle
+
+    if residual_dtype not in ('float32', 'bfloat16'):
+        raise ValueError('residual_dtype must be float32 | bfloat16')
+    carry_t = jnp.float32 if residual_dtype == 'float32' else jnp.bfloat16
+    meta = jnp.asarray(metadata, jnp.float32)
+
+    def qconv(name, tree, h):
+        return conv_int8_static(h, tree['kernel'], tree['scale'], act_scales[name],
+                                tree['bias'])
+
+    h = qconv('head', qparams['head'], x).astype(carry_t)
+    res = h
+    for g in range(n_resgroups):
+        grp = qparams['group_%d' % g]
+        r = res
+        for b in range(n_resblocks):
+            blk = grp['qrcab_%d' % b]
+            pre = 'group_%d.qrcab_%d' % (g, b)
+            y = jax.nn.relu(qconv(pre + '.conv_0', blk['conv_0'], r))
+            y = qconv(pre + '.conv_1', blk['conv_1'], y)
+            att = _qca_apply(blk['qca'], jnp.mean(y, axis=(1, 2)).astype(jnp.float32),
+                             meta, style)
+            y = y * att[:, None, None, :]
+            if 'pa_node' in blk:
+                y = _pa_apply(blk['pa_node'], y)
+            if 'q_node' in blk:
+                y = y * _para_ca_apply(blk['q_node'], meta)[:, None, None, :]
+            r = y.astype(carry_t) + r
+        res = qconv('group_%d.final_body' % g, grp['final_body'], r).astype(carry_t) \
+            + res
+    res = qconv('final_body', qparams['final_body'], res) + h.astype(jnp.float32)
+    _check_rcan_upsampler_pow2(qparams['upsampler'])
+    for i in range(sum(1 for k in qparams['upsampler'] if k.startswith('conv_'))):
+        res = qconv('upsampler.conv_%d' % i, qparams['upsampler']['conv_%d' % i], res)
+        res = pixel_shuffle(res, 2)
+    return qconv('tail', qparams['tail'], res)
+
+
 def _edsr_int8_forward_res16(qparams, act_scales, x, num_blocks, scale, res_scale):
     """int16 fixed-point residual datapath (see edsr_int8_forward_static)."""
     from ..models.blocks import pixel_shuffle

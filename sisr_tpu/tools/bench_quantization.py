@@ -59,6 +59,34 @@ def _rcan_section(x):
           % (tput, tput / bf16_tput, fid))
 
 
+def _qrcan_section(x):
+    from ..models.qmodels import QRCAN
+    from ..ops.quantization import (calibrate_qrcan_scales, quantize_qrcan_params,
+                                    qrcan_int8_forward_static)
+
+    cfg = dict(n_resgroups=10, n_resblocks=20, n_feats=64, scale=4,
+               style='max_concat', num_metadata=10, include_q_layer=True)
+    model = QRCAN(dtype=jnp.bfloat16, **cfg)
+    meta = jnp.asarray(np.random.rand(x.shape[0], 10), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), x, metadata=meta)
+    f32_model = QRCAN(**cfg)
+    qparams = quantize_qrcan_params(variables['params'])
+    scales = calibrate_qrcan_scales(variables['params'], [np.asarray(x[:2])],
+                                    [np.asarray(meta[:2])], style='max_concat')
+    ref = np.asarray(f32_model.apply(variables, x[:1], metadata=meta[:1]))
+
+    bf16_tput = _timed(_make_loop(lambda h: model.apply(variables, h,
+                                                        metadata=meta)), x)
+    print('qrcan bf16 model           : %8.1f img/s' % bf16_tput)
+    fwd = lambda h, m: qrcan_int8_forward_static(qparams, scales, h, m,
+                                                 style='max_concat')
+    tput = _timed(_make_loop(lambda h: fwd(h, meta)), x)
+    err = np.abs(np.asarray(fwd(x[:1], meta[:1])) - ref)
+    fid = 10 * np.log10(1.0 / max(float((err ** 2).mean()), 1e-12))
+    print('qrcan int8 static, bf16 res: %8.1f img/s  (%.2fx bf16, %4.1f dB vs f32)'
+          % (tput, tput / bf16_tput, fid))
+
+
 def main():
     from ..models.advanced import EDSR
     from ..ops.quantization import (calibrate_edsr_scales, edsr_int8_forward_static,
@@ -87,6 +115,7 @@ def main():
               % (dtype, tput, tput / bf16_tput, fid))
 
     _rcan_section(x)
+    _qrcan_section(x)
 
 
 if __name__ == '__main__':

@@ -593,6 +593,74 @@ def import_reference_experiment(checkpoint_path, out_dir, experiment=None,
     return base
 
 
+def verify_reference_import(checkpoint_path, base, ref_code=None, spatial=(16, 16)):
+    """Run the reference torch model AND the imported flax experiment on the same
+    seeded probe; return max |delta| over the raw model outputs.
+
+    One-command validation for released (e.g. Zenodo) reference checkpoints: needs
+    the reference code tree (``SISR_REFERENCE_CODE`` or /root/reference/Code) to
+    build the torch side — the reference handler is constructed through the
+    reference's OWN registry (``ModelInterface.define_model``) and the checkpoint is
+    loaded through its own ``load_model`` (ref: SISR/models/__init__.py:411-464), so
+    the comparison covers the reference's full load path, not just the state_dict.
+    """
+    import os
+    import torch
+    from ..utils.ref_compat import install_reference_import_shims
+    from ..utils import toml_io
+    from ..models.interface import ModelInterface
+
+    install_reference_import_shims(ref_code)
+    import SISR.models as ref_models
+
+    cfg = toml_io.load(os.path.join(base, 'config.toml'))['model']
+    name, internal = cfg['name'], dict(cfg['internal_params'])
+
+    state = torch.load(checkpoint_path, map_location='cpu', weights_only=False)
+    if not (isinstance(state, dict) and 'network' in state):
+        state = {'network': state, 'optimizer': {}, 'model_name': name,
+                 'model_epoch': 0}
+    state.setdefault('model_name', name)
+    epoch = int(state.get('model_epoch', 0))
+
+    ref_handler = ref_models.ModelInterface.define_model(
+        name=name, model_save_dir=os.path.join(base, 'saved_models'),
+        device=torch.device('cpu'), eval_mode=True, **internal)
+    ref_handler.load_model('train_model', epoch, legacy=ref_handler.legacy_load,
+                           preloaded_state=state)
+
+    iface = ModelInterface(os.path.dirname(base), os.path.basename(base),
+                           load_epoch=epoch, scale=internal.get('scale'))
+    ours = iface.model
+
+    rng = np.random.RandomState(0)
+    h, w = spatial
+    x = rng.rand(1, h, w, ours.in_channels).astype(np.float32)
+    kwargs_t, kwargs_f = {}, {}
+    if ours.uses_metadata:
+        meta_names = internal.get('metadata') or ['qpi']
+        n_meta = ours.num_metadata
+        if len(meta_names) != 1:
+            raise RuntimeError('--verify supports a single metadata source; verify '
+                               'multi-source models through eval_sisr instead.')
+        ours.set_metadata_keys([meta_names[0]] * n_meta)
+        meta = rng.rand(1, n_meta).astype(np.float32)
+        kwargs_t = {'metadata': torch.from_numpy(meta),
+                    'metadata_keys': [(meta_names[0],)] * n_meta}
+        kwargs_f = {'metadata': meta}
+
+    ref_handler.net.eval()
+    with torch.no_grad():
+        ref_out, _, _ = ref_handler.run_eval(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), **kwargs_t)
+    ref_out = np.asarray(ref_out).transpose(0, 2, 3, 1)
+    out, _, _ = ours.run_eval(x, **kwargs_f)
+    delta = float(np.abs(np.asarray(out, np.float32) - ref_out).max())
+    print('verify %s (epoch %d): max |torch - flax| = %.3g on a %dx%d probe'
+          % (name, epoch, delta, h, w))
+    return delta
+
+
 def import_reference_model_cli():
     """console script: import_reference_model"""
     import click
@@ -605,9 +673,19 @@ def import_reference_model_cli():
                   help='Model registry name (read from the checkpoint if present).')
     @click.option('--epoch', default=None, type=int, help='Epoch tag for the checkpoint.')
     @click.option('--scale', default=4, help='SR scale.', show_default=True)
-    def run(checkpoint, out_dir, experiment, model_name, epoch, scale):
+    @click.option('--verify', is_flag=True,
+                  help='After converting, run the reference torch model and the '
+                       'imported model on the same probe and print max |delta| '
+                       '(needs the reference code tree: SISR_REFERENCE_CODE).')
+    def run(checkpoint, out_dir, experiment, model_name, epoch, scale, verify):
         """Convert a reference torch checkpoint into an evaluable experiment folder."""
-        import_reference_experiment(checkpoint, out_dir, experiment=experiment,
-                                    model_name=model_name, epoch=epoch, scale=scale)
+        base = import_reference_experiment(checkpoint, out_dir, experiment=experiment,
+                                           model_name=model_name, epoch=epoch,
+                                           scale=scale)
+        if verify:
+            delta = verify_reference_import(checkpoint, base)
+            if delta > 5e-3:
+                raise SystemExit('verification FAILED: max |delta| %.3g > 5e-3'
+                                 % delta)
 
     run()

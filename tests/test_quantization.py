@@ -1,5 +1,6 @@
 """Int8 quantized inference correctness."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -218,3 +219,86 @@ def test_int8_ctx_refreshes_after_load(tmp_path):
     fresh.set_int8(True)
     out_fresh, _, _ = fresh.run_eval(x)
     np.testing.assert_allclose(out_new, out_fresh, atol=1e-6)
+
+
+@pytest.mark.parametrize('style', ['modulate', 'max_concat'])
+def test_qrcan_int8_static_quality(style):
+    """Quantized QRCAN (int8 convs + f32 meta-attention incl. PALayer/ParaCALayer)
+    stays >35 dB vs the f32 module (VERDICT r2 item 3)."""
+    from sisr_tpu.models.qmodels import QRCAN
+    from sisr_tpu.ops.quantization import (calibrate_qrcan_scales,
+                                           quantize_qrcan_params,
+                                           qrcan_int8_forward_static,
+                                           _qrcan_float_forward)
+    rng = np.random.RandomState(11)
+    n_meta = 16 if style == 'modulate' else 10  # modulate: meta width == n_feats
+    model = QRCAN(n_resgroups=2, n_resblocks=2, n_feats=16, scale=4, style=style,
+                  num_metadata=n_meta, include_q_layer=True,
+                  include_pixel_attention=True)
+    x = jnp.asarray(rng.rand(1, 16, 16, 3), jnp.float32)
+    meta = jnp.asarray(rng.rand(1, n_meta), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(9), x, metadata=meta)
+    out_f32 = np.asarray(model.apply(variables, x, metadata=meta))
+
+    # the calibration-path float mirror must match the flax model bit-for-bit
+    mirror = np.asarray(_qrcan_float_forward(variables['params'], x, meta, style,
+                                             2, 2))
+    assert np.array_equal(mirror, out_f32)
+
+    qparams = quantize_qrcan_params(variables['params'], 2, 2)
+    scales = calibrate_qrcan_scales(variables['params'], [np.asarray(x)],
+                                    [np.asarray(meta)], style=style,
+                                    n_resgroups=2, n_resblocks=2)
+    for dtype in ('float32', 'bfloat16'):
+        out = np.asarray(qrcan_int8_forward_static(qparams, scales, x, meta,
+                                                   style=style, n_resgroups=2,
+                                                   n_resblocks=2,
+                                                   residual_dtype=dtype))
+        assert out.shape == out_f32.shape
+        assert psnr(out, out_f32, max_value=1.0) > 35, (style, dtype)
+
+
+def test_handler_int8_qrcan_serving_path():
+    """set_int8 on QRCAN (the paper's flagship family): metadata flows into the
+    quantized program; output stays close to the f32 eval."""
+    from sisr_tpu.models.handlers import define_model
+    from sisr_tpu.ops.metrics import psnr
+    rng = np.random.RandomState(13)
+    for style in ('modulate', 'max_concat'):
+        h = define_model('qrcan', eval_mode=True, scale=4, n_feats=16,
+                         n_resgroups=2, n_resblocks=1, style=style,
+                         include_q_layer=True, metadata=['blur_kernel'])
+        h.set_metadata_keys(['blur_kernel'] * 10)
+        x = rng.rand(1, 12, 14, 3).astype(np.float32)
+        meta = rng.rand(1, 10).astype(np.float32)
+        ref, _, _ = h.run_eval(x, metadata=meta)
+        h.set_int8(True)
+        assert h.int8_mode  # qrcan now HAS a serving path (no silent refusal)
+        out, _, runtime = h.run_eval(x, metadata=meta, timing=True)
+        assert out.shape == ref.shape and runtime is not None
+        assert psnr(out, ref, max_value=1.0) > 35, style
+
+
+def test_qrcan_int8_fused_eval_matches_standard():
+    """int8 QRCAN composes with the fused eval program (metadata threaded in)."""
+    from sisr_tpu.models.handlers import define_model
+    rng = np.random.RandomState(17)
+    h = define_model('qrcan', eval_mode=True, scale=2, n_feats=16, n_resgroups=1,
+                     n_resblocks=1, style='max_concat', include_q_layer=True,
+                     metadata=['blur_kernel'])
+    h.set_metadata_keys(['blur_kernel'] * 10)
+    h.set_int8(True)
+    batch = {'lr': rng.rand(2, 8, 8, 3).astype(np.float32),
+             'hr': rng.rand(2, 16, 16, 3).astype(np.float32),
+             'metadata': rng.rand(2, 10).astype(np.float32)}
+    (keys, vals), _ = h.run_eval_fused(batch)
+    vals = {k: np.asarray(v) for k, v in zip(keys, np.asarray(vals))}
+    # standard (non-fused) int8 path on the same batch -> same PSNR
+    out, _, _ = h.run_eval(batch['lr'], metadata=batch['metadata'])
+    from sisr_tpu.ops.colorspace import rgb_to_ycbcr_nhwc
+    sr_y = np.asarray(rgb_to_ycbcr_nhwc(np.clip(out, 0, 1), y_only=True,
+                                        im_type='jpg'))[..., 0]
+    hr_y = np.asarray(rgb_to_ycbcr_nhwc(batch['hr'], y_only=True,
+                                        im_type='jpg'))[..., 0]
+    want = [psnr(sr_y[i], hr_y[i], max_value=1.0) for i in range(2)]
+    np.testing.assert_allclose(vals['model>PSNR'], want, atol=1e-3)

@@ -415,3 +415,34 @@ def test_import_reference_experiment_end_to_end(ref_modules, tmp_path):
     with torch.no_grad():
         ref = np.clip(tm(x).numpy().transpose(0, 2, 3, 1), 0, 1)
     np.testing.assert_allclose(out_rgb, ref, atol=5e-4)
+
+
+def test_verify_reference_import(ref_modules, tmp_path):
+    """convert_weights --verify: one-command torch-vs-imported validation (for
+    released/Zenodo checkpoints; VERDICT r2 item 10)."""
+    _, advanced, qarch = ref_modules
+    from sisr_tpu.tools.convert_weights import (import_reference_experiment,
+                                                verify_reference_import)
+    # EDSR: the reference EDSRHandler is parameterizable (RCAN/HAN hardcode the
+    # full-size nets, so --verify on those only fits released checkpoints)
+    tm = advanced.EDSR(net_features=16, num_blocks=3, scale=4)
+    ckpt = str(tmp_path / 'train_model_2')
+    torch.save({'model_name': 'edsr', 'model_epoch': 2,
+                'network': tm.state_dict(), 'optimizer': {}}, ckpt)
+    base = import_reference_experiment(ckpt, str(tmp_path / 'Results'),
+                                       experiment='v_edsr', scale=4,
+                                       num_features=16, num_blocks=3)
+    delta = verify_reference_import(ckpt, base)
+    assert delta < 5e-4
+
+    # metadata family: the probe threads metadata through both load paths
+    qm = qarch.QRCAN(n_resblocks=1, n_resgroups=1, n_feats=16, scale=4,
+                     style='max_concat', num_metadata=10, include_q_layer=True)
+    qckpt = str(tmp_path / 'train_model_q')
+    torch.save({'model_name': 'qrcan', 'model_epoch': 0,
+                'network': qm.state_dict(), 'optimizer': {}}, qckpt)
+    qbase = import_reference_experiment(
+        qckpt, str(tmp_path / 'Results'), experiment='v_qrcan', scale=4,
+        n_resgroups=1, n_resblocks=1, n_feats=16, style='max_concat',
+        include_q_layer=True, metadata=['blur_kernel'])
+    assert verify_reference_import(qckpt, qbase) < 5e-4
