@@ -66,11 +66,21 @@ def make_multihost_mesh(devices_per_host=None, batch_axes=('dcn', 'data'),
     if n_hosts > 1 and n_devices is None:
         # real multi-process launch: jax.devices() ordering is NOT guaranteed
         # host-contiguous, and a naive reshape could put the fast 'data' axis across
-        # DCN — use the topology-aware factorization
-        from jax.experimental import mesh_utils
-        dev_array = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, per_host), dcn_mesh_shape=(len(devices) // per_host, 1),
-            devices=devices).reshape(len(devices) // per_host, per_host)
+        # DCN — use the topology-aware factorization when slice info exists
+        # (multi-slice TPU pods), else group by process boundary (single-slice pods,
+        # CPU multi-process): rows = hosts (DCN axis), columns = that host's local
+        # devices (ICI axis)
+        try:
+            from jax.experimental import mesh_utils
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(1, per_host),
+                dcn_mesh_shape=(len(devices) // per_host, 1),
+                devices=devices).reshape(len(devices) // per_host, per_host)
+        except ValueError:
+            by_proc = {}
+            for d in devices:
+                by_proc.setdefault(d.process_index, []).append(d)
+            dev_array = np.array([by_proc[p] for p in sorted(by_proc)])
         mesh = Mesh(dev_array, batch_axes)
     else:
         mesh = make_mesh(axis_names=batch_axes, devices=devices,
