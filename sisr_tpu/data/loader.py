@@ -174,10 +174,14 @@ def device_prefetch(iterator, size=2, sharding=None):
     """Wrap a host batch iterator so upcoming batches are already on device.
 
     Transfers the numeric entries of the batch dict with ``jax.device_put`` (optionally
-    with a ``Sharding`` for multi-chip data parallelism) ``size`` batches ahead.
+    with a ``Sharding`` for multi-chip data parallelism), staged ``size`` batches
+    ahead in a BACKGROUND thread: on remote-attached devices the device_put RPC
+    serializes the batch bytes on the calling thread, so inline transfers would
+    block step dispatch — the dedicated uploader overlaps them with device compute.
     """
     import jax
-    from collections import deque
+    import queue as queue_mod
+    import threading
 
     def put(batch):
         out = {}
@@ -189,15 +193,23 @@ def device_prefetch(iterator, size=2, sharding=None):
                 out[k] = v
         return out
 
-    buf = deque()
-    it = iter(iterator)
-    for _ in range(size):
-        b = next(it, None)
-        if b is None:
-            break
-        buf.append(put(b))
-    while buf:
-        nxt = next(it, None)
-        if nxt is not None:
-            buf.append(put(nxt))
-        yield buf.popleft()
+    q = queue_mod.Queue(maxsize=max(1, size))
+    end = object()
+
+    def uploader():
+        try:
+            for b in iterator:
+                q.put(put(b))
+            q.put(end)
+        except BaseException as exc:  # surfaced on the consumer thread below
+            q.put(exc)
+
+    threading.Thread(target=uploader, daemon=True,
+                     name='sisr-device-prefetch').start()
+    while True:
+        item = q.get()
+        if item is end:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

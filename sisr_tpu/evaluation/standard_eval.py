@@ -260,8 +260,14 @@ class EvalHub:
             ds.keep_uint8 = True
         metric_package = defaultdict(list)
         pending = []  # (experiment, is_first_model, keys, (K,N) device vals, rt, n)
+        # upload-ahead: on remote-attached chips the device_put RPC serializes the
+        # batch bytes on the calling thread (HR uint8 dominates, ~6 MB per batch of
+        # 8 at 512^2); staging the NEXT batch's transfer in a background thread
+        # overlaps it with the current batch's dispatch/compute
+        from ..data.loader import device_prefetch
+        batches = device_prefetch(iter(self.rgb_data), size=2)
         with tqdm(total=len(self.rgb_data)) as pbar:
-            for batch in self.rgb_data:
+            for batch in batches:
                 im_names = batch['tag']
                 self.images_processed += len(im_names)
                 metric_package['Image_Name'].append(list(im_names))

@@ -136,16 +136,19 @@ def measure_e2e(lr_dir, hr_dir, model_loc, out_root, experiment, batch_size,
         int8=int8)
     log('warmup protocol run (compiles)...')
     hub.full_image_protocol()
-    # best-of-3: the remote device tunnel's throughput varies wildly run to run;
-    # the fastest pass is the honest measure of what the software can sustain
-    best = 0.0
-    for i in range(3):
+    # median-of-K with spread: the remote device tunnel's throughput varies run to
+    # run, and one tunnel-lucky pass must not become the headline (VERDICT r2
+    # item 4) — the median is the deliverable; min/max are logged for the record
+    rates = []
+    for i in range(int(os.environ.get('BENCH_PASSES', '5'))):
         log('timed protocol run %d...' % i)
         t0 = time.perf_counter()
         hub.full_image_protocol()
-        dt = time.perf_counter() - t0
-        best = max(best, n_images / dt)
-    return best
+        rates.append(n_images / (time.perf_counter() - t0))
+    rates.sort()
+    log('protocol passes (img/s): median %.2f | min %.2f | max %.2f | n=%d'
+        % (rates[len(rates) // 2], rates[0], rates[-1], len(rates)))
+    return rates[len(rates) // 2]
 
 
 def run_config(key, n_images=32, batch_size=8):
