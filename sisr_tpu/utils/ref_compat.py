@@ -30,29 +30,29 @@ def install_reference_import_shims(ref_code=None):
                            'set SISR_REFERENCE_CODE' % ref_code)
     if not hasattr(collections, 'Callable'):  # the reference targets older python
         collections.Callable = collections.abc.Callable
-    if 'toml' not in sys.modules:
-        from . import toml_io
-        stub = types.ModuleType('toml')
-        stub.load = toml_io.load
-        stub.dump = toml_io.dump
-        sys.modules['toml'] = stub
+    from . import toml_io
+    toml_stub = sys.modules.setdefault('toml', types.ModuleType('toml'))
+    # UPGRADE attributes even on a pre-existing stub (another caller may have
+    # installed a bare module placeholder first — the shims must compose)
+    if not hasattr(toml_stub, 'load'):
+        toml_stub.load = toml_io.load
+    if not hasattr(toml_stub, 'dump'):
+        toml_stub.dump = toml_io.dump
     for name in _STUB_NAMES:
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            if name == 'colorama':
-                mod.init = lambda *a, **k: None
-                mod.Fore = types.SimpleNamespace(RED='', GREEN='', RESET='')
-            if name == 'skimage.metrics':
-                mod.structural_similarity = None
-            if name == 'skimage.io':
-                mod.imsave = None
-            if name == 'torchvision.models':
-                mod.vgg19 = None
-            if name == 'torchvision.transforms':
-                mod.ToTensor = object
-                mod.ToPILImage = object
-                mod.Compose = object
-            sys.modules[name] = mod
+        mod = sys.modules.setdefault(name, types.ModuleType(name))
+        if name == 'colorama' and not hasattr(mod, 'init'):
+            mod.init = lambda *a, **k: None
+            mod.Fore = types.SimpleNamespace(RED='', GREEN='', RESET='')
+        if name == 'skimage.metrics' and not hasattr(mod, 'structural_similarity'):
+            mod.structural_similarity = None
+        if name == 'skimage.io' and not hasattr(mod, 'imsave'):
+            mod.imsave = None
+        if name == 'torchvision.models' and not hasattr(mod, 'vgg19'):
+            mod.vgg19 = None
+        if name == 'torchvision.transforms' and not hasattr(mod, 'ToTensor'):
+            mod.ToTensor = object
+            mod.ToPILImage = object
+            mod.Compose = object
     if ref_code not in sys.path:
         sys.path.insert(0, ref_code)
     return ref_code

@@ -20,35 +20,11 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF_CODE),
 
 @pytest.fixture(scope='module')
 def ref_face_modules():
-    import types
-    import collections
-    import collections.abc
-    if not hasattr(collections, 'Callable'):
-        collections.Callable = collections.abc.Callable
-    for name in ['moviepy', 'moviepy.video', 'moviepy.video.io',
-                 'moviepy.video.io.ImageSequenceClip', 'skvideo', 'skvideo.io',
-                 'skvideo.utils', 'click_config_file', 'skimage',
-                 'skimage.metrics', 'skimage.io', 'aim', 'torchvision',
-                 'torchvision.models', 'torchvision.transforms', 'toml',
-                 'colorama']:
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            if name == 'torchvision.models':
-                mod.vgg19 = None
-            if name == 'torchvision.transforms':
-                mod.ToTensor = object
-                mod.ToPILImage = object
-                mod.Compose = object
-                mod.Normalize = lambda **kw: None
-            if name == 'skimage.metrics':
-                mod.structural_similarity = None
-            if name == 'skimage.io':
-                mod.imsave = None
-            if name == 'colorama':
-                mod.init = lambda *a, **k: None
-                mod.Fore = types.SimpleNamespace(RED='', GREEN='', RESET='')
-            sys.modules[name] = mod
-    sys.path.insert(0, REF_CODE)
+    from sisr_tpu.utils.ref_compat import install_reference_import_shims
+    install_reference_import_shims(REF_CODE)
+    tv_transforms = sys.modules['torchvision.transforms']
+    if not hasattr(tv_transforms, 'Normalize'):
+        tv_transforms.Normalize = lambda **kw: None
     import SISR.models.feature_extractors.lightCNN as ref_lightcnn
     return ref_lightcnn
 

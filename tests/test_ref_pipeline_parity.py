@@ -69,32 +69,12 @@ def ref_eval():
     """Import the reference's EvalHub with FUNCTIONAL stubs (the weight-parity tests
     only need inert stubs; running the full eval protocol needs working transforms
     and a real SSIM, for which we inject our own skimage-compatible one)."""
-    import collections
-    import collections.abc
-    if not hasattr(collections, 'Callable'):
-        collections.Callable = collections.abc.Callable
     from sisr_tpu.ops.metrics import structural_similarity
-    if 'toml' not in sys.modules:
-        from sisr_tpu.utils import toml_io
-        stub = types.ModuleType('toml')
-        stub.load = toml_io.load
-        stub.dump = toml_io.dump
-        sys.modules['toml'] = stub
-    for name in ['moviepy', 'moviepy.video', 'moviepy.video.io',
-                 'moviepy.video.io.ImageSequenceClip', 'skvideo', 'skvideo.io',
-                 'skvideo.utils', 'colorama', 'click_config_file', 'skimage',
-                 'skimage.metrics', 'skimage.io', 'torchvision',
-                 'torchvision.models', 'torchvision.transforms', 'aim']:
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
-    colorama = sys.modules['colorama']
-    colorama.init = lambda *a, **k: None
-    colorama.Fore = types.SimpleNamespace(RED='', GREEN='', RESET='')
+    from sisr_tpu.utils.ref_compat import install_reference_import_shims
+    install_reference_import_shims(REF_CODE)
     # inject OUR skimage-compatible SSIM into the reference's metrics path (this is
     # exactly the engine swap the parity claim is about: same protocol, our kernels)
     sys.modules['skimage.metrics'].structural_similarity = structural_similarity
-    sys.modules['skimage.io'].imsave = None
-    sys.modules['torchvision.models'].vgg19 = None
     tt, tpi, comp = _functional_transform_stubs()
     tv_transforms = sys.modules['torchvision.transforms']
     tv_transforms.ToTensor = tt
@@ -106,8 +86,6 @@ def ref_eval():
     # infers `str` dtype and the reference raises 'Unidentified datatype'.  Restore
     # the era-correct inference so the reference code runs as designed.
     pd.set_option('future.infer_string', False)
-    if REF_CODE not in sys.path:
-        sys.path.insert(0, REF_CODE)
     import SISR.evaluation.standard_eval as ref_standard_eval
     import sr_tools.metrics as ref_metrics
     # if sr_tools.metrics was already imported with an inert stub, rebind

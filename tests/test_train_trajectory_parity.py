@@ -30,40 +30,8 @@ LR = 1e-3
 
 @pytest.fixture(scope='module')
 def ref_handlers():
-    import types
-    import collections
-    import collections.abc
-    if not hasattr(collections, 'Callable'):
-        collections.Callable = collections.abc.Callable
-    if 'toml' not in sys.modules:
-        from sisr_tpu.utils import toml_io
-        stub = types.ModuleType('toml')
-        stub.load = toml_io.load
-        stub.dump = toml_io.dump
-        sys.modules['toml'] = stub
-    for name in ['moviepy', 'moviepy.video', 'moviepy.video.io',
-                 'moviepy.video.io.ImageSequenceClip', 'skvideo', 'skvideo.io',
-                 'skvideo.utils', 'colorama', 'click_config_file', 'skimage',
-                 'skimage.metrics', 'skimage.io', 'torchvision',
-                 'torchvision.models', 'torchvision.transforms', 'aim']:
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            if name == 'colorama':
-                mod.init = lambda *a, **k: None
-                mod.Fore = types.SimpleNamespace(RED='', GREEN='', RESET='')
-            if name == 'skimage.metrics':
-                mod.structural_similarity = None
-            if name == 'skimage.io':
-                mod.imsave = None
-            if name == 'torchvision.models':
-                mod.vgg19 = None
-            if name == 'torchvision.transforms':
-                mod.ToTensor = object
-                mod.ToPILImage = object
-                mod.Compose = object
-            sys.modules[name] = mod
-    if REF_CODE not in sys.path:
-        sys.path.insert(0, REF_CODE)
+    from sisr_tpu.utils.ref_compat import install_reference_import_shims
+    install_reference_import_shims(REF_CODE)
     import SISR.models.advanced.handlers as adv_handlers
     import SISR.models.attention_manipulators.handlers as q_handlers
     return adv_handlers, q_handlers
