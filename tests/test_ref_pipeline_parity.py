@@ -253,3 +253,63 @@ def test_reference_pipeline_csv_parity(ref_eval, tmp_path):
             '%s PSNR diverges from reference pipeline: %r' % (key, psnr_diff)
         assert ssim_diff.max() < 1e-3, \
             '%s SSIM diverges from reference pipeline: %r' % (key, ssim_diff)
+
+
+def test_reference_pipeline_csv_parity_concat_families(ref_eval, tmp_path):
+    """Second sweep over the remaining metadata input modes: SRMD (metadata maps
+    channel-concatenated to the input, ref: advanced/handlers.py:132-157) and
+    SFTMD (spatial SFT parameter maps, ref: SFTMD_variants/handlers.py:6-31)."""
+    torch.manual_seed(11)
+
+    ref_loc = str(tmp_path / 'ref_results')
+    our_loc = str(tmp_path / 'our_results')
+    os.makedirs(ref_loc)
+    os.makedirs(our_loc)
+
+    import SISR.models.advanced.architectures as advanced
+    import SISR.models.SFTMD_variants.architectures as sftmd_ref
+
+    srmd = advanced.SRMD(in_nc=13, nc=16, nb=4, scale=4)
+    _save_ref_experiment(ref_loc, 'p_srmd', 'srmd', srmd,
+                         {'scale': 4, 'nc': 16, 'nb': 4,
+                          'metadata': ['blur_kernel']})
+
+    sftmd = sftmd_ref.SFTMD(num_features=16, num_blocks=2, scale=4, input_para=10,
+                            SFT_type='standard')
+    _save_ref_experiment(ref_loc, 'p_sftmd', 'sftmd', sftmd,
+                         {'scale': 4, 'num_features': 16, 'num_blocks': 2,
+                          'metadata': ['blur_kernel']})
+
+    experiments = ['p_srmd', 'p_sftmd']
+
+    ref_out = str(tmp_path / 'ref_out')
+    os.makedirs(ref_out)
+    with _reference_era_shims(ref_eval):
+        hub = ref_eval.EvalHub(**_eval_args(ref_loc, ref_out, experiments))
+        hub.full_image_protocol()
+    ref_df = _read_indiv(ref_out)
+
+    from sisr_tpu.tools.convert_weights import import_reference_experiment
+    import_reference_experiment(
+        os.path.join(ref_loc, 'p_srmd', 'saved_models', 'train_model_0'),
+        our_loc, experiment='p_srmd', scale=4, nc=16, nb=4,
+        metadata=['blur_kernel'])
+    import_reference_experiment(
+        os.path.join(ref_loc, 'p_sftmd', 'saved_models', 'train_model_0'),
+        our_loc, experiment='p_sftmd', scale=4, num_features=16, num_blocks=2,
+        metadata=['blur_kernel'])
+
+    from sisr_tpu.evaluation.standard_eval import EvalHub
+    our_out = str(tmp_path / 'our_out')
+    os.makedirs(our_out)
+    EvalHub(**_eval_args(our_loc, our_out, experiments)).full_image_protocol()
+    our_df = _read_indiv(our_out)
+
+    assert list(ref_df.index) == list(our_df.index) and len(ref_df) == 5
+    for key in experiments:
+        psnr_diff = np.abs(ref_df[(key, 'PSNR')].values
+                           - our_df[(key, 'PSNR')].values)
+        ssim_diff = np.abs(ref_df[(key, 'SSIM')].values
+                           - our_df[(key, 'SSIM')].values)
+        assert psnr_diff.max() < 0.01, (key, psnr_diff)
+        assert ssim_diff.max() < 1e-3, (key, ssim_diff)
