@@ -183,18 +183,18 @@ class EvalHub:
         return interp, times
 
     def _high_res_prep(self, hr_data):
-        """RGB -> Y broadcast into all 3 channels, with [0,1] clip.
+        """RGB -> full 3-channel YCbCr ('jpg' matrices), with [0,1] clip
+        (ref: standard_eval.py:160-164, ycbcr_convert(..., y_only=False)).
 
-        NB: the reference calls ycbcr_convert with its default y_only=True inside a
-        3-channel in-place assignment (standard_eval.py:160-164), which broadcasts the
-        Y channel into all three channels of hr_prep/lr_prep.  That quirk is load-bearing
-        for output parity (ycbcr models recombine with these as 'chroma'), so it is
-        reproduced exactly."""
+        Metrics consume only channel 0 (Y), and ycbcr models take channel 0 as
+        input; channels 1-2 are the true Cb/Cr, which ycbcr models' outputs are
+        recombined with when saving SR images (ModelInterface.net_run_and_process)
+        — a Y-broadcast here would silently wreck those images' colors."""
         prep = ModelInterface._standard_image_formatting(np.asarray(hr_data))
         for i in range(prep.shape[0]):
             chw = prep[i].transpose(2, 0, 1)
-            y = ycbcr_convert(chw, im_type='jpg', input='rgb', y_only=True)
-            prep[i] = np.repeat(y, 3, axis=0).transpose(1, 2, 0)
+            prep[i] = ycbcr_convert(chw, im_type='jpg', input='rgb',
+                                    y_only=False).transpose(1, 2, 0)
         return prep
 
     def _generate_image_collage(self, interp_data, model_data, probe_names, metrics=None,

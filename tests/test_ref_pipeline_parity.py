@@ -313,3 +313,74 @@ def test_reference_pipeline_csv_parity_concat_families(ref_eval, tmp_path):
                            - our_df[(key, 'SSIM')].values)
         assert psnr_diff.max() < 0.01, (key, psnr_diff)
         assert ssim_diff.max() < 1e-3, (key, ssim_diff)
+
+
+def test_reference_pipeline_saved_image_parity(ref_eval, tmp_path):
+    """SAVED SR IMAGES (not just metrics) match the reference pipeline.
+
+    The Y-channel metrics cannot see the chroma path: for ycbcr models the saved
+    RGB output recombines the model's Y with the interp LR's Cb/Cr
+    (ref: SISR/models/__init__.py:147-153), so a wrong _high_res_prep silently
+    wrecks the saved colors while every PSNR/SSIM stays perfect.  Compare the
+    actual PNGs for srcnn (ycbcr) and edsr (rgb)."""
+    from PIL import Image as PILImage
+    torch.manual_seed(23)
+
+    ref_loc = str(tmp_path / 'ref_results')
+    our_loc = str(tmp_path / 'our_results')
+    os.makedirs(ref_loc)
+    os.makedirs(our_loc)
+
+    import SISR.models.basic.architectures as basic
+    import SISR.models.advanced.architectures as advanced
+
+    _save_ref_experiment(ref_loc, 'p_srcnn', 'srcnn', basic.SRCNN(), {'scale': 4})
+    _save_ref_experiment(ref_loc, 'p_edsr', 'edsr',
+                         advanced.EDSR(net_features=16, num_blocks=3, scale=4),
+                         {'scale': 4, 'num_features': 16, 'num_blocks': 3})
+    experiments = ['p_srcnn', 'p_edsr']
+
+    # functional imsave for the reference's save path (visualization.py:53);
+    # rebind the module-level name too — `from skimage.io import imsave` already
+    # captured the inert stub at import time
+    fn = lambda path, arr: PILImage.fromarray(arr).save(path)
+    sys.modules['skimage.io'].imsave = fn
+    import sr_tools.visualization as ref_vis
+    ref_vis.imsave = fn
+
+    args = dict(_eval_args(ref_loc, str(tmp_path / 'ref_out'), experiments,
+                           metrics=('PSNR',)))
+    args.update(save_im=True, num_image_save=100)
+    os.makedirs(args['out_loc'])
+    with _reference_era_shims(ref_eval):
+        hub = ref_eval.EvalHub(**args)
+        hub.full_image_protocol()
+
+    from sisr_tpu.tools.convert_weights import import_reference_experiment
+    import_reference_experiment(
+        os.path.join(ref_loc, 'p_srcnn', 'saved_models', 'train_model_0'),
+        our_loc, experiment='p_srcnn', scale=4)
+    import_reference_experiment(
+        os.path.join(ref_loc, 'p_edsr', 'saved_models', 'train_model_0'),
+        our_loc, experiment='p_edsr', scale=4, num_features=16, num_blocks=3)
+
+    from sisr_tpu.evaluation.standard_eval import EvalHub
+    our_args = dict(_eval_args(our_loc, str(tmp_path / 'our_out'), experiments,
+                               metrics=('PSNR',)))
+    our_args.update(save_im=True, num_image_save=100)
+    os.makedirs(our_args['out_loc'])
+    EvalHub(**our_args).full_image_protocol()
+
+    for exp in experiments:
+        ref_dir = os.path.join(str(tmp_path / 'ref_out'), 'parity', exp)
+        our_dir = os.path.join(str(tmp_path / 'our_out'), 'parity', exp)
+        names = sorted(os.listdir(ref_dir))
+        assert names == sorted(os.listdir(our_dir)) and len(names) == 5
+        for name in names:
+            ref_im = np.asarray(PILImage.open(os.path.join(ref_dir, name)), int)
+            our_im = np.asarray(PILImage.open(os.path.join(our_dir, name)), int)
+            assert ref_im.shape == our_im.shape
+            diff = np.abs(ref_im - our_im)
+            # f32 forward noise can flip a truncation boundary by 1 LSB
+            assert diff.max() <= 1, (exp, name, diff.max())
+            assert (diff > 0).mean() < 0.05, (exp, name, (diff > 0).mean())
