@@ -147,7 +147,7 @@ class SuperResImages:
                  data_attributes=None, metadata=None, legacy_blur_kernels=None,
                  qpi_sort=False, random_augments=None, random_crop=None,
                  online_degradations=None, online_degradation_params=None,
-                 request_crops=None, usage=None, **kwargs):
+                 request_crops=None, usage=None, cache_decoded=None, **kwargs):
 
         if split not in ['train', 'eval', 'test', 'all', None]:
             raise RuntimeError('"Split" must be one of: train | eval | test | all | None')
@@ -280,6 +280,14 @@ class SuperResImages:
         # opt-in (fused device eval): serve lr/hr as decoded uint8, skipping the host
         # float conversion — consumers divide by 255 on device.  rgb-only.
         self.keep_uint8 = False
+        # opt-in decoded-image cache (data config `cache_decoded = true` or a byte
+        # cap): training epochs re-decode every PNG on the host, which dominates
+        # epoch wall-clock once the device step is a few ms — cache the decoded
+        # uint8 arrays after the first epoch.  True => 4 GiB cap.
+        self._decode_cache = {} if cache_decoded else None
+        self._decode_cache_bytes = 0
+        self._decode_cache_cap = (cache_decoded if isinstance(cache_decoded, int)
+                                  and cache_decoded > 1 else 4 << 30)
 
         print('Initialized %s data with %d image%s.' % (
             dataset if dataset is not None else 'image', self.image_count,
@@ -347,6 +355,20 @@ class SuperResImages:
             im = im.convert('RGB')
         return im
 
+    def _read_cached(self, filename):
+        """read_image through the opt-in decoded-uint8 cache (thread-safe enough:
+        dict assignment is atomic; a concurrent miss costs one duplicate decode)."""
+        cache = self._decode_cache
+        if cache is None:
+            return self.read_image(filename)
+        arr = cache.get(filename)
+        if arr is None:
+            arr = np.asarray(self.read_image(filename), np.uint8)
+            if self._decode_cache_bytes + arr.nbytes <= self._decode_cache_cap:
+                cache[filename] = arr
+                self._decode_cache_bytes += arr.nbytes
+        return PIL.Image.fromarray(arr)
+
     def _to_model_space(self, arr):
         """float HWC RGB -> requested colorspace."""
         if self._ycbcr is not None:
@@ -356,13 +378,16 @@ class SuperResImages:
     def __getitem__(self, index):
         """(ref: data_handler.py:433-525)"""
         to_image = pil_to_float
-        if self.keep_uint8 and self._ycbcr is None and not self.online_degradations:
+        # device-mode online degradation composes with u8 transport (only the HR crop
+        # travels; blur + downscale run on device) — host-mode blurring needs floats
+        if self.keep_uint8 and self._ycbcr is None \
+                and (not self.online_degradations or self.device_degradations):
             to_image = lambda pil: np.atleast_3d(np.asarray(pil, np.uint8))
         base_name = self.base_filenames[index]
         hr_im = None
         mask_im = np.array(0)
         if self.hr_base is not None:
-            hr_pil = self.read_image(os.path.join(self.hr_base, base_name))
+            hr_pil = self._read_cached(os.path.join(self.hr_base, base_name))
         else:
             hr_pil = None
 
@@ -390,7 +415,7 @@ class SuperResImages:
                 metadata = kernel_map
         else:
             image_name = self.lr_filenames[index]
-            lr_im = to_image(self.read_image(os.path.join(self.lr_base, image_name)))
+            lr_im = to_image(self._read_cached(os.path.join(self.lr_base, image_name)))
             if self.metadata is not None:
                 metadata = self.metadata[index]
             else:
@@ -411,7 +436,7 @@ class SuperResImages:
                 hr_pil = center_crop(hr_pil, height=h, width=w)
             hr_im = self._to_model_space(to_image(hr_pil))
             if self.mask_base is not None:
-                mask_pil = self.read_image(os.path.join(self.mask_base, base_name))
+                mask_pil = self._read_cached(os.path.join(self.mask_base, base_name))
                 if mask_pil.width != w or mask_pil.height != h:
                     mask_pil = center_crop(mask_pil, height=h, width=w)
                 mask_im = np.array(mask_pil)
@@ -420,7 +445,7 @@ class SuperResImages:
 
         if self.halfway_base is not None:
             halfway_im = self._to_model_space(pil_to_float(
-                self.read_image(os.path.join(self.halfway_base, base_name))))
+                self._read_cached(os.path.join(self.halfway_base, base_name))))
         else:
             halfway_im = np.array(0)
 

@@ -55,6 +55,7 @@ def sisr_data_setup(training_sets, eval_sets, batch_size=16, eval_batch_size=1,
             mask_data=mask_loc, online_degradations=data_set['online_degradations'],
             request_crops=data_set['request_crops'],
             online_degradation_params=data_set['online_degradation_params'],
+            cache_decoded=data_set['cache_decoded'],
             usage=usage, **kwargs)
 
     all_train_data, all_val_data = [], []

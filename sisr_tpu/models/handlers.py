@@ -274,7 +274,15 @@ class BaseHandler:
             else ('lr', 'hr', 'metadata')
 
     def _prep_batch(self, batch):
-        y = batch.get('hr')
+        # uint8 transport (training analog of the fused-eval path): rgb-family
+        # datasets may serve u8 crops — 4x less host->device tunnel traffic; the
+        # /255 here is bit-identical to the host float conversion and fuses into
+        # the first conv
+        def as_f32(img):
+            return img.astype(jnp.float32) / 255.0 if img is not None \
+                and img.dtype == jnp.uint8 else img
+
+        y = as_f32(batch.get('hr'))
         if self.device_degrade and batch.get('blur_kernels') is not None \
                 and y is not None:
             # on-device online degradation: LR synthesized from the HR crop inside the
@@ -282,7 +290,7 @@ class BaseHandler:
             from ..ops.degradations import degrade_batch_on_device
             x, _, _ = degrade_batch_on_device(y, batch['blur_kernels'], None, self.scale)
         else:
-            x = batch['lr']
+            x = as_f32(batch['lr'])
         metadata = self.prepare_metadata(x, batch.get('metadata'))
         x = self.network_input(x, metadata)
         if self.channel_concat:

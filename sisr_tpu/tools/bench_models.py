@@ -96,9 +96,11 @@ def main_e2e(only):
 def main_train(args):
     from .e2e_bench import measure_train_torch, run_train_bench
     k = 8 if '--fused-dispatch' in args else 1
-    tput = run_train_bench(steps_per_dispatch=k)
-    print('train epoch throughput (EDSR 64f/16b, crop 32, batch 8%s): %.2f img/s'
-          % (', 8-step fused dispatch' if k > 1 else '', tput))
+    cache = '--cache' in args
+    tput = run_train_bench(steps_per_dispatch=k, cache_decoded=cache)
+    print('train epoch throughput (EDSR 64f/16b, crop 32, batch 8%s%s): %.2f img/s'
+          % (', 8-step fused dispatch' if k > 1 else '',
+             ', decoded-image cache' if cache else '', tput))
     if '--vs-torch' in args:
         torch_tput = measure_train_torch()
         print('torch-CPU train-step baseline (same model/batch/crop): %.2f img/s '

@@ -170,7 +170,8 @@ def run_config(key, n_images=32, batch_size=8):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def run_train_bench(n_images=32, batch_size=8, crop=32, steps_per_dispatch=1):
+def run_train_bench(n_images=32, batch_size=8, crop=32, steps_per_dispatch=1,
+                    cache_decoded=False):
     """END-TO-END training-epoch throughput (BASELINE config #2's train side):
     the real product loop — threaded decode, random crops/augments, device
     prefetch, jitted train step (fwd+bwd+adam+schedule in one XLA program),
@@ -186,7 +187,8 @@ def run_train_bench(n_images=32, batch_size=8, crop=32, steps_per_dispatch=1):
         lr_dir, hr_dir = build_workload(tmp, n_images)
         data_params = convert_default_none_dict({
             'training_sets': {'data_1': {'lr': lr_dir, 'hr': hr_dir, 'crop': crop,
-                                         'random_augment': True}},
+                                         'random_augment': True,
+                                         'cache_decoded': cache_decoded}},
             'eval_sets': {'data_1': {'lr': lr_dir, 'hr': hr_dir, 'cutoff': 2}},
             'batch_size': batch_size, 'dataloader_threads': 8})
         handler = TrainingHandler(

@@ -92,6 +92,14 @@ class TrainingHandler:
         self.model.set_metadata_keys(getattr(train_data.dataset, 'metadata_keys', []))
         if getattr(train_data.dataset, 'device_degradations', False):
             self.model.model.set_device_degrade(True)
+        if 'rgb' in self.model.configuration['colorspace']:
+            # uint8 training transport: rgb-family models upload u8 crops (4x less
+            # tunnel traffic, the measured epoch bound); /255 runs inside the jitted
+            # step (BaseHandler._prep_batch), bit-identical to the host conversion.
+            # ycbcr datasets ignore the flag (their guard needs the float pipeline).
+            for ds in getattr(train_data.dataset, 'datasets',
+                              [train_data.dataset]):
+                ds.keep_uint8 = True
 
         self.metric_hub = Metrics(metrics) if metrics is not None else None
 

@@ -274,3 +274,40 @@ def test_interp_crop_alignment():
         assert item['hr'].shape == (16, 16, 3)
         # same source dir + aligned offsets -> identical patches
         np.testing.assert_array_equal(item['lr'], item['hr'])
+
+
+def test_cache_decoded_images():
+    """Opt-in decoded-image cache: identical outputs, decode happens once."""
+    from sisr_tpu.data.datasets import SuperResImages
+    lr = os.path.join(SET5, 'lr_random_blur')
+    hr = os.path.join(SET5, 'hr')
+    base = SuperResImages(lr_dir=lr, hr_dir=hr, split='all', input='unmodified',
+                          colorspace='rgb', y_only=False, scale=4,
+                          degradation_metadata_file=os.path.join(
+                              lr, 'degradation_metadata.csv'), metadata='all')
+    cached = SuperResImages(lr_dir=lr, hr_dir=hr, split='all', input='unmodified',
+                            colorspace='rgb', y_only=False, scale=4,
+                            degradation_metadata_file=os.path.join(
+                                lr, 'degradation_metadata.csv'), metadata='all',
+                            cache_decoded=True)
+    assert cached._decode_cache == {}
+    for i in range(len(base)):
+        a, b = base[i], cached[i]
+        np.testing.assert_array_equal(a['lr'], b['lr'])
+        np.testing.assert_array_equal(a['hr'], b['hr'])
+    n_entries = len(cached._decode_cache)
+    assert n_entries == 10  # 5 lr + 5 hr decoded once
+    bytes_first = cached._decode_cache_bytes
+    for i in range(len(cached)):  # epoch 2: served from cache, nothing re-inserted
+        cached[i]
+    assert len(cached._decode_cache) == n_entries
+    assert cached._decode_cache_bytes == bytes_first
+
+    # byte cap respected: tiny cap -> nothing cached, outputs still correct
+    capped = SuperResImages(lr_dir=lr, hr_dir=hr, split='all', input='unmodified',
+                            colorspace='rgb', y_only=False, scale=4,
+                            degradation_metadata_file=os.path.join(
+                                lr, 'degradation_metadata.csv'), metadata='all',
+                            cache_decoded=2)
+    np.testing.assert_array_equal(capped[0]['lr'], base[0]['lr'])
+    assert capped._decode_cache == {}

@@ -172,3 +172,58 @@ def test_gan_state_checkpoint_roundtrip(tmp_path, backend):
     h3 = define_model('edsr', scale=4, net_features=8, num_blocks=1)
     h3.load_model('train_model', 0, str(tmp_path))
     assert h3.gan_state is None
+
+
+def test_uint8_training_transport_bitexact():
+    """u8 crops + on-device /255 must produce the SAME training losses as the host
+    float pipeline (the conversion is the identical f32 divide, just on device)."""
+    import numpy as np
+    from sisr_tpu.models.handlers import define_model
+    rng = np.random.RandomState(31)
+    lr_u8 = rng.randint(0, 256, (2, 8, 8, 3)).astype(np.uint8)
+    hr_u8 = rng.randint(0, 256, (2, 16, 16, 3)).astype(np.uint8)
+
+    losses = {}
+    for label, (lr, hr) in {
+        'u8': (lr_u8, hr_u8),
+        'f32': (lr_u8.astype(np.float32) / 255.0, hr_u8.astype(np.float32) / 255.0),
+    }.items():
+        h = define_model('edsr', eval_mode=False, scale=2, num_features=8,
+                         num_blocks=1, seed=77)
+        h.init_state(spatial=(8, 8), batch=2)
+        run = [float(np.asarray(h.run_train(lr=lr, hr=hr)[0])) for _ in range(3)]
+        losses[label] = run
+    np.testing.assert_allclose(losses['u8'], losses['f32'], rtol=0, atol=1e-7)
+
+
+def test_training_handler_enables_uint8_for_rgb(tmp_path):
+    """rgb-family models get u8 training transport; ycbcr models keep floats."""
+    import os
+    from sisr_tpu.training.handler import TrainingHandler
+    from sisr_tpu.utils.toml_io import convert_default_none_dict
+    SET5 = '/root/reference/Data/example_data/Set5'
+    if not os.path.isdir(SET5):
+        import pytest
+        pytest.skip('Set5 unavailable')
+    data_params = convert_default_none_dict({
+        'training_sets': {'data_1': {'lr': os.path.join(SET5, 'lr_random_blur'),
+                                     'hr': os.path.join(SET5, 'hr'), 'crop': 8}},
+        'eval_sets': {'data_1': {'lr': os.path.join(SET5, 'lr_random_blur'),
+                                 'hr': os.path.join(SET5, 'hr'), 'cutoff': 2}},
+        'batch_size': 2, 'dataloader_threads': 1})
+    for name, internal, expect_u8 in (
+            ('edsr', {'scale': 4, 'num_features': 8, 'num_blocks': 1}, True),
+            ('srcnn', {'scale': 4}, False)):
+        th = TrainingHandler(
+            experiment_name='u8_%s' % name, save_loc=str(tmp_path),
+            model_params={'name': name, 'internal_params': internal},
+            data_params=data_params, num_epochs=1, metrics=[], seed=8,
+            logging=None, save_samples=False)
+        ds = th.train_data.dataset
+        batch = ds[0]
+        if expect_u8:
+            assert ds.keep_uint8 and batch['lr'].dtype == 'uint8'
+        else:
+            # ycbcr pipeline: flag may be set but the dataset guard keeps floats
+            assert batch['lr'].dtype == 'float32'
+        th.train()  # one real epoch through the transport
