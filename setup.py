@@ -23,6 +23,7 @@ setup(
             'clean_models=sisr_tpu.tools.helper_cli:click_clean',
             'model_report=sisr_tpu.tools.helper_cli:model_compare',
             'import_reference_model=sisr_tpu.tools.convert_weights:import_reference_model_cli',
+            'export_serving=sisr_tpu.tools.export_serving:export_serving_cli',
         ],
     },
 )

@@ -164,6 +164,11 @@ class CALayer(nn.Module):
     @nn.compact
     def __call__(self, x, return_attention=False):
         from ..ops.masking import masked_global_mean
+        if self.channel < self.reduction:
+            # channel//reduction would be 0: a zero-width Dense whose 1/sqrt(fan_in)
+            # init bound is inf, silently poisoning the whole forward with NaN
+            raise ValueError('CALayer: channel (%d) < reduction (%d)'
+                             % (self.channel, self.reduction))
         y = masked_global_mean(x)  # (N, C) global average pool (mask-aware)
         y = dense(self.channel // self.reduction, self.channel, dtype=self.dtype,
                   name='du_0')(y)

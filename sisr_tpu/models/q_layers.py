@@ -100,6 +100,11 @@ class QCALayer(nn.Module):
     @nn.compact
     def __call__(self, x, attributes):
         c = self.channel
+        if c < self.reduction:
+            # a zero-width reduce Dense has an inf 1/sqrt(fan_in) init bound and
+            # silently poisons the forward with NaN
+            raise ValueError('QCALayer: channel (%d) < reduction (%d)'
+                             % (c, self.reduction))
         c_red = c // self.reduction
         meta = None if attributes is None else attributes.astype(self.dtype)
         from ..ops.masking import masked_global_mean

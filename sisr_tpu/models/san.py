@@ -83,6 +83,9 @@ class SOCA(nn.Module):
         cov_sqrt = jax.checkpoint(newton_schulz_sqrt)(cov)
         pooled = cov_sqrt.mean(axis=1).astype(self.dtype)  # (B, C)
 
+        if self.channel < self.reduction:
+            raise ValueError('SOCA: channel (%d) < reduction (%d)'
+                             % (self.channel, self.reduction))
         y = dense(self.channel // self.reduction, self.channel, dtype=self.dtype,
                   name='du_0')(pooled)
         y = nn.relu(y)

@@ -70,7 +70,9 @@ def test_bucketed_han_module_exact():
     from sisr_tpu.models.advanced import HAN
     from sisr_tpu.ops.masking import spatial_masks, conv_mask_interceptor
 
-    model = HAN(n_resgroups=2, n_resblocks=1, n_feats=8, scale=2)
+    # n_feats must be >= the CA reduction (16): below that the reduce Dense would
+    # be zero-width and the old silent-NaN forward made this comparison vacuous
+    model = HAN(n_resgroups=2, n_resblocks=1, n_feats=16, scale=2)
     x = RNG.rand(1, 11, 14, 3).astype(np.float32)
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
     ref = np.asarray(model.apply(variables, jnp.asarray(x)))

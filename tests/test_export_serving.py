@@ -1,0 +1,98 @@
+"""AOT serving export (tools/export_serving.py): the serialized StableHLO artifact
+must reproduce the live handler's eval outputs through jax.export round-trips."""
+import os
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from sisr_tpu.models.handlers import define_model
+from sisr_tpu.tools.export_serving import (build_serving_fn, export_handler,
+                                           export_experiment, load_serving,
+                                           export_serving_cli)
+from jax import export as jax_export
+
+
+def _roundtrip(blob):
+    return jax_export.deserialize(bytearray(bytes(blob))).call
+
+
+def test_export_edsr_float_and_uint8():
+    import jax.numpy as jnp
+    h = define_model('edsr', eval_mode=True, scale=2, num_features=8, num_blocks=2)
+    h.init_state(spatial=(10, 12))
+    rng = np.random.RandomState(3)
+    u8 = rng.randint(0, 256, size=(2, 10, 12, 3)).astype(np.uint8)
+    x = u8.astype(np.float32) / 255.0
+    ref, _, _ = h.run_eval(x)
+
+    fn = _roundtrip(export_handler(h, 2, 10, 12))
+    np.testing.assert_allclose(np.asarray(fn(x)), ref, atol=2e-5)
+
+    # uint8 serving contract: /255 is baked into the artifact (same prep as the
+    # jitted eval step) — feeding raw u8 matches the float path bit-for-bit-ish
+    fn8 = _roundtrip(export_handler(h, 2, 10, 12, input_dtype=jnp.uint8))
+    np.testing.assert_allclose(np.asarray(fn8(u8)), ref, atol=2e-5)
+
+
+def test_export_qrcan_metadata():
+    h = define_model('qrcan', eval_mode=True, scale=2, n_feats=16, n_resgroups=1,
+                     n_resblocks=1, style='max_concat', include_q_layer=True,
+                     metadata=['blur_kernel'])
+    h.set_metadata_keys(['blur_kernel'] * 10)
+    h.init_state(spatial=(8, 8))
+    rng = np.random.RandomState(5)
+    x = rng.rand(1, 8, 8, 3).astype(np.float32)
+    meta = rng.rand(1, 10).astype(np.float32)
+    ref, _, _ = h.run_eval(x, metadata=meta)
+    fn = _roundtrip(export_handler(h, 1, 8, 8))
+    np.testing.assert_allclose(np.asarray(fn(x, meta)), ref, atol=2e-5)
+    # metadata actually reaches the attention layers
+    other = np.asarray(fn(x, meta * 0.1))
+    assert np.abs(other - ref).max() > 1e-6
+
+
+def test_export_srmd_channel_concat():
+    h = define_model('srmd', eval_mode=True, scale=2, nc=8, nb=2,
+                     metadata=['blur_kernel'])
+    h.set_metadata_keys(['blur_kernel'] * 10)
+    h.init_state(spatial=(8, 8))
+    rng = np.random.RandomState(7)
+    x = rng.rand(1, 8, 8, 3).astype(np.float32)
+    meta = rng.rand(1, 10).astype(np.float32)
+    ref, _, _ = h.run_eval(x, metadata=meta)
+    fn = _roundtrip(export_handler(h, 1, 8, 8))
+    np.testing.assert_allclose(np.asarray(fn(x, meta)), ref, atol=2e-5)
+
+
+def test_export_requires_state_and_metadata_keys():
+    h = define_model('edsr', eval_mode=True, scale=2, num_features=8, num_blocks=1)
+    with pytest.raises(RuntimeError, match='state'):
+        build_serving_fn(h)
+    hq = define_model('qrcan', eval_mode=True, scale=2, n_feats=16, n_resgroups=1,
+                      n_resblocks=1, metadata=['blur_kernel'])
+    hq.init_state(spatial=(8, 8))
+    with pytest.raises(RuntimeError, match='set_metadata_keys'):
+        export_handler(hq, 1, 8, 8)
+
+
+def test_export_cli_roundtrip(tmp_path):
+    from sisr_tpu.tools.e2e_bench import build_experiment
+    model_loc = build_experiment(str(tmp_path), 'exp_srv', 'edsr',
+                                 dict(scale=2, num_features=8, num_blocks=1),
+                                 spatial=(8, 8))
+    out = str(tmp_path / 'edsr.sisr-hlo')
+    result = CliRunner().invoke(
+        export_serving_cli,
+        ['--model_loc', model_loc, '--experiment', 'exp_srv', '--epoch', '0',
+         '--batch_size', '1', '--height', '8', '--width', '8', '--out', out],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert os.path.getsize(out) > 0
+
+    fn = load_serving(out)
+    from sisr_tpu.models.interface import ModelInterface
+    iface = ModelInterface(model_loc, 'exp_srv', mode='eval', load_epoch=0)
+    x = np.random.RandomState(11).rand(1, 8, 8, 3).astype(np.float32)
+    ref, _, _ = iface.model.run_eval(x)
+    np.testing.assert_allclose(np.asarray(fn(x)), ref, atol=2e-5)

@@ -215,3 +215,20 @@ def test_lightcnn_and_vggface():
     xv = jnp.zeros((1, 224, 224, 3))
     vv = vf.init(KEY, xv)
     assert vf.apply(vv, xv).shape == (1, 4096)
+
+
+def test_channel_attention_rejects_zero_width_reduction():
+    """channel < reduction used to build a zero-width reduce Dense whose
+    1/sqrt(fan_in) init bound is inf, silently NaN-poisoning the forward."""
+    import pytest
+    from sisr_tpu.models.advanced import RCAN
+    from sisr_tpu.models.qmodels import QRCAN
+    from sisr_tpu.models.san import SAN
+    x = jnp.zeros((1, 8, 8, 3))
+    with pytest.raises(ValueError, match='reduction'):
+        RCAN(n_resgroups=1, n_resblocks=1, n_feats=8, scale=2).init(KEY, x)
+    with pytest.raises(ValueError, match='reduction'):
+        QRCAN(n_resgroups=1, n_resblocks=1, n_feats=8, scale=2,
+              num_metadata=10).init(KEY, x, metadata=jnp.zeros((1, 10)))
+    with pytest.raises(ValueError, match='reduction'):
+        SAN(n_resgroups=1, n_resblocks=1, n_feats=8, scale=2).init(KEY, x)
