@@ -355,25 +355,35 @@ class BaseHandler:
         """Run K optimizer steps in ONE device dispatch (lax.scan over stacked batches).
 
         :param batches: list of K batch dicts with identically-shaped 'lr'/'hr'
-            (/'metadata') arrays.
-        :return: numpy array of the K losses.
+            (/'metadata') arrays, OR a pre-stacked dict of (K, B, ...) arrays
+            (possibly already on device — see TrainingHandler's staged uploader).
+        :return: device array of the K losses, dispatched asynchronously — the caller
+            decides when to realize it (forcing a sync here would serialize every
+            dispatch behind a device round-trip, which dominates on remote chips).
         """
         from ..training.state import make_multi_train_step
         if self.eval_mode:
             raise RuntimeError('Model initialized in eval mode, training not possible.')
+        pre_stacked = isinstance(batches, dict)
+        if pre_stacked:
+            keys = [k for k in self._train_batch_keys()
+                    if k in batches and batches[k] is not None]
+            stacked = {k: batches[k] for k in keys}
+            ref_spatial = stacked['hr' if self.device_degrade else 'lr'].shape[2:4]
+        else:
+            keys = [k for k in self._train_batch_keys()
+                    if k in batches[0] and batches[0][k] is not None]
+            stacked = {k: np.stack([np.asarray(b[k]) for b in batches], axis=0)
+                       for k in keys}
+            ref_spatial = batches[0]['hr' if self.device_degrade else 'lr'].shape[1:3]
         if self.state is None:
-            ref = batches[0]['hr' if self.device_degrade else 'lr']
-            spatial = ref.shape[1:3] if not self.device_degrade else \
-                (ref.shape[1] // self.scale, ref.shape[2] // self.scale)
+            spatial = ref_spatial if not self.device_degrade else \
+                (ref_spatial[0] // self.scale, ref_spatial[1] // self.scale)
             self.init_state(spatial=spatial)  # replicates over the mesh if one is set
         if getattr(self, '_multi_train_step', None) is None:
             self._multi_train_step = make_multi_train_step(self.loss_fn,
                                                            self._prep_batch,
                                                            self.has_batch_stats)
-        keys = [k for k in self._train_batch_keys()
-                if k in batches[0] and batches[0][k] is not None]
-        stacked = {k: np.stack([np.asarray(b[k]) for b in batches], axis=0)
-                   for k in keys}
         if self.mesh_ctx is not None:
             # shard each step's batch axis (leaves are (K, B, ...)): put with a spec that
             # shards axis 1
@@ -382,7 +392,7 @@ class BaseHandler:
             sh = NamedSharding(self.mesh_ctx.mesh, P(None, self.mesh_ctx.batch_axis))
             stacked = {k: jax.device_put(v, sh) for k, v in stacked.items()}
         self.state, losses = self._multi_train_step(self.state, stacked)
-        return np.asarray(losses)
+        return losses
 
     def _eval_step_for(self, shape):
         key = tuple(shape)
@@ -553,7 +563,7 @@ class BaseHandler:
                 and self.colorspace in ('rgb', 'augmented_rgb', 'ycbcr'))
 
     def run_eval_fused(self, batch, metrics=('PSNR', 'SSIM'), timing=False,
-                       include_lr=True):
+                       include_lr=True, request_loss=False):
         """TPU-native eval fast path: ONE device program runs forward + bicubic LR
         baseline + YCbCr + PSNR/SSIM, and only per-image scalars return to the host.
 
@@ -571,10 +581,15 @@ class BaseHandler:
         :return: ((keys, values): keys a K-tuple like ('LR>PSNR', 'model>PSNR', ...)
             and values the matching (K, N) device array, runtime).  With
             ``include_lr=False`` the LR-baseline rows are omitted entirely (the eval
-            protocol computes them once, on the first model only).
+            protocol computes them once, on the first model only).  With
+            ``request_loss`` a final 'model>loss' row carries the batch-mean criterion
+            (replicated per image; the same loss_fn the standard eval step uses) —
+            this powers the fused training-time validation epoch.
         """
         sides = ('LR', 'model') if include_lr else ('model',)
         keys = tuple('%s>%s' % (side, met) for met in metrics for side in sides)
+        if request_loss:
+            keys = keys + ('model>loss',)
         if isinstance(batch['lr'], (list, tuple)) or \
                 getattr(batch['lr'], 'dtype', None) == object:
             # ragged batch (mixed-size eval images at bs>1): run per image, using
@@ -587,7 +602,8 @@ class BaseHandler:
                        'metadata': None if meta is None else meta[i:i + 1]}
                 (_, vals), rt = self.run_eval_fused(one, metrics=metrics,
                                                     timing=timing,
-                                                    include_lr=include_lr)
+                                                    include_lr=include_lr,
+                                                    request_loss=request_loss)
                 parts.append(vals)
                 total += rt or 0.0
             return (keys, jnp.concatenate(parts, axis=1)), \
@@ -620,10 +636,11 @@ class BaseHandler:
             meta_cal = self.prepare_metadata(x_cal, dev_batch.get('metadata')) \
                 if self.uses_metadata else None
             self._ensure_int8_ctx(x_cal, meta_cal)  # calibrate OUTSIDE the trace
-        key = ('fused', tuple(metrics), include_lr, self.int8_mode)
+        key = ('fused', tuple(metrics), include_lr, self.int8_mode, request_loss)
         if key not in self._eval_step_cache:
             self._eval_step_cache[key] = self._make_fused_step(tuple(metrics),
-                                                               include_lr)
+                                                               include_lr,
+                                                               request_loss)
         step = self._eval_step_cache[key]
         runtime = None
         if timing:
@@ -641,7 +658,7 @@ class BaseHandler:
             out = step(self.state, dev_batch)  # async dispatch: never blocks the host
         return (keys, out), runtime
 
-    def _make_fused_step(self, metrics, include_lr=True):
+    def _make_fused_step(self, metrics, include_lr=True, request_loss=False):
         from ..ops.colorspace import rgb_to_ycbcr_nhwc
         from ..ops.resize import resize_bicubic
         from ..ops.metrics import psnr_nhw, ssim_nhw
@@ -711,6 +728,14 @@ class BaseHandler:
                 if include_lr:
                     rows.append(fns[met](lr_y, hr_y))
                 rows.append(fns[met](sr_y, hr_y))
+            if request_loss:
+                # batch-mean criterion against the model-space target — identical to
+                # the standard eval step's loss (make_eval_step: loss_fn(out, y)),
+                # replicated per image to keep the (K, N) matrix rectangular
+                target = hr_y[..., None] if self.colorspace == 'ycbcr' else hr
+                loss = self.loss_fn(sr, target)
+                rows.append(jnp.broadcast_to(loss.astype(jnp.float32),
+                                             (hr.shape[0],)))
             return jnp.stack(rows)  # (K, N): one host round trip for the whole batch
 
         return jax.jit(step)

@@ -119,10 +119,12 @@ class ModelInterface:
                                     blur_kernels=blur_kernels)
 
     def train_batch_multi(self, batches):
-        """Fused K-step dispatch (see BaseHandler.run_train_multi)."""
-        if batches and batches[0].get('metadata_keys') is not None \
-                and self.model.metadata_keys is None:
-            self.model.set_metadata_keys(batches[0]['metadata_keys'])
+        """Fused K-step dispatch (see BaseHandler.run_train_multi).  ``batches`` is a
+        list of K batch dicts, or a pre-stacked (K, B, ...) dict from the staged
+        uploader."""
+        first = batches if isinstance(batches, dict) else (batches[0] if batches else {})
+        if first.get('metadata_keys') is not None and self.model.metadata_keys is None:
+            self.model.set_metadata_keys(first['metadata_keys'])
         return self.model.run_train_multi(batches)
 
     def set_epoch(self, epoch):

@@ -170,7 +170,7 @@ def run_config(key, n_images=32, batch_size=8):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def run_train_bench(n_images=32, batch_size=8, crop=32, steps_per_dispatch=1,
+def run_train_bench(n_images=128, batch_size=8, crop=32, steps_per_dispatch=1,
                     cache_decoded=False):
     """END-TO-END training-epoch throughput (BASELINE config #2's train side):
     the real product loop — threaded decode, random crops/augments, device

@@ -34,7 +34,8 @@ class TrainingHandler:
                  seed=8, model_cleanup_frequency=None, epoch_cutoff=None,
                  early_stopping_patience=None, overwrite_data=False, branch_start=None,
                  new_branch=False, logging='visual', save_samples=True,
-                 experiment_group=None, steps_per_dispatch=None, **kwargs):
+                 experiment_group=None, steps_per_dispatch=None, fused_val=False,
+                 **kwargs):
         """Parameter semantics follow the reference (training_handler.py:39-63)."""
         # on multi-process launches every host runs the same SPMD loop; only rank 0
         # owns filesystem writes (checkpoints, CSVs, plots, samples, tracking)
@@ -51,6 +52,11 @@ class TrainingHandler:
         # fuse K optimizer steps into one device dispatch (lax.scan) — amortizes
         # dispatch latency; requires fixed-size training batches (crops)
         self.steps_per_dispatch = steps_per_dispatch or 1
+        # run the validation epoch as fused device programs (forward + YCbCr +
+        # PSNR/SSIM + loss on device, one scalar row-matrix per batch) — the
+        # training-time analog of `eval_sisr --fused_eval`
+        self.fused_val = bool(fused_val)
+        self._fused_val_warned = False
         self.tracker = None
 
         # host RNG seeding (ref: training_handler.py:76-79); the model's jax PRNG seed is
@@ -123,53 +129,141 @@ class TrainingHandler:
                                      'seed': seed, 'epoch_cutoff': epoch_cutoff},
                                     name='train_parameters')
 
+    @staticmethod
+    def _stack_group(buffer):
+        """Stack the train-step arrays of K same-shape batches into (K, B, ...) host
+        arrays — one device transfer per K-step dispatch; non-array entries
+        (metadata_keys, tags) pass through from the first batch."""
+        out = {k: v for k, v in buffer[0].items()
+               if not (isinstance(v, np.ndarray) and v.dtype != object)}
+        for k in ('lr', 'hr', 'metadata', 'blur_kernels'):
+            v = buffer[0].get(k)
+            if isinstance(v, np.ndarray) and v.dtype != object:
+                out[k] = np.stack([np.asarray(b[k]) for b in buffer], axis=0)
+        out['_multi'], out['_count'] = True, len(buffer)
+        return out
+
     def train(self):
         """One training epoch (ref: training_handler.py:147-177)."""
         current_epoch_losses = defaultdict(list)
         with tqdm.tqdm(total=len(self.train_data)) as pbar_train:
+            # Losses are realized one dispatch LATE: float(loss) blocks until the
+            # device finishes (a full round-trip on remote-attached chips), so syncing
+            # dispatch i only after dispatch i+1 is queued keeps the device pipeline
+            # full — host prep of step i+1 overlaps device compute of step i.
+            pending = None
+
+            def realize(losses):
+                vals = np.atleast_1d(np.asarray(losses))
+                current_epoch_losses['train-loss'].extend(float(v) for v in vals)
+                pbar_train.set_description("loss: {:.4f}".format(float(vals[-1])))
+
+            def queue(losses):
+                nonlocal pending
+                prev, pending = pending, losses
+                if prev is not None:
+                    realize(prev)
+
             if self.steps_per_dispatch > 1:
-                buffer = []
-                expected_bs = None
-                for batch in self.train_data:
-                    n = len(batch['hr']) if hasattr(batch['hr'], '__len__') \
-                        else len(batch['lr'])
-                    if expected_bs is None:
-                        expected_bs = n
-                    if n != expected_bs:
-                        # ragged (final) batch: a K-step scan needs uniform shapes —
-                        # run it as a single step instead of poisoning the buffer
-                        loss = float(self.model.train_batch(**batch)[0])
-                        current_epoch_losses['train-loss'].append(loss)
-                        pbar_train.update(1)
-                        continue
-                    buffer.append(batch)
-                    if len(buffer) == self.steps_per_dispatch:
-                        losses = self.model.train_batch_multi(buffer)
-                        current_epoch_losses['train-loss'].extend(
-                            float(l) for l in losses)
-                        pbar_train.update(len(buffer))
-                        pbar_train.set_description(
-                            "loss: {:.4f}".format(float(losses[-1])))
-                        buffer = []
-                for batch in buffer:  # ragged tail: single steps
-                    loss = float(self.model.train_batch(**batch)[0])
-                    current_epoch_losses['train-loss'].append(loss)
-                    pbar_train.update(1)
+                # Group K same-shape batches per dispatch; stack full groups on host
+                # so the uploader thread ships ONE (K, B, ...) transfer per dispatch
+                # (device_prefetch), overlapping the upload with device compute.
+                # Ragged batches (the final short one) run as single steps.
+                def grouped():
+                    buffer = []
+                    expected_bs = None
+                    for batch in self.train_data:
+                        n = len(batch['hr']) if hasattr(batch['hr'], '__len__') \
+                            else len(batch['lr'])
+                        if expected_bs is None:
+                            expected_bs = n
+                        if n != expected_bs:
+                            yield dict(batch, _multi=False, _count=1)
+                            continue
+                        buffer.append(batch)
+                        if len(buffer) == self.steps_per_dispatch:
+                            yield self._stack_group(buffer)
+                            buffer = []
+                    for batch in buffer:  # ragged tail: single steps
+                        yield dict(batch, _multi=False, _count=1)
+
+                # staged uploads assume the default single-device placement; under a
+                # mesh the sharded device_put happens inside run_train_multi instead
+                staged = getattr(self.model.model, 'mesh_ctx', None) is None
+                iterator = device_prefetch(grouped()) if staged else grouped()
+                for batch in iterator:
+                    multi, n = batch.pop('_multi'), batch.pop('_count')
+                    if multi:
+                        queue(self.model.train_batch_multi(batch))
+                    else:
+                        queue(self.model.train_batch(**batch)[0])
+                    pbar_train.update(n)
             else:
                 for batch in device_prefetch(self.train_data):
-                    losses, _ = self.model.train_batch(**batch)
-                    loss = float(losses)
-                    current_epoch_losses['train-loss'].append(loss)
+                    queue(self.model.train_batch(**batch)[0])
                     pbar_train.update(1)
-                    pbar_train.set_description("loss: {:.4f}".format(loss))
+            if pending is not None:
+                realize(pending)
 
         learning_rates = self.model.get_learning_rate()
         current_epoch_losses['learning-rate'].append(learning_rates)
         self.model.epoch_end_calls()
         return current_epoch_losses
 
+    def _use_fused_val(self):
+        if not self.fused_val:
+            return False
+        handler = self.model.model
+        metrics = self.metric_hub.metrics if self.metric_hub is not None else []
+        ok = (handler.supports_fused_eval()
+              and 'rgb' in self.model.configuration['colorspace']
+              and float(self.max_im_val) == 1.0  # fused metrics fix max_val=1
+              and set(metrics) <= {'PSNR', 'SSIM'})
+        if not ok and not self._fused_val_warned:
+            print('fused_val: unsupported for this model/metric set — using the '
+                  'standard validation path.')
+            self._fused_val_warned = True
+        return ok
+
+    def _fused_eval_epoch(self, epoch_idx):
+        """Validation epoch with the whole per-batch pipeline fused on device
+        (forward + YCbCr + PSNR/SSIM + loss in one program; see
+        BaseHandler.run_eval_fused).  Metric and loss semantics match the standard
+        path — asserted by tests/test_e2e.py::test_fused_val_matches_host.
+        Batches dispatch asynchronously; the scalar row-matrices are realized once at
+        epoch end, so the host never blocks mid-epoch."""
+        current_epoch_losses = defaultdict(list)
+        metrics = tuple(self.metric_hub.metrics) if self.metric_hub is not None else ()
+        pending = []
+        with tqdm.tqdm(total=len(self.val_data)) as pbar_val:
+            for index, batch in enumerate(self.val_data):
+                (keys, vals), _ = self.model.model.run_eval_fused(
+                    batch, metrics=metrics, include_lr=False, request_loss=True)
+                pending.append((keys, vals))
+                if index == 0 and self.save_samples:
+                    # sample dump needs the SR image on host: run the standard path
+                    # for this one batch (ref: training_handler.py:210-214)
+                    rgb_out, _, _, _ = self.model.net_run_and_process(**batch)
+                    samples_folder = os.path.join(self.model.logs,
+                                                  'epoch_%d_samples' % epoch_idx)
+                    create_dir_if_empty(samples_folder)
+                    names = [name.replace(os.sep, '_') for name in batch['tag']]
+                    safe_image_save(rgb_out, samples_folder, names, config='rgb')
+                pbar_val.update(1)
+        for keys, vals in pending:
+            rows = dict(zip(keys, np.asarray(vals)))
+            current_epoch_losses['val-loss'].append(float(rows['model>loss'][0]))
+            for met in metrics:
+                current_epoch_losses['val-%s' % met].extend(
+                    float(v) for v in rows['model>%s' % met])
+        if pending and 'PSNR' in metrics:
+            print('val PSNR: %.4f' % np.mean(current_epoch_losses['val-PSNR']))
+        return current_epoch_losses
+
     def eval(self, epoch_idx):
         """One validation epoch (ref: training_handler.py:179-224)."""
+        if self._use_fused_val():
+            return self._fused_eval_epoch(epoch_idx)
         current_epoch_losses = defaultdict(list)
         metric_package = {}
         with tqdm.tqdm(total=len(self.val_data)) as pbar_val:

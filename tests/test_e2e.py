@@ -305,3 +305,39 @@ def test_best_last_resolution_with_duplicate_epoch_rows(tmp_path):
     assert best.model_epoch == 1
     last = ModelInterface(str(tmp_path), 'exp', load_epoch='last')
     assert last.model_epoch == 2
+
+
+def test_fused_val_matches_host(tmp_path):
+    """fused_val routes the training-time validation epoch through the fused device
+    program (forward + YCbCr + PSNR/SSIM + loss in ONE dispatch per batch); its
+    val-loss / val-PSNR / val-SSIM must match the standard host validation path."""
+    from sisr_tpu.training.handler import TrainingHandler
+    handler = TrainingHandler(
+        experiment_name='fused_val_exp', save_loc=str(tmp_path),
+        model_params=_model_params('edsr', num_features=8, num_blocks=1),
+        data_params=_data_params(), num_epochs=1,
+        metrics=['PSNR', 'SSIM'], seed=8, save_samples=False)
+    handler.model.model.init_state()
+    host = handler.eval(0)
+    handler.fused_val = True
+    assert handler._use_fused_val()
+    fused = handler.eval(0)
+    assert len(fused['val-loss']) == len(host['val-loss']) == 5
+    np.testing.assert_allclose(fused['val-loss'], host['val-loss'],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(fused['val-PSNR'], host['val-PSNR'], atol=5e-3)
+    np.testing.assert_allclose(fused['val-SSIM'], host['val-SSIM'], atol=1e-3)
+
+
+def test_fused_val_falls_back_for_ycbcr(tmp_path, capsys):
+    """ycbcr-colorspace models can't use the fused val epoch — the gate must fall
+    back to the standard path instead of crashing."""
+    from sisr_tpu.training.handler import TrainingHandler
+    handler = TrainingHandler(
+        experiment_name='fused_val_fallback', save_loc=str(tmp_path),
+        model_params=_model_params(kernel_pattern=[3, 3], channel_pattern=[1, 8, 1]),
+        data_params=_data_params(), num_epochs=1,
+        metrics=['PSNR'], seed=8, save_samples=False, fused_val=True)
+    assert not handler._use_fused_val()
+    out = handler.eval(0)  # runs the standard path
+    assert len(out['val-loss']) == 5
