@@ -48,6 +48,11 @@ def conv(features, kernel_size, in_features, stride=1, use_bias=True, padding=No
     For stride 1 and odd kernels this equals torch's ``padding=k//2``
     (ref: common.py:5-8 ``default_conv``).
     """
+    if features <= 0 or in_features <= 0:
+        # fan_in=0 makes the 1/sqrt(fan_in) init bound inf -> NaN params that
+        # silently poison the whole forward; fail loudly at build time instead
+        raise ValueError('conv%r: zero-width layer (features=%d, in_features=%d)'
+                         % (name, features, in_features))
     if padding is None:
         padding = kernel_size // 2
     return nn.Conv(features, (kernel_size, kernel_size), strides=(stride, stride),
@@ -60,6 +65,11 @@ def conv(features, kernel_size, in_features, stride=1, use_bias=True, padding=No
 
 def dense(features, in_features, use_bias=True, dtype=jnp.float32, name=None):
     """1x1-conv-on-a-vector equivalent (used for attention MLPs on pooled features)."""
+    if features <= 0 or in_features <= 0:
+        # same zero-fan_in NaN-poisoning guard as conv() — covers every attention
+        # MLP (CALayer/QCALayer/PALayer/ParaCALayer/SOCA) at the root
+        raise ValueError('dense%r: zero-width layer (features=%d, in_features=%d)'
+                         % (name, features, in_features))
     return nn.Dense(features, use_bias=use_bias, kernel_init=torch_kernel_init,
                     bias_init=torch_bias_init(in_features), dtype=dtype,
                     param_dtype=jnp.float32, name=name)

@@ -87,13 +87,35 @@ def export_experiment(model_loc, experiment, epoch, batch_size, height, width,
     iface = ModelInterface(model_loc, experiment, mode='eval', load_epoch=epoch)
     handler = iface.model
     if handler.uses_metadata or handler.channel_concat:
-        keys = []
+        cfg, seen = [], set()
         for k in (metadata_keys
                   or (getattr(handler, 'metadata', None) or ['blur_kernel'])):
-            # dataset-side expansion (data/datasets.py:270-273): one PCA-reduced
-            # blur kernel occupies 10 metadata columns
-            keys.extend(['blur_kernel'] * 10 if k == 'blur_kernel' else [k])
+            if k not in seen:  # a pre-expanded list must not double-expand
+                seen.add(k)
+                cfg.append(k)
+        # Dataset-side expansion (data/datasets.py:226-273): vector metadata occupy
+        # one column per element; celeba attributes sit FIRST (extendleft) and
+        # online-degradation blur kernels are appended LAST — the serving columns
+        # reproduce the training-time layout.
+        keys = ['celeba_attribute'] * 40 if 'all' in cfg else []
+        for k in cfg:
+            if k in ('all', 'blur_kernel'):
+                continue
+            keys.extend(['unmodified_blur_kernel'] * 441
+                        if k == 'unmodified_blur_kernel' else [k])
+        if 'blur_kernel' in cfg:
+            keys.extend(['blur_kernel'] * 10)
         handler.set_metadata_keys(keys)
+        expected = getattr(handler, 'num_metadata', None)
+        selected = len(keys) if handler.meta_indices is None \
+            else len(handler.meta_indices)
+        if handler.uses_metadata and expected is not None and selected != expected:
+            raise RuntimeError(
+                'metadata expansion mismatch: keys %s select %d of %d serving '
+                'columns but the model was built for %d (config metadata: %s) — '
+                'pass --metadata with the unexpanded config key names'
+                % (cfg, selected, len(keys), expected,
+                   getattr(handler, 'metadata', None)))
     if handler.state is None:
         handler.init_state(spatial=(height, width))
     blob = export_handler(handler, batch_size, height, width, platforms=platforms,

@@ -129,14 +129,15 @@ class TrainingHandler:
                                      'seed': seed, 'epoch_cutoff': epoch_cutoff},
                                     name='train_parameters')
 
-    @staticmethod
-    def _stack_group(buffer):
+    def _stack_group(self, buffer):
         """Stack the train-step arrays of K same-shape batches into (K, B, ...) host
         arrays — one device transfer per K-step dispatch; non-array entries
-        (metadata_keys, tags) pass through from the first batch."""
+        (metadata_keys, tags) pass through from the first batch.  Only the keys the
+        train step actually consumes (BaseHandler._train_batch_keys) are stacked, so
+        e.g. host-degradation blur_kernels never ride the tunnel."""
         out = {k: v for k, v in buffer[0].items()
                if not (isinstance(v, np.ndarray) and v.dtype != object)}
-        for k in ('lr', 'hr', 'metadata', 'blur_kernels'):
+        for k in self.model.model._train_batch_keys():
             v = buffer[0].get(k)
             if isinstance(v, np.ndarray) and v.dtype != object:
                 out[k] = np.stack([np.asarray(b[k]) for b in buffer], axis=0)
@@ -232,6 +233,7 @@ class TrainingHandler:
         path — asserted by tests/test_e2e.py::test_fused_val_matches_host.
         Batches dispatch asynchronously; the scalar row-matrices are realized once at
         epoch end, so the host never blocks mid-epoch."""
+        import jax
         current_epoch_losses = defaultdict(list)
         metrics = tuple(self.metric_hub.metrics) if self.metric_hub is not None else ()
         pending = []
@@ -243,16 +245,31 @@ class TrainingHandler:
                 if index == 0 and self.save_samples:
                     # sample dump needs the SR image on host: run the standard path
                     # for this one batch (ref: training_handler.py:210-214)
-                    rgb_out, _, _, _ = self.model.net_run_and_process(**batch)
+                    sb, names = batch, [name.replace(os.sep, '_')
+                                        for name in batch['tag']]
+                    if isinstance(batch['lr'], (list, tuple)) or \
+                            getattr(batch['lr'], 'dtype', None) == object:
+                        # ragged (mixed-size, bs>1) batch: the host path can't stack
+                        # it — dump the first image only
+                        sb = {'lr': np.asarray(batch['lr'][0])[None],
+                              'hr': np.asarray(batch['hr'][0])[None]}
+                        if batch.get('metadata') is not None:
+                            sb['metadata'] = np.asarray(batch['metadata'])[:1]
+                        names = names[:1]
+                    rgb_out, _, _, _ = self.model.net_run_and_process(**sb)
                     samples_folder = os.path.join(self.model.logs,
                                                   'epoch_%d_samples' % epoch_idx)
                     create_dir_if_empty(samples_folder)
-                    names = [name.replace(os.sep, '_') for name in batch['tag']]
                     safe_image_save(rgb_out, samples_folder, names, config='rgb')
                 pbar_val.update(1)
-        for keys, vals in pending:
+        # ONE device->host transfer for the whole epoch (each vals is an unrealized
+        # async (K, N) matrix; per-batch np.asarray would serialize a round trip each)
+        realized = jax.device_get([vals for _, vals in pending])
+        for (keys, _), vals in zip(pending, realized):
             rows = dict(zip(keys, np.asarray(vals)))
-            current_epoch_losses['val-loss'].append(float(rows['model>loss'][0]))
+            # rectangular batches replicate the batch-mean loss per image (mean is a
+            # no-op); ragged fallbacks carry true per-image losses (mean aggregates)
+            current_epoch_losses['val-loss'].append(float(np.mean(rows['model>loss'])))
             for met in metrics:
                 current_epoch_losses['val-%s' % met].extend(
                     float(v) for v in rows['model>%s' % met])

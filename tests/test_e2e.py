@@ -341,3 +341,27 @@ def test_fused_val_falls_back_for_ycbcr(tmp_path, capsys):
     assert not handler._use_fused_val()
     out = handler.eval(0)  # runs the standard path
     assert len(out['val-loss']) == 5
+
+
+def test_fused_val_ragged_batches(tmp_path):
+    """eval_batch_size>1 on a mixed-size val set (ragged batches): the fused val
+    epoch must aggregate true per-image losses (not just image 0's) and the sample
+    dump must not try to stack ragged images."""
+    from sisr_tpu.training.handler import TrainingHandler
+    dp = _data_params()
+    dp['eval_batch_size'] = 2  # Set5 images all differ in size -> ragged batches
+    handler = TrainingHandler(
+        experiment_name='fused_val_ragged', save_loc=str(tmp_path),
+        model_params=_model_params('edsr', num_features=8, num_blocks=1),
+        data_params=dp, num_epochs=1, metrics=['PSNR'], seed=8,
+        save_samples=True, fused_val=True)
+    handler.model.model.init_state()
+    assert handler._use_fused_val()
+    out = handler.eval(0)
+    assert len(out['val-PSNR']) == 5          # every image scored
+    assert len(out['val-loss']) == 3          # 2+2+1 batches
+    assert all(np.isfinite(v) for v in out['val-loss'])
+    # sample dump wrote the (single) first image instead of crashing on the ragged
+    # batch
+    samples = os.path.join(handler.model.logs, 'epoch_0_samples')
+    assert len(os.listdir(samples)) == 1

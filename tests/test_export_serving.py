@@ -96,3 +96,43 @@ def test_export_cli_roundtrip(tmp_path):
     x = np.random.RandomState(11).rand(1, 8, 8, 3).astype(np.float32)
     ref, _, _ = iface.model.run_eval(x)
     np.testing.assert_allclose(np.asarray(fn(x)), ref, atol=2e-5)
+
+
+def test_export_experiment_metadata_layout(tmp_path):
+    """Default export of a multi-key q-model must reproduce the training-time
+    metadata column layout (scalar CSV keys first, blur-kernel columns LAST, the
+    dataset's online-degradation append order — data/datasets.py:270-273), and a
+    pre-expanded or wrong --metadata list must fail loudly, not trace a Dense of
+    the wrong width."""
+    from sisr_tpu.models.interface import ModelInterface
+    from sisr_tpu.utils import toml_io
+    internal = dict(scale=2, n_feats=16, n_resgroups=1, n_resblocks=1,
+                    metadata=['qpi', 'blur_kernel'], style='modulate')
+    base = tmp_path / 'Results' / 'exp_meta'
+    (base / 'saved_models').mkdir(parents=True)
+    with open(base / 'config.toml', 'w') as f:
+        toml_io.dump({'model': {'name': 'qrcan', 'internal_params': internal}}, f)
+    h = define_model('qrcan', eval_mode=False, **internal)
+    assert h.num_metadata == 11  # qpi + blur_kernel x10
+    h.set_metadata_keys(['qpi'] + ['blur_kernel'] * 10)
+    h.init_state(spatial=(8, 8))
+    h.save_model('train_model', 0, str(base / 'saved_models'))
+    model_loc = str(tmp_path / 'Results')
+
+    out = export_experiment(model_loc, 'exp_meta', 0, 1, 8, 8,
+                            out_path=str(tmp_path / 'qrcan.sisr-hlo'))
+    fn = load_serving(out)
+    x = np.random.RandomState(3).rand(1, 8, 8, 3).astype(np.float32)
+    meta = np.random.RandomState(4).rand(1, 11).astype(np.float32)
+    iface = ModelInterface(model_loc, 'exp_meta', mode='eval', load_epoch=0)
+    iface.model.set_metadata_keys(['qpi'] + ['blur_kernel'] * 10)
+    ref, _, _ = iface.model.run_eval(x, metadata=meta)
+    np.testing.assert_allclose(np.asarray(fn(x, meta)), ref, atol=2e-5)
+    # column order matters: permuting [qpi, bk x10] -> [bk x10, qpi] changes output
+    permuted = np.concatenate([meta[:, 1:], meta[:, :1]], axis=1)
+    assert np.abs(np.asarray(fn(x, permuted)) - ref).max() > 1e-6
+
+    with pytest.raises(RuntimeError, match='mismatch'):
+        export_experiment(model_loc, 'exp_meta', 0, 1, 8, 8,
+                          metadata_keys=['blur_kernel'] * 10,
+                          out_path=str(tmp_path / 'bad.sisr-hlo'))

@@ -232,3 +232,17 @@ def test_channel_attention_rejects_zero_width_reduction():
               num_metadata=10).init(KEY, x, metadata=jnp.zeros((1, 10)))
     with pytest.raises(ValueError, match='reduction'):
         SAN(n_resgroups=1, n_resblocks=1, n_feats=8, scale=2).init(KEY, x)
+
+
+def test_zero_width_guard_covers_all_attention_layers():
+    """fan_in=0 NaN-poisoning is blocked at the dense()/conv() ROOT, so layers
+    without their own channel/reduction checks (PALayer channel//8, ParaCALayer
+    network_channels//multiplier) fail loudly too."""
+    import pytest
+    from sisr_tpu.models.q_layers import PALayer, ParaCALayer
+    with pytest.raises(ValueError, match='zero-width'):
+        PALayer(channel=4).init(KEY, jnp.zeros((1, 8, 8, 4)))
+    with pytest.raises(ValueError, match='zero-width'):
+        # network_channels // num_layers == 0 -> zero-width intermediate Dense
+        ParaCALayer(network_channels=1, num_metadata=10, num_layers=2).init(
+            KEY, jnp.zeros((1, 8, 8, 1)), jnp.zeros((1, 10)))

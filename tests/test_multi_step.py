@@ -113,3 +113,32 @@ def test_metadata_key_change_invalidates_cached_steps():
     meta2 = np.array([[0.5, 99.0]], np.float32)
     out2, _, _ = h.run_eval(x, metadata=meta2)
     np.testing.assert_allclose(out2, out1, atol=1e-6)  # same semantic input
+
+
+def test_stack_group_only_ships_train_step_keys():
+    """The staged (K,B,...) uploader must not stack/upload batch entries the train
+    step discards (host-degradation blur_kernels would otherwise ride the tunnel
+    every dispatch just to be filtered out on device)."""
+    from sisr_tpu.training.handler import TrainingHandler
+    th = TrainingHandler.__new__(TrainingHandler)
+
+    class FakeHandler:
+        device_degrade = False
+
+        def _train_batch_keys(self):
+            return ('lr', 'hr', 'metadata')
+
+    class FakeInterface:
+        model = FakeHandler()
+
+    th.model = FakeInterface()
+    batch = {'lr': np.zeros((2, 4, 4, 3), np.float32),
+             'hr': np.zeros((2, 8, 8, 3), np.float32),
+             'blur_kernels': np.zeros((2, 5, 5), np.float32),
+             'tag': ['a', 'b'], 'metadata_keys': ['qpi']}
+    out = th._stack_group([batch, dict(batch)])
+    assert out['lr'].shape == (2, 2, 4, 4, 3)
+    assert out['hr'].shape == (2, 2, 8, 8, 3)
+    assert 'blur_kernels' not in out          # filtered, never uploaded
+    assert out['metadata_keys'] == ['qpi']    # non-arrays pass through
+    assert out['_multi'] and out['_count'] == 2
