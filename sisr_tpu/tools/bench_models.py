@@ -107,8 +107,18 @@ def main_train(args):
               '(%.1fx)' % (torch_tput, tput / torch_tput))
 
 
+def main_val():
+    from .e2e_bench import run_val_bench
+    std, fused = run_val_bench()
+    print('validation epoch throughput (EDSR 64f/16b, 4x 128->512, batch 4): '
+          'standard %.2f img/s | fused_val %.2f img/s (%.2fx)'
+          % (std, fused, fused / std))
+
+
 def main():
     args = sys.argv[1:]
+    if '--val' in args:
+        return main_val()
     if '--train' in args:
         return main_train(set(args))
     if '--e2e' in args:

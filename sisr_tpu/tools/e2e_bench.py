@@ -212,6 +212,49 @@ def run_train_bench(n_images=128, batch_size=8, crop=32, steps_per_dispatch=1,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_val_bench(n_images=64, eval_batch_size=4):
+    """Training-time VALIDATION epoch throughput, standard host path vs fused_val
+    (forward + YCbCr + PSNR/SSIM + loss in one device program per batch, async
+    dispatch, one epoch-end transfer).  EDSR 64f/16b on the 128->512 workload.
+
+    Returns (standard_img_s, fused_img_s) over the best of 3 epochs each."""
+    import shutil
+    import tempfile
+    from ..training.handler import TrainingHandler
+    from ..utils.toml_io import convert_default_none_dict
+    tmp = tempfile.mkdtemp(prefix='sisr_valbench_')
+    try:
+        lr_dir, hr_dir = build_workload(tmp, n_images)
+        data_params = convert_default_none_dict({
+            'training_sets': {'data_1': {'lr': lr_dir, 'hr': hr_dir, 'crop': 32}},
+            'eval_sets': {'data_1': {'lr': lr_dir, 'hr': hr_dir,
+                                     'cutoff': n_images}},
+            'batch_size': 8, 'eval_batch_size': eval_batch_size,
+            'dataloader_threads': 8})
+        handler = TrainingHandler(
+            experiment_name='bench_val', save_loc=os.path.join(tmp, 'Results'),
+            model_params={'name': 'edsr',
+                          'internal_params': {'scale': 4, 'num_features': 64,
+                                              'num_blocks': 16, 'dtype': 'bf16'}},
+            data_params=data_params, num_epochs=1, metrics=['PSNR', 'SSIM'],
+            seed=8, logging=None, save_samples=False)
+        handler.model.model.init_state()
+        results = {}
+        for fused in (False, True):
+            handler.fused_val = fused
+            log('warmup val epoch (fused=%s, compiles)...' % fused)
+            handler.eval(0)
+            best = 0.0
+            for i in range(3):
+                t0 = time.perf_counter()
+                handler.eval(0)
+                best = max(best, n_images / (time.perf_counter() - t0))
+            results[fused] = best
+        return results[False], results[True]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def build_torch_edsr():
     """The reference-equivalent torch EDSR 64f/16b (public standard architecture),
     shared by the eval baseline (bench.py) and the train baseline below."""
