@@ -27,7 +27,7 @@ from ..utils.helpers import extract_image_names_from_folder
 from ..native import decode_png_rgb8 as native_decode_png
 from ..ops.colorspace import RGBtoYCbCrConverter
 from ..ops import degradations as g_utils
-from ..ops.transforms import (center_crop, downsample, pil_to_float, float_to_pil,
+from ..ops.transforms import (center_crop_np, downsample, pil_to_float, float_to_pil,
                               random_flip_rotate, random_matched_crop)
 
 
@@ -344,30 +344,34 @@ class SuperResImages:
 
     @staticmethod
     def read_image(filename):
+        """Decode to an H,W,3 uint8 RGB numpy array (native libpng for PNG — lossless,
+        identical pixels to PIL — with PIL fallback for exotic formats).  numpy is the
+        pipeline's working representation: the old decode->PIL->numpy round trip cost
+        two full-image copies per read on the loader's hot path."""
         if filename.lower().endswith('.png'):
-            # native libpng decode (lossless => identical pixels to PIL); PNG is the
-            # dominant format for SR datasets, so this is the loader's hot path
             arr = native_decode_png(filename)
             if arr is not None:
-                return PIL.Image.fromarray(arr)
+                return arr
         im = PIL.Image.open(filename)
         if im.mode != 'RGB':
             im = im.convert('RGB')
-        return im
+        return np.asarray(im, np.uint8)
 
     def _read_cached(self, filename):
         """read_image through the opt-in decoded-uint8 cache (thread-safe enough:
-        dict assignment is atomic; a concurrent miss costs one duplicate decode)."""
+        dict assignment is atomic; a concurrent miss costs one duplicate decode).
+        Returned arrays are treated as read-only by the pipeline (crops/flips are
+        views; float conversions copy)."""
         cache = self._decode_cache
         if cache is None:
             return self.read_image(filename)
         arr = cache.get(filename)
         if arr is None:
-            arr = np.asarray(self.read_image(filename), np.uint8)
+            arr = self.read_image(filename)
             if self._decode_cache_bytes + arr.nbytes <= self._decode_cache_cap:
                 cache[filename] = arr
                 self._decode_cache_bytes += arr.nbytes
-        return PIL.Image.fromarray(arr)
+        return arr
 
     def _to_model_space(self, arr):
         """float HWC RGB -> requested colorspace."""
@@ -387,9 +391,9 @@ class SuperResImages:
         hr_im = None
         mask_im = np.array(0)
         if self.hr_base is not None:
-            hr_pil = self._read_cached(os.path.join(self.hr_base, base_name))
+            hr_arr = self._read_cached(os.path.join(self.hr_base, base_name))
         else:
-            hr_pil = None
+            hr_arr = None
 
         unreduced_kernel = np.array(0)
         if self.online_degradations:
@@ -401,12 +405,12 @@ class SuperResImages:
                 kernels = self.degrader.kernel_gen(self.degrader.random, 1)
                 kernel_map = self.degrader.encoder(kernels)[0]
                 unreduced_kernel = kernels[0].astype(np.float32)
-                ch = (hr_pil.height // self.scale) * self.scale
-                cw = (hr_pil.width // self.scale) * self.scale
+                ch = (hr_arr.shape[0] // self.scale) * self.scale
+                cw = (hr_arr.shape[1] // self.scale) * self.scale
                 lr_im = np.zeros((ch // self.scale, cw // self.scale, 3), np.float32)
             else:
                 blurred, kernel_map, unreduced_kernel = self.degrader(
-                    pil_to_float(hr_pil))
+                    pil_to_float(hr_arr))
                 _, lr_pil = downsample(float_to_pil(blurred), scale=self.scale, jm=False)
                 lr_im = pil_to_float(lr_pil)
             if self.metadata is not None:
@@ -427,19 +431,19 @@ class SuperResImages:
                 unreduced_kernel = np.array(unreduced).reshape(klen, klen)
 
         # HR alignment crop (ref: data_handler.py:471-489)
-        if hr_pil is not None:
+        if hr_arr is not None:
             if self.lr_type == 'interp':
                 h, w = lr_im.shape[0], lr_im.shape[1]
             else:
                 h, w = lr_im.shape[0] * self.scale, lr_im.shape[1] * self.scale
-            if hr_pil.width != w or hr_pil.height != h:
-                hr_pil = center_crop(hr_pil, height=h, width=w)
-            hr_im = self._to_model_space(to_image(hr_pil))
+            if hr_arr.shape[1] != w or hr_arr.shape[0] != h:
+                hr_arr = center_crop_np(hr_arr, height=h, width=w)
+            hr_im = self._to_model_space(to_image(hr_arr))
             if self.mask_base is not None:
-                mask_pil = self._read_cached(os.path.join(self.mask_base, base_name))
-                if mask_pil.width != w or mask_pil.height != h:
-                    mask_pil = center_crop(mask_pil, height=h, width=w)
-                mask_im = np.array(mask_pil)
+                mask_arr = self._read_cached(os.path.join(self.mask_base, base_name))
+                if mask_arr.shape[1] != w or mask_arr.shape[0] != h:
+                    mask_arr = center_crop_np(mask_arr, height=h, width=w)
+                mask_im = np.asarray(mask_arr)
         else:
             hr_im = np.array(0)
 

@@ -285,8 +285,14 @@ class EvalHub:
                 pbar.update(1)
                 if diag:
                     pbar.set_description(diag[:-2])
-        for experiment, is_first, keys, vals, runtime, n in pending:
-            rows = dict(zip(keys, np.asarray(vals)))  # realize: 1 download per batch
+        # realize ALL batches in one device_get: each separate download pays a full
+        # tunnel round trip (~31 ms for a 128-byte matrix, measured) regardless of
+        # size, so a per-batch loop would cost n_batches RTTs
+        import jax
+        realized = jax.device_get([vals for _, _, _, vals, _, _ in pending])
+        for (experiment, is_first, keys, _, runtime, n), vals in zip(pending,
+                                                                     realized):
+            rows = dict(zip(keys, np.asarray(vals)))
             for met in self.metrics:
                 if is_first:
                     metric_package['LR>%s' % met].append(

@@ -66,9 +66,9 @@ def test_read_image_uses_decoder_and_falls_back():
         path = os.path.join(d, 'im.png')
         PIL.Image.fromarray(arr).save(path)
         im = SuperResImages.read_image(path)
-        assert im.mode == 'RGB' and np.array_equal(np.array(im), arr)
-        # non-PNG extension goes straight to PIL
+        assert im.dtype == np.uint8 and np.array_equal(im, arr)
+        # non-PNG extension goes straight to PIL (returned as the same numpy contract)
         jpath = os.path.join(d, 'im.bmp')
         PIL.Image.fromarray(arr).save(jpath)
         im = SuperResImages.read_image(jpath)
-        assert im.mode == 'RGB' and np.array_equal(np.array(im), arr)
+        assert im.dtype == np.uint8 and np.array_equal(im, arr)
