@@ -146,24 +146,27 @@ class TrainingHandler:
 
     def train(self):
         """One training epoch (ref: training_handler.py:147-177)."""
+        import jax
         current_epoch_losses = defaultdict(list)
         with tqdm.tqdm(total=len(self.train_data)) as pbar_train:
-            # Losses are realized one dispatch LATE: float(loss) blocks until the
-            # device finishes (a full round-trip on remote-attached chips), so syncing
-            # dispatch i only after dispatch i+1 is queued keeps the device pipeline
-            # full — host prep of step i+1 overlaps device compute of step i.
-            pending = None
+            # Losses realize in CHUNKS of dispatches through one jax.device_get:
+            # every separate download pays a full tunnel round trip (~31 ms measured,
+            # payload-independent), so realizing per dispatch would serialize an RTT
+            # behind each step.  The loss display lags by <= chunk dispatches.
+            pending = []
 
-            def realize(losses):
-                vals = np.atleast_1d(np.asarray(losses))
-                current_epoch_losses['train-loss'].extend(float(v) for v in vals)
-                pbar_train.set_description("loss: {:.4f}".format(float(vals[-1])))
+            def drain(force=False):
+                if not pending or (not force and len(pending) < 8):
+                    return
+                vals = jax.device_get(pending)  # ONE round trip for the chunk
+                pending.clear()
+                flat = [float(v) for arr in vals for v in np.atleast_1d(arr)]
+                current_epoch_losses['train-loss'].extend(flat)
+                pbar_train.set_description("loss: {:.4f}".format(flat[-1]))
 
             def queue(losses):
-                nonlocal pending
-                prev, pending = pending, losses
-                if prev is not None:
-                    realize(prev)
+                pending.append(losses)
+                drain()
 
             if self.steps_per_dispatch > 1:
                 # Group K same-shape batches per dispatch; stack full groups on host
@@ -203,8 +206,7 @@ class TrainingHandler:
                 for batch in device_prefetch(self.train_data):
                     queue(self.model.train_batch(**batch)[0])
                     pbar_train.update(1)
-            if pending is not None:
-                realize(pending)
+            drain(force=True)
 
         learning_rates = self.model.get_learning_rate()
         current_epoch_losses['learning-rate'].append(learning_rates)
