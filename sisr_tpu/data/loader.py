@@ -73,11 +73,15 @@ class CelebaSplitSampler:
         return self.length
 
 
-def _collate(items):
+def _collate(items, device_images=False):
     """Stack per-item dicts into batch arrays; strings stay lists; key lists pass
     through.  When request_crops flattens per-item crop stacks into the batch axis,
     per-item companions (metadata, blur_kernels, ...) are repeated per crop so every
-    batch entry stays aligned."""
+    batch entry stays aligned.
+
+    ``device_images`` keeps uniform uint8 lr/hr images as LISTS: the host-side
+    np.stack memcpy (~21 ms for a batch of 8 HR 512^2 images on a weak vCPU) is
+    skipped and device_prefetch stacks them in HBM instead (see its put())."""
     out = {}
     first = items[0]
     # request_crops items carry (K, h, w, c) image stacks
@@ -98,6 +102,10 @@ def _collate(items):
             if arrs[0].ndim >= 4:  # crop stacks: flatten crops into batch
                 out[key] = np.concatenate(arrs, axis=0)
             else:
+                if device_images and key in ('lr', 'hr') \
+                        and arrs[0].dtype == np.uint8 and arrs[0].ndim == 3:
+                    out[key] = arrs  # stacked on device by device_prefetch
+                    continue
                 try:
                     stacked = np.stack(arrs, axis=0)
                 except ValueError:  # ragged (e.g. differently-sized eval images, bs>1)
@@ -116,6 +124,9 @@ class DataLoader:
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=8,
                  drop_last=False, sampler=None, prefetch_batches=3):
         self.dataset = dataset
+        # opt-in: keep uniform uint8 images as lists so device_prefetch stacks
+        # them in HBM instead of a host memcpy (fused-eval fast path)
+        self.device_collate = False
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers or 1)
@@ -146,7 +157,8 @@ class DataLoader:
         batches = self._index_batches()
         if self.num_workers <= 1:
             for batch in batches:
-                yield _collate([self.dataset[i] for i in batch])
+                yield _collate([self.dataset[i] for i in batch],
+                               device_images=self.device_collate)
             return
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -167,7 +179,8 @@ class DataLoader:
                 b = next(it, None)
                 if b is not None:
                     pending.append(submit(b))
-                yield _collate([f.result() for f in futs])
+                yield _collate([f.result() for f in futs],
+                               device_images=self.device_collate)
 
 
 def device_prefetch(iterator, size=2, sharding=None):
@@ -183,12 +196,29 @@ def device_prefetch(iterator, size=2, sharding=None):
     import queue as queue_mod
     import threading
 
+    import jax.numpy as jnp
+
+    def _uniform_list(v):
+        return (isinstance(v, list) and v and isinstance(v[0], np.ndarray)
+                and all(isinstance(a, np.ndarray) and a.shape == v[0].shape
+                        and a.dtype == v[0].dtype for a in v))
+
     def put(batch):
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray) and v.dtype != object and v.ndim >= 1:
                 out[k] = jax.device_put(v, sharding) if sharding is not None \
                     else jax.device_put(v)
+            elif _uniform_list(v):
+                # device-side stacking (DataLoader.device_collate): images upload
+                # individually (async, zero host memcpy) and stack in HBM — the
+                # host np.stack alternative costs a full batch memcpy on the
+                # loader's critical path.  Ragged lists fail the uniformity check
+                # and pass through to the per-image eval fallback unchanged.
+                if sharding is not None:
+                    out[k] = jax.device_put(np.stack(v, axis=0), sharding)
+                else:
+                    out[k] = jnp.stack([jax.device_put(a) for a in v])
             else:
                 out[k] = v
         return out

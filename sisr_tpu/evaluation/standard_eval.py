@@ -258,6 +258,10 @@ class EvalHub:
         serves uint8 (keep_uint8) so no host float conversion ever happens."""
         for ds in getattr(self.rgb_data.dataset, 'datasets', [self.rgb_data.dataset]):
             ds.keep_uint8 = True
+        # uniform u8 images skip the host-collate memcpy and stack in HBM instead
+        # (single-device only: the mesh path shards a host-stacked batch)
+        self.rgb_data.device_collate = \
+            getattr(self.model_bundles[0].model, 'mesh_ctx', None) is None
         metric_package = defaultdict(list)
         pending = []  # (experiment, is_first_model, keys, (K,N) device vals, rt, n)
         # upload-ahead: on remote-attached chips the device_put RPC serializes the
