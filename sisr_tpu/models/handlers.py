@@ -623,8 +623,14 @@ class BaseHandler:
         dev_batch = {'lr': jnp.asarray(lr),
                      'hr': jnp.asarray(as_u8_if_lossless(batch['hr']))}
         if batch.get('metadata') is not None and self.uses_metadata:
-            dev_batch['metadata'] = jnp.asarray(np.asarray(batch['metadata'],
-                                                           np.float32))
+            meta = batch['metadata']
+            if isinstance(meta, jax.Array):
+                # already uploaded (device_prefetch): np.asarray here would pay a
+                # full download round trip per batch just to re-upload
+                dev_batch['metadata'] = meta.astype(jnp.float32) \
+                    if meta.dtype != jnp.float32 else meta
+            else:
+                dev_batch['metadata'] = jnp.asarray(np.asarray(meta, np.float32))
         if self.mesh_ctx is not None:
             # multi-chip fused eval: batch sharded over the data axis (when it
             # divides evenly), metrics computed per shard and gathered

@@ -238,26 +238,44 @@ class TrainingHandler:
         import jax
         current_epoch_losses = defaultdict(list)
         metrics = tuple(self.metric_hub.metrics) if self.metric_hub is not None else ()
+        # u8 transport + device-side stacking + upload prefetch: the host f32
+        # conversion (25 MB written per batch of 8 HR 512^2) and collate memcpy are
+        # the val epoch's measured host costs; run_eval_fused redoes /255 on device,
+        # bit-identically (same as the fused eval CLI path)
+        for ds in getattr(self.val_data.dataset, 'datasets', [self.val_data.dataset]):
+            ds.keep_uint8 = True
+        mesh_free = getattr(self.model.model, 'mesh_ctx', None) is None
+        self.val_data.device_collate = mesh_free
+        iterator = device_prefetch(iter(self.val_data)) if mesh_free \
+            else iter(self.val_data)
         pending = []
         with tqdm.tqdm(total=len(self.val_data)) as pbar_val:
-            for index, batch in enumerate(self.val_data):
+            for index, batch in enumerate(iterator):
                 (keys, vals), _ = self.model.model.run_eval_fused(
                     batch, metrics=metrics, include_lr=False, request_loss=True)
                 pending.append((keys, vals))
                 if index == 0 and self.save_samples:
                     # sample dump needs the SR image on host: run the standard path
-                    # for this one batch (ref: training_handler.py:210-214)
-                    sb, names = batch, [name.replace(os.sep, '_')
-                                        for name in batch['tag']]
+                    # for this one batch (ref: training_handler.py:210-214).  The
+                    # fused transport serves uint8 (and possibly device arrays);
+                    # the host path expects float [0,1]
+                    def _f32(im):
+                        arr = np.asarray(im)
+                        return arr.astype(np.float32) / 255.0 \
+                            if arr.dtype == np.uint8 else arr
+                    names = [name.replace(os.sep, '_') for name in batch['tag']]
                     if isinstance(batch['lr'], (list, tuple)) or \
                             getattr(batch['lr'], 'dtype', None) == object:
                         # ragged (mixed-size, bs>1) batch: the host path can't stack
                         # it — dump the first image only
-                        sb = {'lr': np.asarray(batch['lr'][0])[None],
-                              'hr': np.asarray(batch['hr'][0])[None]}
+                        sb = {'lr': _f32(batch['lr'][0])[None],
+                              'hr': _f32(batch['hr'][0])[None]}
                         if batch.get('metadata') is not None:
                             sb['metadata'] = np.asarray(batch['metadata'])[:1]
                         names = names[:1]
+                    else:
+                        sb = dict(batch, lr=_f32(batch['lr']),
+                                  hr=_f32(batch['hr']))
                     rgb_out, _, _, _ = self.model.net_run_and_process(**sb)
                     samples_folder = os.path.join(self.model.logs,
                                                   'epoch_%d_samples' % epoch_idx)
