@@ -311,3 +311,29 @@ def test_cache_decoded_images():
                             cache_decoded=2)
     np.testing.assert_array_equal(capped[0]['lr'], base[0]['lr'])
     assert capped._decode_cache == {}
+
+
+def test_device_collate_stacks_in_hbm():
+    """DataLoader.device_collate keeps uniform uint8 images as lists; the
+    device_prefetch wrapper uploads them individually and stacks in HBM — the
+    result must equal the host-stacked batch exactly.  Ragged lists pass through
+    untouched (per-image eval fallback)."""
+    import numpy as np
+    from sisr_tpu.data.loader import _collate, device_prefetch
+    rng = np.random.RandomState(0)
+    items = [{'lr': rng.randint(0, 255, (4, 4, 3), np.uint8),
+              'hr': rng.randint(0, 255, (8, 8, 3), np.uint8),
+              'metadata': np.float32(i), 'tag': 't%d' % i} for i in range(3)]
+    host = _collate(items, device_images=False)
+    dev = _collate(items, device_images=True)
+    assert isinstance(dev['lr'], list) and isinstance(dev['hr'], list)
+    [up] = list(device_prefetch(iter([dev])))
+    assert up['lr'].shape == (3, 4, 4, 3) and up['hr'].shape == (3, 8, 8, 3)
+    np.testing.assert_array_equal(np.asarray(up['lr']), host['lr'])
+    np.testing.assert_array_equal(np.asarray(up['hr']), host['hr'])
+    assert up['tag'] == ['t0', 't1', 't2']
+    # ragged lists survive device_prefetch untouched
+    ragged = {'lr': [rng.randint(0, 255, (4, 4, 3), np.uint8),
+                     rng.randint(0, 255, (5, 5, 3), np.uint8)], 'tag': ['a', 'b']}
+    [thru] = list(device_prefetch(iter([ragged])))
+    assert isinstance(thru['lr'], list) and thru['lr'][1].shape == (5, 5, 3)
