@@ -319,6 +319,11 @@ class EvalHub:
                 return self._fused_image_protocol()
             print('fused_eval: some models lack a fused path (bucketed eval / '
                   'mesh-sharded tiling) — using the standard protocol.')
+        # undo fused-run transport if a previous protocol call enabled it: this
+        # path expects float, host-stacked batches
+        for ds in getattr(self.rgb_data.dataset, 'datasets', [self.rgb_data.dataset]):
+            ds.keep_uint8 = False
+        self.rgb_data.device_collate = False
         metric_package = defaultdict(list)
         with tqdm(total=len(self.rgb_data)) as pbar:
             for index, batch in enumerate(self.rgb_data):

@@ -610,6 +610,11 @@ class BaseHandler:
                 (total if timing else None)
 
         def as_u8_if_lossless(img):
+            if isinstance(img, jax.Array):
+                # already on device (device_prefetch/device_collate): converting
+                # here would DOWNLOAD the batch just to re-upload it — the u8
+                # transport saving only applies to host-resident arrays
+                return img
             if getattr(img, 'dtype', None) == np.uint8:
                 return img  # dataset keep_uint8 passthrough: zero host work here
             img = np.asarray(img, np.float32)

@@ -38,11 +38,21 @@ def center_crop(image, height, width):
 
 
 def center_crop_np(arr, height, width):
-    """Center crop an H,W,C numpy array with the same arithmetic."""
+    """Center crop an H,W,C numpy array with the same arithmetic — including PIL's
+    behavior when the target EXCEEDS the image: out-of-bounds regions pad with
+    zeros (a naive negative slice would wrap around instead)."""
     res_h = arr.shape[0] - height
     res_w = arr.shape[1] - width
     top, left = res_h // 2, res_w // 2
-    return arr[top:top + height, left:left + width]
+    if res_h >= 0 and res_w >= 0:
+        return arr[top:top + height, left:left + width]
+    out = np.zeros((height, width) + arr.shape[2:], arr.dtype)
+    src_t, src_l = max(top, 0), max(left, 0)
+    dst_t, dst_l = max(-top, 0), max(-left, 0)
+    h = min(arr.shape[0] - src_t, height - dst_t)
+    w = min(arr.shape[1] - src_l, width - dst_l)
+    out[dst_t:dst_t + h, dst_l:dst_l + w] = arr[src_t:src_t + h, src_l:src_l + w]
+    return out
 
 
 class CenterCrop:

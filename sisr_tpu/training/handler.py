@@ -246,8 +246,15 @@ class TrainingHandler:
             ds.keep_uint8 = True
         mesh_free = getattr(self.model.model, 'mesh_ctx', None) is None
         self.val_data.device_collate = mesh_free
-        iterator = device_prefetch(iter(self.val_data)) if mesh_free \
-            else iter(self.val_data)
+
+        def stream():
+            # run_eval_fused consumes only lr/hr/metadata (+tag for naming): don't
+            # ship mask/halfway/blur_kernels arrays over the tunnel every batch
+            for b in iter(self.val_data):
+                yield {k: v for k, v in b.items()
+                       if k not in ('mask', 'halfway_data', 'blur_kernels')}
+
+        iterator = device_prefetch(stream()) if mesh_free else stream()
         pending = []
         with tqdm.tqdm(total=len(self.val_data)) as pbar_val:
             for index, batch in enumerate(iterator):
@@ -301,6 +308,11 @@ class TrainingHandler:
         """One validation epoch (ref: training_handler.py:179-224)."""
         if self._use_fused_val():
             return self._fused_eval_epoch(epoch_idx)
+        # undo fused-val transport if a previous epoch enabled it: the standard path
+        # expects float batches and host-stacked arrays
+        for ds in getattr(self.val_data.dataset, 'datasets', [self.val_data.dataset]):
+            ds.keep_uint8 = False
+        self.val_data.device_collate = False
         current_epoch_losses = defaultdict(list)
         metric_package = {}
         with tqdm.tqdm(total=len(self.val_data)) as pbar_val:

@@ -337,3 +337,18 @@ def test_device_collate_stacks_in_hbm():
                      rng.randint(0, 255, (5, 5, 3), np.uint8)], 'tag': ['a', 'b']}
     [thru] = list(device_prefetch(iter([ragged])))
     assert isinstance(thru['lr'], list) and thru['lr'][1].shape == (5, 5, 3)
+
+
+def test_center_crop_np_pads_like_pil():
+    """When the crop target exceeds the image, PIL's crop pads with black; the
+    numpy version must match (a naive negative slice would wrap around)."""
+    import numpy as np
+    import PIL.Image
+    from sisr_tpu.ops.transforms import center_crop, center_crop_np
+    rng = np.random.RandomState(0)
+    for (ih, iw), (th, tw) in [((10, 12), (6, 8)), ((6, 8), (10, 12)),
+                               ((10, 6), (6, 10)), ((7, 7), (7, 9))]:
+        arr = rng.randint(0, 255, (ih, iw, 3), np.uint8)
+        ref = np.asarray(center_crop(PIL.Image.fromarray(arr), th, tw))
+        got = center_crop_np(arr, th, tw)
+        np.testing.assert_array_equal(got, ref)

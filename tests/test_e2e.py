@@ -365,3 +365,22 @@ def test_fused_val_ragged_batches(tmp_path):
     # batch
     samples = os.path.join(handler.model.logs, 'epoch_0_samples')
     assert len(os.listdir(samples)) == 1
+
+
+def test_fused_val_then_standard_path(tmp_path):
+    """Toggling fused_val off after a fused epoch must not leak the u8/device-
+    collate transport into the standard validation path (which expects float,
+    host-stacked batches)."""
+    from sisr_tpu.training.handler import TrainingHandler
+    handler = TrainingHandler(
+        experiment_name='fused_toggle', save_loc=str(tmp_path),
+        model_params=_model_params('edsr', num_features=8, num_blocks=1),
+        data_params=_data_params(), num_epochs=1, metrics=['PSNR'], seed=8,
+        save_samples=False, fused_val=True)
+    handler.model.model.init_state()
+    fused = handler.eval(0)
+    handler.fused_val = False
+    host = handler.eval(0)
+    np.testing.assert_allclose(fused['val-loss'], host['val-loss'],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(fused['val-PSNR'], host['val-PSNR'], atol=5e-3)
