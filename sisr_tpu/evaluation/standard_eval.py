@@ -268,35 +268,20 @@ class EvalHub:
         # batch bytes on the calling thread (HR uint8 dominates, ~6 MB per batch of
         # 8 at 512^2); staging the NEXT batch's transfer in a background thread
         # overlaps it with the current batch's dispatch/compute
+        import jax
+        from concurrent.futures import ThreadPoolExecutor
         from ..data.loader import device_prefetch
         batches = device_prefetch(iter(self.rgb_data), size=2)
-        with tqdm(total=len(self.rgb_data)) as pbar:
-            for batch in batches:
-                im_names = batch['tag']
-                self.images_processed += len(im_names)
-                metric_package['Image_Name'].append(list(im_names))
-                diag = ''
-                for idx, model in enumerate(self.model_bundles):
-                    (keys, vals), runtime = model.model.run_eval_fused(
-                        batch, metrics=tuple(self.metrics), timing=self.time_models,
-                        include_lr=idx == 0)
-                    pending.append((model.experiment, idx == 0, keys, vals,
-                                    runtime, len(im_names)))
-                    if runtime is not None and 'PSNR' in self.metrics:
-                        psnr_row = np.asarray(vals)[keys.index('model>PSNR')]
-                        diag += '%s PSNR: %.4f, ' % (model.experiment,
-                                                     float(np.mean(psnr_row)))
-                pbar.update(1)
-                if diag:
-                    pbar.set_description(diag[:-2])
-        # realize ALL batches in one device_get: each separate download pays a full
-        # tunnel round trip (~31 ms for a 128-byte matrix, measured) regardless of
-        # size, so a per-batch loop would cost n_batches RTTs
-        import jax
-        realized = jax.device_get([vals for _, _, _, vals, _, _ in pending])
-        for (experiment, is_first, keys, _, runtime, n), vals in zip(pending,
-                                                                     realized):
-            rows = dict(zip(keys, np.asarray(vals)))
+        # results download on a BACKGROUND thread as soon as each batch dispatches:
+        # the compute wait + the payload-independent ~31 ms download round trip then
+        # overlap the next batches' decode instead of serializing at the end
+        fetcher = ThreadPoolExecutor(max_workers=1)
+        try:
+            self._run_fused_loop(batches, pending, metric_package, fetcher)
+        finally:
+            fetcher.shutdown(wait=True)
+        for experiment, is_first, keys, fut, runtime, n in pending:
+            rows = dict(zip(keys, np.asarray(fut.result())))
             for met in self.metrics:
                 if is_first:
                     metric_package['LR>%s' % met].append(
@@ -311,6 +296,29 @@ class EvalHub:
                 # standard protocol's model runtime column
                 metric_package['%s>runtime' % experiment].append([runtime] * n)
         self.manipulate_and_save_metrics(metric_package)
+
+    def _run_fused_loop(self, batches, pending, metric_package, fetcher):
+        import jax
+        with tqdm(total=len(self.rgb_data)) as pbar:
+            for batch in batches:
+                im_names = batch['tag']
+                self.images_processed += len(im_names)
+                metric_package['Image_Name'].append(list(im_names))
+                diag = ''
+                for idx, model in enumerate(self.model_bundles):
+                    (keys, vals), runtime = model.model.run_eval_fused(
+                        batch, metrics=tuple(self.metrics), timing=self.time_models,
+                        include_lr=idx == 0)
+                    pending.append((model.experiment, idx == 0, keys,
+                                    fetcher.submit(jax.device_get, vals),
+                                    runtime, len(im_names)))
+                    if runtime is not None and 'PSNR' in self.metrics:
+                        psnr_row = np.asarray(vals)[keys.index('model>PSNR')]
+                        diag += '%s PSNR: %.4f, ' % (model.experiment,
+                                                     float(np.mean(psnr_row)))
+                pbar.update(1)
+                if diag:
+                    pbar.set_description(diag[:-2])
 
     def full_image_protocol(self):
         """Full metrics run (ref: standard_eval.py:217-294)."""

@@ -255,12 +255,16 @@ class TrainingHandler:
                        if k not in ('mask', 'halfway_data', 'blur_kernels')}
 
         iterator = device_prefetch(stream()) if mesh_free else stream()
+        # result rows download on a background thread as each batch dispatches, so
+        # the compute wait + download RTT overlap the next batches' decode/upload
+        from concurrent.futures import ThreadPoolExecutor
+        fetcher = ThreadPoolExecutor(max_workers=1)
         pending = []
         with tqdm.tqdm(total=len(self.val_data)) as pbar_val:
             for index, batch in enumerate(iterator):
                 (keys, vals), _ = self.model.model.run_eval_fused(
                     batch, metrics=metrics, include_lr=False, request_loss=True)
-                pending.append((keys, vals))
+                pending.append((keys, fetcher.submit(jax.device_get, vals)))
                 if index == 0 and self.save_samples:
                     # sample dump needs the SR image on host: run the standard path
                     # for this one batch (ref: training_handler.py:210-214).  The
@@ -289,11 +293,9 @@ class TrainingHandler:
                     create_dir_if_empty(samples_folder)
                     safe_image_save(rgb_out, samples_folder, names, config='rgb')
                 pbar_val.update(1)
-        # ONE device->host transfer for the whole epoch (each vals is an unrealized
-        # async (K, N) matrix; per-batch np.asarray would serialize a round trip each)
-        realized = jax.device_get([vals for _, vals in pending])
-        for (keys, _), vals in zip(pending, realized):
-            rows = dict(zip(keys, np.asarray(vals)))
+        fetcher.shutdown(wait=True)  # all rows fetched (overlapped with the loop)
+        for keys, fut in pending:
+            rows = dict(zip(keys, np.asarray(fut.result())))
             # rectangular batches replicate the batch-mean loss per image (mean is a
             # no-op); ragged fallbacks carry true per-image losses (mean aggregates)
             current_epoch_losses['val-loss'].append(float(np.mean(rows['model>loss'])))
