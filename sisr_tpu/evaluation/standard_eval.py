@@ -43,6 +43,9 @@ class EvalHub:
             toml_io.dump({k: list(v) if isinstance(v, tuple) else v
                           for k, v in input_params.items() if v is not None}, f)
 
+        if not model_and_epoch:
+            raise ValueError('No models specified: pass at least one '
+                             '-me/--model_and_epoch EXPERIMENT EPOCH pair.')
         experiment_names, eval_epochs = zip(*model_and_epoch)
 
         self.metrics = metrics
@@ -73,6 +76,10 @@ class EvalHub:
             custom_split = (162899, 163000) if use_test_group else None
             blacklist = None
 
+        if metadata_file is not None and not os.path.isfile(metadata_file):
+            # an explicitly requested file must exist — silently falling back to the
+            # lr_dir defaults would run with different metadata than asked for
+            raise FileNotFoundError('metadata_file not found: %s' % metadata_file)
         if metadata_file is None:
             metadata_file = os.path.join(lr_dir, 'degradation_metadata.csv')
         if not os.path.isfile(metadata_file):
@@ -105,10 +112,14 @@ class EvalHub:
                 conv_type='jpg', scale=scale, custom_split=custom_split,
                 qpi_selection=qpi_selection, image_shortlist=image_shortlist,
                 recursive_search=recursive)
-            self.interp_data = iter(DataLoader(dataset=interp_handler,
-                                               batch_size=batch_size))
+            # kept as a LOADER (not a single iterator like ref standard_eval.py:106):
+            # each protocol invocation re-iterates, so warmup+timed double runs and
+            # repeated calls on one hub work
+            self.interp_loader = DataLoader(dataset=interp_handler,
+                                            batch_size=batch_size)
         else:
-            self.interp_data = None
+            self.interp_loader = None
+        self.interp_data = None  # per-run iterator, set at protocol start
 
         self.comparisons_dir = os.path.join(self.out_dir, 'model_comparisons')
         if not no_image_comparison:
@@ -142,7 +153,7 @@ class EvalHub:
         # PSNR/SSIM execute as one device program and only scalars reach the host.
         # lr_dir_interp supplies externally-interpolated LR images the fused path
         # cannot honor (it computes the device bicubic instead) — stay standard.
-        self.fused_eval = bool(fused_eval) and metrics is not None \
+        self.fused_eval = bool(fused_eval) and bool(metrics) \
             and not model_only and not save_im and no_image_comparison \
             and not self.face_metric and not lr_dir_interp
         if fused_eval and not self.fused_eval:
@@ -161,7 +172,8 @@ class EvalHub:
         for experiment, eval_epoch in zip(experiment_names, eval_epochs):
             models.append(ModelInterface(
                 model_loc, experiment,
-                load_epoch=eval_epoch if eval_epoch == 'best' else int(eval_epoch),
+                load_epoch=eval_epoch if eval_epoch in ('best', 'last')
+                else int(eval_epoch),
                 gpu=device_mode, scale=scale, sp_gpu=sp_gpu))
         return models
 
@@ -217,6 +229,7 @@ class EvalHub:
 
     def direct_model_protocol(self):
         """SR-image-only run (ref: standard_eval.py:187-215)."""
+        self.interp_data = iter(self.interp_loader) if self.interp_loader else None
         with tqdm(total=len(self.rgb_data)) as pbar:
             for index, batch in enumerate(self.rgb_data):
                 lr_rgb, im_names = batch['lr'], batch['tag']
@@ -228,15 +241,23 @@ class EvalHub:
                     interp_data, _ = self._low_res_prep(lr_rgb, timing=False)
                 output_package = {}
                 for model in self.model_bundles:
-                    if model.configuration['colorspace'] == 'rgb':
+                    # 'rgb' IN colorspace, not ==: the reference's direct protocol
+                    # (standard_eval.py:201) disagrees with its own full protocol
+                    # (:255) here and feeds augmented_rgb metadata models YCbCr
+                    # inputs — silently-wrong SR output, fixed rather than ported
+                    if 'rgb' in model.configuration['colorspace']:
                         selected_im = lr_rgb if model.configuration['input'] == \
                             'unmodified' else interp_data
                     else:
                         selected_im = self._high_res_prep(interp_data)
                     rgb_im, ycbcr_im, _, _ = model.net_run_and_process(
                         **{**batch, **{'lr': selected_im}})
-                    safe_image_save(rgb_im, self.save_folders[model.experiment],
-                                    im_names, config='rgb')
+                    folder = self.save_folders[model.experiment]
+                    for name in im_names:  # recursive datasets: subdirs must exist
+                        if os.sep in name:
+                            create_dir_if_empty(os.path.join(
+                                folder, os.path.dirname(name)))
+                    safe_image_save(rgb_im, folder, im_names, config='rgb')
                     output_package[model.experiment] = rgb_im
                 if not self.no_image_comparison:
                     self._generate_image_collage(interp_data, output_package,
@@ -268,7 +289,6 @@ class EvalHub:
         # batch bytes on the calling thread (HR uint8 dominates, ~6 MB per batch of
         # 8 at 512^2); staging the NEXT batch's transfer in a background thread
         # overlaps it with the current batch's dispatch/compute
-        import jax
         from concurrent.futures import ThreadPoolExecutor
         from ..data.loader import device_prefetch
         batches = device_prefetch(iter(self.rgb_data), size=2)
@@ -309,11 +329,14 @@ class EvalHub:
                     (keys, vals), runtime = model.model.run_eval_fused(
                         batch, metrics=tuple(self.metrics), timing=self.time_models,
                         include_lr=idx == 0)
-                    pending.append((model.experiment, idx == 0, keys,
-                                    fetcher.submit(jax.device_get, vals),
+                    fut = fetcher.submit(jax.device_get, vals)
+                    pending.append((model.experiment, idx == 0, keys, fut,
                                     runtime, len(im_names)))
                     if runtime is not None and 'PSNR' in self.metrics:
-                        psnr_row = np.asarray(vals)[keys.index('model>PSNR')]
+                        # timing mode serializes anyway; reuse the fetched matrix
+                        # rather than downloading it a second time
+                        psnr_row = np.asarray(fut.result())[
+                            keys.index('model>PSNR')]
                         diag += '%s PSNR: %.4f, ' % (model.experiment,
                                                      float(np.mean(psnr_row)))
                 pbar.update(1)
@@ -332,6 +355,7 @@ class EvalHub:
         for ds in getattr(self.rgb_data.dataset, 'datasets', [self.rgb_data.dataset]):
             ds.keep_uint8 = False
         self.rgb_data.device_collate = False
+        self.interp_data = iter(self.interp_loader) if self.interp_loader else None
         metric_package = defaultdict(list)
         with tqdm(total=len(self.rgb_data)) as pbar:
             for index, batch in enumerate(self.rgb_data):
@@ -402,6 +426,10 @@ class EvalHub:
                                 'FACE_SIM', rgb_im, hr_rgb_fmt, single_values=True))
 
                     output_package[model.experiment] = rgb_im
+                    # NB reference parity (standard_eval.py:278, its own comment:
+                    # "very crude"): images_processed is incremented BEFORE this
+                    # check, so up to batch_size-1 fewer images are saved than
+                    # num_image_save requests
                     if self.save_im and self.images_processed < self.num_image_save:
                         for im in im_names:
                             if os.sep in im:

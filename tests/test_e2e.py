@@ -384,3 +384,24 @@ def test_fused_val_then_standard_path(tmp_path):
     np.testing.assert_allclose(fused['val-loss'], host['val-loss'],
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(fused['val-PSNR'], host['val-PSNR'], atol=5e-3)
+
+
+def test_eval_hub_last_epoch_and_empty_models(trained_experiment, tmp_path):
+    """'last' must resolve through _prep_models (the reference only handled
+    'best'/int), and an empty -me list must fail with a clear message instead of
+    an opaque unpack error."""
+    from sisr_tpu.evaluation.standard_eval import EvalHub
+    save_loc, handler, _ = trained_experiment
+    models = EvalHub._prep_models(save_loc, ('tiny_srcnn',), ('last',), gpu=False)
+    assert models[0].model_epoch == 1  # 2-epoch fixture: last == epoch 1
+    with pytest.raises(ValueError, match='No models'):
+        EvalHub(hr_dir=os.path.join(SET5, 'hr'),
+                lr_dir=os.path.join(SET5, 'lr_random_blur'),
+                model_and_epoch=[], results_name='none', gpu=False,
+                metrics=['PSNR'], data_split='all', save_im=False, batch_size=1,
+                full_directory=True, lr_dir_interp=None, model_only=False,
+                scale=4, model_loc=save_loc, out_loc=str(tmp_path),
+                use_test_group=False, no_image_comparison=True, num_image_save=0,
+                qpi_selection=(None, None), data_attributes=None,
+                dataset_name=None, image_shortlist=None, metadata_file=None,
+                sp_gpu=0, time_models=False, recursive=False)
