@@ -81,11 +81,13 @@ def read_augmentation_list(metadata_file, filenames=None, normalize=True,
                 # must not silently skip the (20,40) rescale)
                 aug_data[col] = aug_data[col].astype(float)
                 keys.append(col.lower())
-                minimum = 20 if (col == 'QPI' and force_qpi_range) else aug_data[col].min()
-                maximum = 40 if (col == 'QPI' and force_qpi_range) else aug_data[col].max()
+                minimum = 20 if (col.upper() == 'QPI' and force_qpi_range) \
+                    else aug_data[col].min()
+                maximum = 40 if (col.upper() == 'QPI' and force_qpi_range) \
+                    else aug_data[col].max()
                 if normalize and maximum != minimum:
                     aug_data[col] = (aug_data[col] - minimum) / (maximum - minimum)
-                    if col == 'QPI' and qpi_cutoffs:
+                    if col.upper() == 'QPI' and qpi_cutoffs:
                         qpi_selection = [(q - minimum) / (maximum - minimum)
                                          for q in qpi_selection]
                 elif normalize:
@@ -94,7 +96,7 @@ def read_augmentation_list(metadata_file, filenames=None, normalize=True,
                     # so pin it to 0 (the reference crashes the same way on constant
                     # int columns — this guard covers both)
                     aug_data[col] = 0.0
-                    if col == 'QPI' and qpi_cutoffs:
+                    if col.upper() == 'QPI' and qpi_cutoffs:
                         # shift cutoffs into the same space so range checks still hold
                         qpi_selection = [q - minimum for q in qpi_selection]
             else:
@@ -271,6 +273,18 @@ class SuperResImages:
                 self.metadata_keys = ['blur_kernel'] * self.degrader.para_in
             else:
                 self.metadata_keys.extend(['blur_kernel'] * self.degrader.para_in)
+            if self.degrader.noise:
+                if self.device_degradations:
+                    raise ValueError(
+                        'device-mode online degradation does not apply gaussian '
+                        "noise (the jitted pipeline is blur + downscale only) — set "
+                        "noise = false in online_degradation_params, or use "
+                        'host-mode degradation.')
+                # the degrader emits para_in + 1 code entries when noise is on
+                # (kernel code + noise level); the reference never registers the
+                # extra key (data_handler.py:295-297) so the noise conditioning was
+                # silently dropped by the key mask — fixed, not ported
+                self.metadata_keys.append('noise')
 
         self.colorspace = colorspace
         self.y_only = y_only
@@ -284,8 +298,10 @@ class SuperResImages:
         # cap): training epochs re-decode every PNG on the host, which dominates
         # epoch wall-clock once the device step is a few ms — cache the decoded
         # uint8 arrays after the first epoch.  True => 4 GiB cap.
+        import threading
         self._decode_cache = {} if cache_decoded else None
         self._decode_cache_bytes = 0
+        self._decode_cache_lock = threading.Lock()
         self._decode_cache_cap = (cache_decoded if isinstance(cache_decoded, int)
                                   and cache_decoded > 1 else 4 << 30)
 
@@ -300,14 +316,19 @@ class SuperResImages:
         raw_filenames = extract_image_names_from_folder(directory, recursive=recursive)
         for file in raw_filenames:
             real_file = os.path.relpath(file, directory)
-            split_key = re.split(r"_q(.*)(?=\.)", real_file)
+            # the _qN group tag lives in the FILENAME: match on the basename only,
+            # so recursive subdirectory names containing '_q' (e.g. high_quality/)
+            # can't be misread as group tags and dropped/mispaired
+            subdir, fname = os.path.split(real_file)
+            split_key = re.split(r"_q(.*)(?=\.)", fname)
             if len(split_key) > 1:
                 if group_select is None or split_key[1] in group_select:
-                    accept, base_name = True, split_key[0] + split_key[2]
+                    accept = True
+                    base_name = os.path.join(subdir, split_key[0] + split_key[2])
                 else:
                     accept, base_name = False, ''
             else:
-                base_name = split_key[0]
+                base_name = os.path.join(subdir, split_key[0])
                 accept = True
             if accept:
                 final_files.setdefault(base_name, []).append(real_file)
@@ -368,9 +389,10 @@ class SuperResImages:
         arr = cache.get(filename)
         if arr is None:
             arr = self.read_image(filename)
-            if self._decode_cache_bytes + arr.nbytes <= self._decode_cache_cap:
-                cache[filename] = arr
-                self._decode_cache_bytes += arr.nbytes
+            with self._decode_cache_lock:  # loader threads race on the byte budget
+                if self._decode_cache_bytes + arr.nbytes <= self._decode_cache_cap:
+                    cache[filename] = arr
+                    self._decode_cache_bytes += arr.nbytes
         return arr
 
     def _to_model_space(self, arr):

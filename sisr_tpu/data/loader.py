@@ -20,6 +20,13 @@ class ConcatDataset:
         self.cumulative = np.cumsum([len(d) for d in self.datasets]).tolist()
         # surfaces used by downstream code (samplers, metadata keys, degradation mode)
         self.metadata_keys = self.datasets[0].metadata_keys
+        key_sets = {tuple(getattr(d, 'metadata_keys', []) or []) for d in self.datasets}
+        if len(key_sets) > 1:
+            raise RuntimeError(
+                'Concatenated training sets carry different metadata layouts %s — '
+                'batches straddling the sets would misalign or fail to stack. Give '
+                'every set the same degradation_metadata/metadata configuration.'
+                % sorted(key_sets))
         modes = {bool(getattr(d, 'device_degradations', False)) for d in self.datasets}
         if len(modes) > 1:
             raise RuntimeError('Cannot mix device-mode and host-mode online '
@@ -96,7 +103,9 @@ def _collate(items, device_images=False):
         if key == 'metadata_keys':
             out[key] = first[key]
         elif isinstance(first[key], str):
-            out[key] = vals
+            # request_crops flattens K crops per item into the batch axis: repeat
+            # names per crop so tag/hr_tag stay aligned with the images
+            out[key] = [v for v in vals for _ in range(crops_per_item or 1)]
         else:
             arrs = [np.asarray(v) for v in vals]
             if arrs[0].ndim >= 4:  # crop stacks: flatten crops into batch
@@ -169,7 +178,7 @@ class DataLoader:
 
             pending = deque()
             it = iter(batches)
-            for _ in range(self.prefetch_batches):
+            for _ in range(max(1, self.prefetch_batches)):  # 0 would yield nothing
                 b = next(it, None)
                 if b is None:
                     break
@@ -225,17 +234,43 @@ def device_prefetch(iterator, size=2, sharding=None):
 
     q = queue_mod.Queue(maxsize=max(1, size))
     end = object()
+    abandoned = threading.Event()  # consumer dropped the generator early
+
+    def _put(item):
+        # bounded put that gives up if the consumer is gone — otherwise an
+        # abandoned generator (exception/Ctrl-C mid-epoch) would leave this
+        # thread blocked forever holding device-resident batches
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return
+            except queue_mod.Full:
+                continue
 
     def uploader():
         try:
             for b in iterator:
-                q.put(put(b))
-            q.put(end)
+                _put(put(b))
+                if abandoned.is_set():
+                    return
+            _put(end)
         except BaseException as exc:  # surfaced on the consumer thread below
-            q.put(exc)
+            _put(exc)
 
     threading.Thread(target=uploader, daemon=True,
                      name='sisr-device-prefetch').start()
+    try:
+        yield from _drain(q, end)
+    finally:
+        abandoned.set()
+        while not q.empty():  # release any staged device batches
+            try:
+                q.get_nowait()
+            except queue_mod.Empty:
+                break
+
+
+def _drain(q, end):
     while True:
         item = q.get()
         if item is end:

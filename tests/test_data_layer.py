@@ -198,7 +198,7 @@ def test_concat_dataset_forwards_device_mode(dataset_dirs):
     np.random.seed(9)
     kwargs = dict(hr_dir=hr_dir, split='all', input='unmodified', colorspace='rgb',
                   scale=4, online_degradations=True,
-                  online_degradation_params={'device': True})
+                  online_degradation_params={'device': True, 'noise': False})
     cat = ConcatDataset([SuperResImages(**kwargs), SuperResImages(**kwargs)])
     assert cat.device_degradations is True
     host = SuperResImages(hr_dir=hr_dir, split='all', input='unmodified',
@@ -213,7 +213,8 @@ def test_device_mode_rejected_for_eval_usage(dataset_dirs):
     with pytest.raises(RuntimeError, match='placeholder LR'):
         SuperResImages(hr_dir=hr_dir, split='all', input='unmodified',
                        colorspace='rgb', scale=4, online_degradations=True,
-                       online_degradation_params={'device': True}, usage='eval')
+                       online_degradation_params={'device': True, 'noise': False},
+                       usage='eval')
 
 
 def test_request_crops_collate_repeats_companions(dataset_dirs):

@@ -392,8 +392,9 @@ def test_eval_hub_last_epoch_and_empty_models(trained_experiment, tmp_path):
     an opaque unpack error."""
     from sisr_tpu.evaluation.standard_eval import EvalHub
     save_loc, handler, _ = trained_experiment
+    summary = pd.read_csv(os.path.join(handler.model.logs, 'summary.csv'))
     models = EvalHub._prep_models(save_loc, ('tiny_srcnn',), ('last',), gpu=False)
-    assert models[0].model_epoch == 1  # 2-epoch fixture: last == epoch 1
+    assert models[0].model_epoch == int(summary['epoch'].max())
     with pytest.raises(ValueError, match='No models'):
         EvalHub(hr_dir=os.path.join(SET5, 'hr'),
                 lr_dir=os.path.join(SET5, 'lr_random_blur'),
