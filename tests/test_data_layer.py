@@ -353,3 +353,60 @@ def test_center_crop_np_pads_like_pil():
         ref = np.asarray(center_crop(PIL.Image.fromarray(arr), th, tw))
         got = center_crop_np(arr, th, tw)
         np.testing.assert_array_equal(got, ref)
+
+
+def test_noise_degradation_registers_metadata_key(dataset_dirs):
+    """With noise enabled the degrader emits para_in+1 code entries; the dataset
+    must register the extra 'noise' key so the key mask doesn't silently truncate
+    the noise conditioning (the reference never registers it)."""
+    _, hr_dir = dataset_dirs
+    np.random.seed(3)
+    ds = SuperResImages(hr_dir=hr_dir, split='all', input='unmodified',
+                        colorspace='rgb', scale=4, online_degradations=True,
+                        online_degradation_params={'noise': True,
+                                                   'noise_high': 0.08,
+                                                   'rate_cln': 0.0})
+    assert ds.metadata_keys == ['blur_kernel'] * 10 + ['noise']
+    item = ds[0]
+    assert item['metadata'].shape == (11,)
+    # device mode must reject noise loudly instead of silently skipping it
+    import pytest
+    with pytest.raises(ValueError, match='noise'):
+        SuperResImages(hr_dir=hr_dir, split='all', input='unmodified',
+                       colorspace='rgb', scale=4, online_degradations=True,
+                       online_degradation_params={'device': True, 'noise': True})
+
+
+def test_qpi_rescale_case_insensitive(tmp_path):
+    """A lowercase 'qpi' CSV header must take the fixed (20,40) rescale and
+    cutoff path like 'QPI' (keys were already lowercased for lookup)."""
+    from sisr_tpu.data.datasets import read_augmentation_list
+    import pandas as pd
+    names = ['a.png', 'b.png', 'c.png']
+    csv = tmp_path / 'meta.csv'
+    pd.DataFrame({'image': names, 'qpi': [22, 30, 38]}).set_index('image').to_csv(csv)
+    augs, keys = read_augmentation_list(str(csv), filenames=names,
+                                        qpi_selection=(25, 35))
+    assert keys == ['qpi']
+    assert sorted(augs) == ['b.png']  # only qpi=30 is inside (25, 35)
+    assert abs(augs['b.png'][0] - 0.5) < 1e-6  # (30-20)/(40-20)
+
+
+def test_group_tag_regex_ignores_directories(tmp_path):
+    """'_q' inside a subdirectory name must not be parsed as a group tag under
+    recursive search."""
+    sub = tmp_path / 'high_quality'
+    sub.mkdir()
+    for n in ('x.png', 'y_q20.png'):
+        Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(sub / n)
+    files = SuperResImages.filter_names(str(tmp_path), recursive=True,
+                                        group_select=None)
+    assert sorted(files) == [os.path.join('high_quality', 'x.png'),
+                             os.path.join('high_quality', 'y.png')]
+    only20 = SuperResImages.filter_names(str(tmp_path), recursive=True,
+                                         group_select=['20'])
+    # untagged files always accept (reference semantics); the tagged file keeps
+    # its group and pairs under the stripped base name
+    assert sorted(v for vs in only20.values() for v in vs) == [
+        os.path.join('high_quality', 'x.png'),
+        os.path.join('high_quality', 'y_q20.png')]
