@@ -37,12 +37,20 @@ def save_statistics(experiment_log_dir, filename, stats_dict, selected_data=None
     true_filename = os.path.join(experiment_log_dir, filename)
     pd_data = pd.DataFrame.from_dict(stats_dict)
     if selected_data is not None and os.path.isfile(true_filename):
-        if type(selected_data) == int:
-            selected_data = [selected_data]
-        # keep only the freshest row per selected epoch (resuming from an earlier epoch
-        # leaves a stale historical row with the same epoch number in the dict)
-        pd_data = pd_data.loc[pd_data['epoch'].isin(selected_data)]
-        pd_data = pd_data.drop_duplicates(subset='epoch', keep='last')
+        existing_cols = pd.read_csv(true_filename, nrows=0).columns.tolist()
+        if existing_cols != list(pd_data.columns):
+            # column set changed (e.g. resume with a different metric list):
+            # appending would write rows that don't match the header — rewrite the
+            # whole history (stats_dict carries it, NaN-padded) instead
+            append = False
+        else:
+            if type(selected_data) == int:
+                selected_data = [selected_data]
+            # keep only the freshest row per selected epoch (resuming from an
+            # earlier epoch leaves a stale historical row with the same epoch
+            # number in the dict)
+            pd_data = pd_data.loc[pd_data['epoch'].isin(selected_data)]
+            pd_data = pd_data.drop_duplicates(subset='epoch', keep='last')
     if not os.path.isfile(true_filename):
         append = False
     pd_data.to_csv(true_filename, mode='a' if append else 'w', header=not append,

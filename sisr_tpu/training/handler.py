@@ -83,7 +83,10 @@ class TrainingHandler:
                                     load_epoch=continue_from_epoch, save_subdir=subdir)
 
         self.starting_epoch = self.model.model_epoch
-        if self.starting_epoch > 0:
+        if continue_from_epoch is not None:
+            # resume trains the epoch AFTER the loaded checkpoint; keying on the
+            # loaded epoch number instead (like the reference, training_handler.py:
+            # 106-109) made continue_from_epoch=0 silently RETRAIN epoch 0
             self.starting_epoch += 1
 
         if epoch_cutoff is not None:
@@ -173,6 +176,17 @@ class TrainingHandler:
                 # so the uploader thread ships ONE (K, B, ...) transfer per dispatch
                 # (device_prefetch), overlapping the upload with device compute.
                 # Ragged batches (the final short one) run as single steps.
+                def single(batch):
+                    # same key filter as _stack_group: arrays the train step
+                    # discards (host-degradation blur_kernels, masks) must not
+                    # ride the tunnel through the prefetcher
+                    keys = self.model.model._train_batch_keys()
+                    out = {k: v for k, v in batch.items()
+                           if k in keys or not (isinstance(v, np.ndarray)
+                                                and v.dtype != object)}
+                    out['_multi'], out['_count'] = False, 1
+                    return out
+
                 def grouped():
                     buffer = []
                     expected_bs = None
@@ -182,14 +196,14 @@ class TrainingHandler:
                         if expected_bs is None:
                             expected_bs = n
                         if n != expected_bs:
-                            yield dict(batch, _multi=False, _count=1)
+                            yield single(batch)
                             continue
                         buffer.append(batch)
                         if len(buffer) == self.steps_per_dispatch:
                             yield self._stack_group(buffer)
                             buffer = []
                     for batch in buffer:  # ragged tail: single steps
-                        yield dict(batch, _multi=False, _count=1)
+                        yield single(batch)
 
                 # staged uploads assume the default single-device placement; under a
                 # mesh the sharded device_put happens inside run_train_multi instead
@@ -363,7 +377,23 @@ class TrainingHandler:
             # empty stats (they never write plots/CSVs anyway)
             logs = os.path.dirname(self.model.logs) if self.branch_off else self.model.logs
             loaded = legacy_load_statistics(logs, 'summary.csv')
+            if self.branch_off and 'epoch' in loaded:
+                # an offshoot restarts history at the branch point: parent rows for
+                # LATER epochs are stale and would pollute the branch's summary and
+                # its best-epoch selection (the reference copies them verbatim,
+                # training_handler.py:236-241 — fixed, not ported)
+                keep = [i for i, e in enumerate(loaded['epoch'])
+                        if e < self.starting_epoch]
+                loaded = {k: [v[i] for i in keep] for k, v in loaded.items()}
             total_losses = defaultdict(list, loaded)
+            if loaded.get('val-PSNR'):
+                # resume continues the best-PSNR race instead of restarting it at 0
+                # (the reference resets, deferring early stopping by up to patience
+                # extra epochs after every resume)
+                best_row = int(np.nanargmax(loaded['val-PSNR']))
+                self.best_val_model_psnr = loaded['val-PSNR'][best_row]
+                self.best_val_model_idx = int(loaded['epoch'][best_row]) \
+                    if 'epoch' in loaded else best_row
 
         improvement_count = 0
         for i, epoch_idx in enumerate(range(self.starting_epoch,
@@ -392,15 +422,24 @@ class TrainingHandler:
             # without a tracked val-PSNR there is no improvement signal: the patience
             # counter must not tick, or it would silently stop a healthy run
 
+            n_rows = len(total_losses['epoch'])
             for key, value in current_epoch_losses.items():
                 avg_val = np.nanmean(value)
                 if math.isnan(avg_val):
                     avg_val = 0
+                if len(total_losses[key]) < n_rows:
+                    # metric introduced mid-run (resume with a different metric
+                    # set): backfill history with NaN so rows stay rectangular —
+                    # ragged lists crash both plot_stats and the CSV writer
+                    total_losses[key] = [float('nan')] * n_rows + total_losses[key]
                 total_losses[key].append(avg_val)
                 if self.tracker is not None:
                     self.tracker.track(avg_val, name=key.replace('-', '_'),
                                        epoch=epoch_idx)
             total_losses['epoch'].append(epoch_idx)
+            for key, value in total_losses.items():
+                if len(value) < n_rows + 1:  # metric dropped mid-run: pad forward
+                    value.extend([float('nan')] * (n_rows + 1 - len(value)))
 
             if self.logging == 'visual' and self._primary:
                 plot_stats(stats_dict=total_losses,
@@ -435,8 +474,11 @@ class TrainingHandler:
                   out_string, "Epoch duration:", epoch_elapsed_time, "seconds")
             print('-------------')
 
-            if improvement_count == self.stop_patience:
-                print('Stopping model training, validation loss has plateaued.')
+            if self.stop_patience is not None \
+                    and improvement_count >= max(1, self.stop_patience):
+                # >= max(1, ...): patience=0 used to stop after the FIRST epoch even
+                # when it improved (0 == 0 before any non-improvement was seen)
+                print('Stopping model training, validation PSNR has plateaued.')
                 break
 
         return total_losses

@@ -22,7 +22,11 @@ def cosine_annealing_warm_restarts(base_lr, restart_period, t_mult=1, lr_min=0.0
             t_cur = jnp.mod(step, t0)
             t_i = t0
         else:
-            n = jnp.floor(jnp.log(step / t0 * (tm - 1.0) + 1.0) / jnp.log(tm))
+            # the tiny epsilon keeps exact restart boundaries from rounding DOWN in
+            # float32 (log(4)/log(2) can evaluate 1.9999999 -> cycle 1 instead of 2,
+            # which would emit lr_min at a step where torch restarts to base_lr)
+            n = jnp.floor(jnp.log(step / t0 * (tm - 1.0) + 1.0) / jnp.log(tm)
+                          + 1e-6)
             t_cur = step - t0 * (tm ** n - 1.0) / (tm - 1.0)
             t_i = t0 * tm ** n
         return lr_min + (base_lr - lr_min) * 0.5 * (1.0 + jnp.cos(jnp.pi * t_cur / t_i))
@@ -57,7 +61,10 @@ def custom_dasr(base_lr):
 
     NB: torch LambdaLR multiplies the optimizer's base lr by the lambda — the reference's
     lambda returns absolute-looking values (1e-3 ...) that nevertheless get multiplied by
-    the configured lr.  That quirk is preserved for parity.
+    the configured lr.  Also, the lambda's 'epoch' argument is LambdaLR's internal step
+    counter, which the reference advances per BATCH (models/__init__.py:488-489), so the
+    60/225/125 breakpoints — DASR's published per-EPOCH schedule — fire within the first
+    epochs of any realistically-sized dataset.  Both quirks are preserved for parity.
     """
 
     def schedule(step):

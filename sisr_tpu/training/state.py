@@ -39,14 +39,24 @@ def build_optimizer(lr=1e-4, scheduler=None, scheduler_params=None, optimizer_pa
                     grad_clip=None):
     """adam (+betas) with per-step schedule and optional global-norm clipping."""
     schedule = build_schedule(lr, scheduler, scheduler_params)
-    if optimizer_params is not None:
-        betas = (optimizer_params['beta_1'], optimizer_params['beta_2'])
-    else:
-        betas = (0.9, 0.999)
+    params = dict(optimizer_params or {})
+    unknown = set(params) - {'beta_1', 'beta_2', 'eps', 'weight_decay'}
+    if unknown:
+        # silently dropping config keys would train with defaults while the
+        # experiment log claims the configured values
+        raise ValueError('Unsupported optimizer_params %s (supported: beta_1, '
+                         'beta_2, eps, weight_decay)' % sorted(unknown))
+    betas = (params.get('beta_1', 0.9), params.get('beta_2', 0.999))
     chain = []
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip))
-    chain.append(optax.adam(learning_rate=schedule, b1=betas[0], b2=betas[1]))
+    wd = params.get('weight_decay', 0.0)
+    if wd:
+        # torch Adam weight_decay adds wd*param to the GRADIENT before the moment
+        # updates — add_decayed_weights placed before adam reproduces that
+        chain.append(optax.add_decayed_weights(wd))
+    chain.append(optax.adam(learning_rate=schedule, b1=betas[0], b2=betas[1],
+                            eps=params.get('eps', 1e-8)))
     return optax.chain(*chain), schedule
 
 

@@ -184,3 +184,56 @@ def test_orbax_roundtrip_on_mesh(tmp_path):
     loss1, _ = h.run_train(**batch)
     loss2, _ = h2.run_train(**batch)
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+
+
+def test_branch_truncates_stale_future_epochs(tmp_path):
+    """Branching from an EARLIER epoch must drop the parent's later-epoch stats
+    rows: they belong to a history the branch is rewriting (the reference copies
+    them verbatim into the branch summary, polluting best-epoch selection)."""
+    from sisr_tpu.training.handler import TrainingHandler
+    save_loc = str(tmp_path)
+    parent = TrainingHandler(
+        experiment_name='trunky', save_loc=save_loc, model_params=_model_params(),
+        data_params=_data_params(), num_epochs=3, metrics=['PSNR'], seed=8)
+    _write_config(parent)
+    parent.run_experiment()
+
+    branch = TrainingHandler(
+        experiment_name='trunky', save_loc=save_loc, model_params=_model_params(),
+        data_params=_data_params(), num_epochs=1, metrics=['PSNR'], seed=8,
+        continue_from_epoch=1, new_branch=True, overwrite_data=True)
+    losses = branch.run_experiment()
+    base = branch.model.base_folder if not branch.branch_off else \
+        os.path.dirname(branch.model.logs)
+    summary = pd.read_csv(os.path.join(os.path.dirname(branch.model.logs),
+                                       'branch_epoch_1', 'summary.csv'))
+    # parent epochs 0-1 carried over, parent's stale epoch 2 DROPPED, new epoch 2
+    assert list(summary['epoch']) == [0, 1, 2]
+    # the epoch-2 row is the branch's own (fresh loss), not the parent's copy
+    parent_summary = pd.read_csv(os.path.join(os.path.dirname(branch.model.logs),
+                                              'summary.csv'))
+    assert summary.iloc[2]['train-loss'] != parent_summary.iloc[2]['train-loss']
+
+
+def test_resume_with_changed_metric_set(tmp_path):
+    """Resuming with a different metric set must backfill/forward-pad stats with
+    NaN instead of crashing plot/CSV writers on ragged lists."""
+    from sisr_tpu.training.handler import TrainingHandler
+    save_loc = str(tmp_path)
+    first = TrainingHandler(
+        experiment_name='metricswap', save_loc=save_loc,
+        model_params=_model_params(), data_params=_data_params(), num_epochs=1,
+        metrics=['PSNR'], seed=8)
+    _write_config(first)
+    first.run_experiment()
+    resumed = TrainingHandler(
+        experiment_name='metricswap', save_loc=save_loc,
+        model_params=_model_params(), data_params=_data_params(), num_epochs=1,
+        metrics=['PSNR', 'SSIM'], seed=8, continue_from_epoch=0,
+        overwrite_data=True)
+    assert resumed.starting_epoch == 1  # continue_from_epoch=0 resumes at 1
+    resumed.run_experiment()
+    summary = pd.read_csv(os.path.join(resumed.model.logs, 'summary.csv'))
+    assert list(summary['epoch']) == [0, 1]
+    assert np.isnan(summary['val-SSIM'].iloc[0])   # backfilled history
+    assert np.isfinite(summary['val-SSIM'].iloc[1])

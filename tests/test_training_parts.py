@@ -227,3 +227,29 @@ def test_training_handler_enables_uint8_for_rgb(tmp_path):
             # ycbcr pipeline: flag may be set but the dataset guard keeps floats
             assert batch['lr'].dtype == 'float32'
         th.train()  # one real epoch through the transport
+
+
+def test_build_optimizer_params():
+    """eps/weight_decay are honored (torch-Adam semantics), betas default when
+    omitted, and unknown keys fail loudly instead of silently training with
+    defaults."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from sisr_tpu.training.state import build_optimizer
+
+    def step(tx, params, grads):
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        return params['w'] + updates['w']
+
+    params = {'w': jnp.ones((3,))}
+    grads = {'w': jnp.full((3,), 0.5)}
+    tx_plain, _ = build_optimizer(lr=1e-2, optimizer_params={'beta_1': 0.5})
+    out_plain = step(tx_plain, params, grads)
+    tx_wd, _ = build_optimizer(lr=1e-2,
+                               optimizer_params={'weight_decay': 1e-2, 'eps': 1e-3})
+    out_wd = step(tx_wd, params, grads)
+    assert not np.allclose(np.asarray(out_plain), np.asarray(out_wd))
+    with pytest.raises(ValueError, match='Unsupported optimizer_params'):
+        build_optimizer(optimizer_params={'momentum': 0.9})
