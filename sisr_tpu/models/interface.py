@@ -52,11 +52,19 @@ class ModelInterface:
             self.model_epoch = 0
             self.metadata = new_params
         else:
-            if not glob.glob(os.path.join(self.base_folder, '*.toml')):
-                raise RuntimeError('No config.toml found in %s - model structure unknown.'
-                                   % self.base_folder)
-            self.metadata = toml_io.load(os.path.join(self.base_folder,
-                                                      'config.toml'))['model']
+            config_path = os.path.join(self.base_folder, 'config.toml')
+            if not os.path.isfile(config_path):
+                # resumed runs write config_from_epoch_N.toml (net_train.py): fall
+                # back to the newest snapshot rather than crashing on the canonical
+                # name the dir happens to lack
+                snapshots = sorted(glob.glob(os.path.join(self.base_folder,
+                                                          'config*.toml')),
+                                   key=os.path.getmtime)
+                if not snapshots:
+                    raise RuntimeError('No config.toml found in %s - model structure '
+                                       'unknown.' % self.base_folder)
+                config_path = snapshots[-1]
+            self.metadata = toml_io.load(config_path)['model']
 
         self.name = self.metadata['name']
         if self.name == 'qpircan':  # legacy conversion (ref: models/__init__.py:92-93)
@@ -104,6 +112,19 @@ class ModelInterface:
                 self.model.set_mesh(make_multihost_mesh())
             else:
                 self.model.set_mesh(MeshContext())
+        elif gpu in ('single', True) and sp_gpu:
+            # pin single-device runs to the REQUESTED chip (the reference's sp_gpu,
+            # models/__init__.py:79-84): without this, two "single-device" jobs
+            # pinned to different chips silently contended on device 0
+            import jax
+            devices = jax.devices()
+            if int(sp_gpu) >= len(devices):
+                # the reference DEFAULTS sp_gpu to 1, so out-of-range must degrade
+                # (a 1-chip host would otherwise refuse every default-config run)
+                print('sp_gpu=%s requested but only %d device(s) visible — using '
+                      'device 0.' % (sp_gpu, len(devices)))
+            else:
+                jax.config.update('jax_default_device', devices[int(sp_gpu)])
 
         self.full_name = '%s_%d' % (experiment, self.model_epoch)
         self.configuration = {'input': self.model.im_input,

@@ -15,11 +15,23 @@ from ..utils.helpers import create_dir_if_empty, extract_image_names_from_folder
     natural_keys
 
 
+def _best_last_epochs(summary):
+    """Resolve best/last through the 'epoch' COLUMN: resumed runs append stale
+    duplicate-epoch rows where row position != epoch number (same rule as
+    ModelInterface; resolving by row position made clean_models delete the true
+    best checkpoint after a resume)."""
+    if 'epoch' in summary.columns:
+        fresh = summary.drop_duplicates(subset='epoch', keep='last')
+        best = int(fresh.loc[fresh['val-PSNR'].idxmax(), 'epoch'])
+        last = int(fresh['epoch'].max())
+        return best, last
+    return int(summary['val-PSNR'].idxmax()), len(summary) - 1
+
+
 def model_report(model_dir):
     """(ref: helper_functions.py:180-190)"""
     summary = pd.read_csv(os.path.join(model_dir, 'result_outputs/summary.csv'))
-    best_model_idx = summary['val-PSNR'].idxmax()
-    final_model_idx = len(summary['val-PSNR']) - 1
+    best_model_idx, final_model_idx = _best_last_epochs(summary)
     save_dir = os.path.join(model_dir, 'saved_models')
     model_files = os.listdir(save_dir) if os.path.exists(save_dir) else []
     return model_files, best_model_idx, final_model_idx
@@ -40,8 +52,9 @@ def model_compare(main_dir, compare_dir):
     """Summarises all models in provided directory (ref: helper_functions.py:214-254)."""
     for model in os.listdir(main_dir):
         model_path = os.path.join(main_dir, model)
-        if not os.path.isdir(model_path):
-            continue
+        if not os.path.isdir(model_path) or not os.path.isfile(
+                os.path.join(model_path, 'result_outputs', 'summary.csv')):
+            continue  # tracker home / non-experiment dirs live alongside models
         model_files, best_idx, final_idx = model_report(model_path)
         best_available, last_available = check_models(model_files, best_idx, final_idx)
         print('Model Name: %s, best epoch: %s (checkpoint available: %s), '
@@ -71,7 +84,7 @@ def extract_best_model(model_dir, out_dir):
     data = ['result_outputs/loss_plots.pdf', 'result_outputs/summary.csv',
             'extra_metadata.csv', 'config.toml']
     summary = pd.read_csv(os.path.join(model_dir, data[1]))
-    best_model_idx = summary['val-PSNR'].idxmax()
+    best_model_idx, _ = _best_last_epochs(summary)
     data.append('saved_models/train_model_%d' % best_model_idx)
     for file in data:
         src = os.path.join(model_dir, file)
@@ -96,9 +109,9 @@ def clean_models(model_dir, keep_epochs=None, clean_samples=False, keep_every=No
     model_files.sort(key=natural_keys)
     if not model_files:
         return
-    best_model_idx = summary['val-PSNR'].idxmax()
+    best_model_idx, last_epoch = _best_last_epochs(summary)
     accepted_indices = [best_model_idx - 1, best_model_idx, best_model_idx + 1,
-                        len(summary['val-PSNR']) - 1,
+                        last_epoch,
                         int(model_files[-1].split('train_model_')[1])]
     if keep_epochs is not None:
         accepted_indices.extend(keep_epochs)
@@ -139,13 +152,19 @@ def clean_models(model_dir, keep_epochs=None, clean_samples=False, keep_every=No
 def extract_best_models(home_dir, out_dir, models, clean, keep_epoch, clean_samples,
                         all_models):
     if all_models:
+        # only experiment dirs qualify — the tracker's JSONL home and other
+        # non-experiment folders live alongside them
         models = [item for item in os.listdir(home_dir)
-                  if os.path.isdir(os.path.join(home_dir, item))]
+                  if os.path.isfile(os.path.join(home_dir, item, 'result_outputs',
+                                                 'summary.csv'))]
     for model in tqdm(models):
-        extract_best_model(os.path.join(home_dir, model), out_dir)
-        if clean:
-            clean_models(os.path.join(home_dir, model), keep_epochs=keep_epoch,
-                         clean_samples=clean_samples)
+        try:
+            extract_best_model(os.path.join(home_dir, model), out_dir)
+            if clean:
+                clean_models(os.path.join(home_dir, model), keep_epochs=keep_epoch,
+                             clean_samples=clean_samples)
+        except Exception as exc:  # one broken experiment must not abort the batch
+            print('skipping %s: %s' % (model, exc))
 
 
 @click.command()

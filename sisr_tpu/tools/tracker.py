@@ -7,6 +7,7 @@ installable in this environment, so runs are tracked as append-only JSONL event 
 tail.  API mirrors the subset of aim.Session the reference uses.
 """
 import json
+import math
 import os
 import time
 
@@ -21,9 +22,24 @@ class JsonlTracker:
         self._fh = open(self.path, 'a')
         self._emit({'event': 'start', 'experiment': experiment, 'run': run})
 
+    @staticmethod
+    def _finite(obj):
+        # bare NaN/Infinity tokens are not valid JSON — a diverged loss would
+        # break every strict parser tailing the stream; encode them as null
+        if isinstance(obj, float) and not math.isfinite(obj):
+            return None
+        if hasattr(obj, 'dtype') and getattr(obj, 'ndim', 1) == 0:
+            f = float(obj)  # numpy scalars route through here, not the float branch
+            return None if not math.isfinite(f) else obj
+        if isinstance(obj, dict):
+            return {k: JsonlTracker._finite(v) for k, v in obj.items()}
+        if isinstance(obj, (list, tuple)):
+            return [JsonlTracker._finite(v) for v in obj]
+        return obj
+
     def _emit(self, record):
         record.setdefault('time', time.time())
-        self._fh.write(json.dumps(record, default=_jsonable) + '\n')
+        self._fh.write(json.dumps(self._finite(record), default=_jsonable) + '\n')
         self._fh.flush()
 
     def set_params(self, params, name=None):

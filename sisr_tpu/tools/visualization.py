@@ -81,6 +81,9 @@ def interpret_sisr_images(image_package, metrics, metric_names, out_loc, names,
     f, ax = _prep_figure(rows, images_per_row, images_per_fig, double_indexing)
 
     for im_index, name in enumerate(names):
+        if im_index:  # re-drawing on the same axes would stack full-res images
+            for a in np.ravel(ax):  # and union data limits across image sizes
+                a.clear()
         for key, val in image_package.items():
             plot_ind, title = image_ordering[key]
             if double_indexing:
@@ -128,7 +131,9 @@ def compare_training_curves(model_loc, out_name, models, metric='val-PSNR',
             data = pd.read_csv(os.path.join(model_loc, model,
                                             'result_outputs/summary.csv'))
         x_epoch = data['epoch']
-        y_metric = savgol_filter(data[metric], 11, 3) if smooth else data[metric]
+        win = min(11, len(data[metric]) - (1 - len(data[metric]) % 2))
+        y_metric = savgol_filter(data[metric], win, min(3, win - 1)) \
+            if smooth and win >= 5 else data[metric]
         plt.plot(x_epoch, y_metric, label=model.split('/')[-1])
     if epoch_range is not None:
         plt.xlim(epoch_range[0], epoch_range[1])

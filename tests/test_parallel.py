@@ -138,3 +138,25 @@ def test_maybe_init_distributed_single_process(monkeypatch):
     import jax
     assert jax.process_count() == 1
     assert dist.maybe_init_distributed() is first  # stable on repeat calls
+
+
+def test_sp_gpu_pins_default_device():
+    """gpu='single' + sp_gpu must pin the model's default device to the requested
+    chip (previously accepted and silently ignored)."""
+    import jax
+    from sisr_tpu.models.interface import ModelInterface
+    try:
+        ModelInterface('/tmp', 'pin_exp', mode='train', gpu='single', sp_gpu=2,
+                       new_params={'name': 'edsr',
+                                   'internal_params': {'scale': 4,
+                                                       'num_features': 8,
+                                                       'num_blocks': 1}})
+        assert jax.config.jax_default_device == jax.devices()[2]
+        # out-of-range degrades to device 0 with a warning, never raises
+        ModelInterface('/tmp', 'pin_exp2', mode='train', gpu='single', sp_gpu=99,
+                       new_params={'name': 'edsr',
+                                   'internal_params': {'scale': 4,
+                                                       'num_features': 8,
+                                                       'num_blocks': 1}})
+    finally:
+        jax.config.update('jax_default_device', None)
