@@ -189,13 +189,22 @@ class TrainingHandler:
 
                 def grouped():
                     buffer = []
-                    expected_bs = None
+                    expected_sig = None
                     for batch in self.train_data:
-                        n = len(batch['hr']) if hasattr(batch['hr'], '__len__') \
-                            else len(batch['lr'])
-                        if expected_bs is None:
-                            expected_bs = n
-                        if n != expected_bs:
+                        # K-step scan needs K identically-SHAPED batches: compare
+                        # image shapes, not just the batch count (variable-size
+                        # images at batch_size=1 must fall back to single steps,
+                        # not crash np.stack inside _stack_group)
+                        if isinstance(batch.get('hr'), (list, tuple)) or \
+                                isinstance(batch.get('lr'), (list, tuple)):
+                            # ragged within ONE batch: single-step so run_train can
+                            # raise its crop/batch_size guidance
+                            yield single(batch)
+                            continue
+                        sig = (np.shape(batch.get('hr')), np.shape(batch.get('lr')))
+                        if expected_sig is None:
+                            expected_sig = sig
+                        if sig != expected_sig:
                             yield single(batch)
                             continue
                         buffer.append(batch)
