@@ -47,17 +47,23 @@ class spatial_masks:
         self.value = (int(bucket_hw[0]), int(bucket_hw[1]), valid_hw)
 
     def __enter__(self):
+        self._prev = getattr(_ctx, 'state', None)  # restore on exit: nesting-safe
         _ctx.state = self.value
         return self
 
     def __exit__(self, *exc):
-        _ctx.state = None
+        _ctx.state = self._prev
         return False
 
 
 def valid_extent(shape):
     """Dynamic (valid_h, valid_w) for an (N, H, W, C) activation, or None if masking is
-    off or the resolution is not an integer multiple of the bucket resolution."""
+    off or the resolution is not an integer multiple of the bucket resolution.
+
+    NB the None fallback means correctness is CONVENTION-enforced: a model whose
+    activations leave the bucket-multiple grid (stride-2 convs, pooling pyramids)
+    silently goes unmasked — such models must set ``bucketed_eval_ok = False`` on
+    their handler (SAN/SPARNet do; see BaseHandler.bucketed_eval_ok)."""
     st = _state()
     if st is None or len(shape) != 4:
         return None
@@ -92,11 +98,14 @@ def masked_global_mean(x, keepdims=False):
     if extent is None:
         return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
     vh, vw = extent
-    count = (vh * vw).astype(x.dtype)
+    # sum/divide in f32: a bf16 pixel count is off by up to 0.07% (bf16(249001) =
+    # 248832) and would break bit-faithfulness vs the unpadded run's jnp.mean
+    count = (vh * vw).astype(jnp.float32)
     # x is already masked (convs re-zero pads), but mask again for safety: the mean
     # must not depend on upstream masking discipline
-    total = jnp.sum(apply_mask(x), axis=(1, 2), keepdims=keepdims)
-    return total / count
+    total = jnp.sum(apply_mask(x).astype(jnp.float32), axis=(1, 2),
+                    keepdims=keepdims)
+    return (total / count).astype(x.dtype)
 
 
 def conv_mask_interceptor(next_fun, args, kwargs, context):

@@ -131,6 +131,8 @@ def calibrate_edsr_scales(params, sample_batches, num_blocks=16, scale=4, res_sc
         return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
                                             dimension_numbers=dn) + entry['bias']
 
+    if not sample_batches:
+        raise ValueError('no calibration batches provided.')
     for x in sample_batches:
         x = jnp.asarray(x, jnp.float32)
         h = fconv(params['head'], track('head', x))
@@ -305,6 +307,8 @@ def calibrate_rcan_scales(params, sample_batches, n_resgroups=10, n_resblocks=20
         maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
         return h
 
+    if not sample_batches:
+        raise ValueError('no calibration batches provided.')
     for x in sample_batches:
         _rcan_float_forward(params, jnp.asarray(x, jnp.float32), n_resgroups,
                             n_resblocks, track=track)
@@ -504,6 +508,14 @@ def calibrate_qrcan_scales(params, sample_batches, metadata_batches, style='modu
         maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
         return h
 
+    sample_batches = list(sample_batches)
+    metadata_batches = list(metadata_batches)
+    if not sample_batches:
+        raise ValueError('calibrate_qrcan_scales: no calibration batches provided.')
+    if len(sample_batches) != len(metadata_batches):
+        raise ValueError('calibrate_qrcan_scales: %d sample batches but %d metadata '
+                         'batches — zip would silently truncate the calibration set.'
+                         % (len(sample_batches), len(metadata_batches)))
     for x, meta in zip(sample_batches, metadata_batches):
         _qrcan_float_forward(params, x, meta, style, n_resgroups, n_resblocks,
                              track=track)

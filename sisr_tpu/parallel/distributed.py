@@ -31,18 +31,35 @@ def maybe_init_distributed():
 
     import jax
     kwargs = {}
-    if 'SISR_TPU_COORDINATOR' in os.environ:
+    explicit = 'SISR_TPU_COORDINATOR' in os.environ
+    if explicit:
+        missing = [v for v in ('SISR_TPU_NUM_PROCESSES', 'SISR_TPU_PROCESS_ID')
+                   if v not in os.environ]
+        if missing:
+            # defaulting to a 1-process world at rank 0 would bring every rank up
+            # as an independent job that believes it is primary — duplicate
+            # checkpoint/CSV writes and silently-wrong (non-pod) training
+            raise RuntimeError('SISR_TPU_COORDINATOR is set but %s %s missing — '
+                               'the launcher must export all three.'
+                               % (' and '.join(missing),
+                                  'is' if len(missing) == 1 else 'are'))
         kwargs = {
             'coordinator_address': os.environ['SISR_TPU_COORDINATOR'],
-            'num_processes': int(os.environ.get('SISR_TPU_NUM_PROCESSES', '1')),
-            'process_id': int(os.environ.get('SISR_TPU_PROCESS_ID', '0')),
+            'num_processes': int(os.environ['SISR_TPU_NUM_PROCESSES']),
+            'process_id': int(os.environ['SISR_TPU_PROCESS_ID']),
         }
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as e:
-        # RuntimeError: backend already up (initialize must precede ANY jax work)
-        # or a second call; ValueError: auto-discovery found no coordinator
-        # (SISR_TPU_MULTIHOST=1 outside a pod) — degrade to single-process
+        if explicit and int(os.environ['SISR_TPU_NUM_PROCESSES']) > 1:
+            # an env that explicitly requested a multi-rank world must not degrade
+            # to N independent single-process jobs all believing they are rank 0
+            raise RuntimeError('multi-host init FAILED for an explicit %s-process '
+                               'launch: %s (jax.distributed.initialize must run '
+                               'before any other jax work)'
+                               % (os.environ['SISR_TPU_NUM_PROCESSES'], e)) from e
+        # auto-discovery path (SISR_TPU_MULTIHOST=1 outside a pod) or a repeated
+        # single-process call — degrade to single-process with a warning
         print('WARNING: multi-host init skipped: %s' % e)
         return False
     _initialized = True

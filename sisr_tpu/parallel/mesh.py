@@ -60,6 +60,12 @@ def make_multihost_mesh(devices_per_host=None, batch_axes=('dcn', 'data'),
     """
     devices = jax.devices()
     if n_devices is not None:
+        if jax.process_count() > 1:
+            # slicing jax.devices() (process-major order) would keep only rank 0's
+            # chips in the mesh while other ranks still join the SPMD program —
+            # the override exists for single-process dryruns only
+            raise ValueError('n_devices override is not valid on a multi-process '
+                             'launch — the mesh must span every rank\'s devices.')
         devices = devices[:n_devices]
     n_hosts = max(jax.process_count(), 1)
     per_host = devices_per_host or len(devices) // n_hosts
@@ -80,6 +86,17 @@ def make_multihost_mesh(devices_per_host=None, batch_axes=('dcn', 'data'),
             by_proc = {}
             for d in devices:
                 by_proc.setdefault(d.process_index, []).append(d)
+            counts = {p: len(v) for p, v in by_proc.items()}
+            if len(set(counts.values())) > 1:
+                raise RuntimeError('Hosts expose unequal device counts %s — a '
+                                   'rectangular (dcn, data) mesh needs the same '
+                                   'number of local devices on every rank.'
+                                   % counts)
+            if devices_per_host and devices_per_host != next(iter(counts.values())):
+                raise RuntimeError('devices_per_host=%d requested but every rank '
+                                   'exposes %d local devices — partial-host meshes '
+                                   'are not supported on multi-process launches.'
+                                   % (devices_per_host, next(iter(counts.values()))))
             dev_array = np.array([by_proc[p] for p in sorted(by_proc)])
         mesh = Mesh(dev_array, batch_axes)
     else:
