@@ -101,10 +101,16 @@ def perceptual_loss_mechanism(name, mode='recognition', weights_path=None):
             raise RuntimeError('VGG19 weights unavailable — supply weights_path '
                                '(torch .pth state_dict or .npz).')
         return apply_fn
-    if name == 'vggface':
-        return VggFace(mode=mode)
-    if name == 'lightcnn':
-        return LightCNN29()
+    if name in ('vggface', 'lightcnn'):
+        if mode not in ('recognition',):
+            raise NotImplementedError(
+                'Feature extractor %s/%s: only recognition-mode embeddings are '
+                'wired to weights here (FACE_SIM); construct the module classes '
+                'directly for other taps.' % (name, mode))
+        # the reference dispatcher returns fully-LOADED networks; returning a
+        # weightless module definition would silently hand callers a randomly-
+        # initialized extractor
+        return load_face_extractor(name, weights_path)
     raise NotImplementedError('Feature extractor %s/%s not implemented' % (name, mode))
 
 
@@ -150,7 +156,7 @@ class LightCNN29(nn.Module):
         return nn.max_pool(x, (2, 2), strides=(2, 2))
 
     @nn.compact
-    def __call__(self, x, extract_features=False):
+    def __call__(self, x, extract_features=False, embedding_only=False):
         x = _mfm(x, 48, 5, 1, 'conv1', self.dtype)
         x = self._pool(x)
         x = self._block(x, 48, 1, 'block1')
@@ -170,6 +176,10 @@ class LightCNN29(nn.Module):
         # fc mfm (type=0): linear to 512, pairwise max -> 256 (ref: lightCNN.py:68)
         y = dense(512, x.shape[-1], dtype=self.dtype, name='fc')(x)
         fc = jnp.maximum(y[..., :256], y[..., 256:])
+        if embedding_only:
+            # FACE_SIM only needs the 256-d fc: the 79077-class fc2 is a 20M-param
+            # matmul whose output would be thrown away
+            return None, fc
         out = dense(self.num_classes, 256, dtype=self.dtype, name='fc2')(fc)
         return out, fc
 
@@ -242,7 +252,7 @@ def load_face_extractor(name, weights_path=None, dtype=jnp.float32):
     (configuration/constants.py); returns the embedding fn or raises if missing.
     """
     from ..configuration import constants as sconst
-    from ..ops.resize import resize_bicubic
+    from ..ops.resize import interpolate_bicubic_torch
     if weights_path is None:
         weights_path = {'lightcnn': sconst.lightcnn_weights,
                         'vggface': sconst.vggface_weights}[name]
@@ -259,10 +269,17 @@ def load_face_extractor(name, weights_path=None, dtype=jnp.float32):
         params = convert_torch_lightcnn(sd)
         module = LightCNN29(num_classes=params['fc2']['bias'].shape[0], dtype=dtype)
 
+        params = {k: v for k, v in params.items() if k != 'fc2'}  # ~80 MB unused
+
         def embed(x):
-            x = resize_bicubic(x.astype(jnp.float32), 128, 128, dtype=jnp.float32)
+            # torch-kernel bicubic (NOT PIL's antialiased filter): the reference
+            # preprocess is F.interpolate(mode='bicubic') — lightCNN.py:119 —
+            # and the two kernels differ materially on downscales
+            x = interpolate_bicubic_torch(x.astype(jnp.float32), 128, 128,
+                                          dtype=jnp.float32)
             luma = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
-            _, fc = module.apply({'params': params}, luma[..., None])
+            _, fc = module.apply({'params': params}, luma[..., None],
+                                 embedding_only=True)
             return fc
     elif name == 'vggface':
         params = convert_torch_vggface(sd)
@@ -270,7 +287,8 @@ def load_face_extractor(name, weights_path=None, dtype=jnp.float32):
         mean = jnp.asarray(VggFace.MEAN, jnp.float32)
 
         def embed(x):
-            x = resize_bicubic(x.astype(jnp.float32), 224, 224, dtype=jnp.float32)
+            x = interpolate_bicubic_torch(x.astype(jnp.float32), 224, 224,
+                                          dtype=jnp.float32)
             return module.apply({'params': params}, x * 255.0 - mean)
     else:
         raise NotImplementedError('Unknown face extractor %r' % name)

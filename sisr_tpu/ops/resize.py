@@ -165,3 +165,48 @@ def resize_bicubic(img, out_h, out_w, dtype=None):
         mat_w = jnp.asarray(resize_matrix(w, out_w), dtype=compute_dtype)
         img = jnp.einsum('ow,nhwc->nhoc', mat_w, img, precision=prec)
     return img
+
+
+def _torch_cubic_kernel(x, a=-0.75):
+    """torch F.interpolate's cubic convolution kernel (a=-0.75, support 2)."""
+    ax = np.abs(x)
+    return np.where(ax <= 1, (a + 2) * ax ** 3 - (a + 3) * ax ** 2 + 1,
+                    np.where(ax < 2,
+                             a * ax ** 3 - 5 * a * ax ** 2 + 8 * a * ax - 4 * a,
+                             0.0))
+
+
+def torch_interp_matrix(in_size, out_size):
+    """(out, in) weight matrix reproducing torch ``F.interpolate(mode='bicubic',
+    align_corners=False)``: fixed 4-tap a=-0.75 kernel, NO antialiasing on
+    downscale (unlike PIL, which widens the filter), border indices clamped."""
+    scale = in_size / out_size
+    i = np.arange(out_size)
+    src = (i + 0.5) * scale - 0.5
+    base = np.floor(src).astype(int) - 1
+    mat = np.zeros((out_size, in_size), np.float32)
+    for t in range(4):
+        idx = base + t
+        w = _torch_cubic_kernel(src - idx).astype(np.float32)
+        np.add.at(mat, (i, np.clip(idx, 0, in_size - 1)), w)
+    return mat
+
+
+def interpolate_bicubic_torch(img, out_h, out_w, dtype=None):
+    """Batched NHWC torch-style bicubic interpolation (two MXU matmuls).
+
+    Matches ``F.interpolate(x, (out_h, out_w), mode='bicubic')`` — the kernel the
+    reference's face-embedding preprocess uses (lightCNN.py:119) — NOT the PIL
+    antialiased filter of :func:`resize_bicubic`; the two differ materially on
+    downscales, so embeddings must use this one to be reference-comparable.
+    """
+    n, h, w, c = img.shape
+    compute_dtype = dtype or img.dtype
+    prec = jax.lax.Precision.HIGHEST
+    if h != out_h:
+        mat_h = jnp.asarray(torch_interp_matrix(h, out_h), dtype=compute_dtype)
+        img = jnp.einsum('oh,nhwc->nowc', mat_h, img, precision=prec)
+    if w != out_w:
+        mat_w = jnp.asarray(torch_interp_matrix(w, out_w), dtype=compute_dtype)
+        img = jnp.einsum('ow,nhwc->nhoc', mat_w, img, precision=prec)
+    return img

@@ -219,8 +219,7 @@ def convert_srmd(sd, nb=12, **kwargs):
 
 
 def _soca(sd, prefix):
-    return {'du_0': _dense(sd, '%s.conv_du.0' % prefix),
-            'du_1': _dense(sd, '%s.conv_du.2' % prefix)}
+    return _ca_layer(sd, prefix)  # identical du_0/du_1 mapping
 
 
 def _non_local(sd, prefix):
@@ -365,11 +364,7 @@ def convert_sparnet(sd, **kwargs):
             elif p == 'preact_func':
                 nxt = rest[i + 1]
                 path += ['preact_norm', 'norm'] if nxt == '0' else ['preact_relu']
-                i += 1  # consume the index
-                if nxt == '0':
-                    i += 1  # consume the literal 'norm'
-                else:
-                    i += 1  # consume 'func'
+                i += 2  # consume the index and the trailing 'norm'/'func' token
             elif p == 'norm' and rest[i + 1] == 'norm':
                 path += ['norm', 'norm']
                 i += 1
@@ -491,25 +486,103 @@ def _apply_legacy(model_name, state_dict, legacy):
     return state_dict
 
 
+class _TrackingDict(dict):
+    """Records key accesses so unconsumed checkpoint weights can be reported."""
+
+    def __init__(self, *args):
+        super().__init__(*args)
+        self.accessed = set()
+
+    def __getitem__(self, key):
+        self.accessed.add(key)
+        return super().__getitem__(key)
+
+    def get(self, key, default=None):
+        if key in self:
+            self.accessed.add(key)
+        return super().get(key, default)
+
+    def __contains__(self, key):
+        r = super().__contains__(key)
+        if r:
+            self.accessed.add(key)
+        return r
+
+    def items(self):
+        # key-walk converters (sparnet) enumerate and map EVERY entry
+        self.accessed.update(super().keys())
+        return super().items()
+
+    def keys(self):
+        self.accessed.update(super().keys())
+        return super().keys()
+
+    def __iter__(self):
+        self.accessed.update(super().keys())
+        return super().__iter__()
+
+
+# reference checkpoints carry parameters their own forward never uses (SAN's
+# top-level conv_last, LSRAG.gamma, the Nonlocal_CA soca branch — see
+# convert_san's docstring); these are EXPECTED leftovers, not conversion gaps
+_DEAD_REFERENCE_KEYS = {
+    'san': (r'^conv_last\.', r'^RG\.\d+\.gamma$', r'soca\.'),
+    'qsan': (r'^conv_last\.', r'^RG\.\d+\.gamma$', r'soca\.'),
+}
+
+
+def infer_structure_kwargs(model_name, state_dict):
+    """Infer meta-attention structure flags the import CLI cannot know from the
+    checkpoint's key layout (a checkpoint trained with include_q_layer=True would
+    otherwise import 'successfully' with its q_node weights silently dropped)."""
+    keys = list(state_dict)
+    inferred = {}
+    if model_name in ('qrcan', 'qpircan'):
+        q_groups = sorted({int(k.split('.')[1]) for k in keys
+                           if '.q_node.' in k and k.startswith('body.')})
+        all_groups = sorted({int(k.split('.')[1]) for k in keys
+                             if k.startswith('body.') and k.split('.')[1].isdigit()
+                             and '.body.' in k})
+        if q_groups:
+            inferred['include_q_layer'] = True
+            if all_groups and q_groups != all_groups:
+                inferred['selective_meta_blocks'] = [g in set(q_groups)
+                                                     for g in range(len(all_groups))]
+        if any('.pa_node.' in k for k in keys):
+            inferred['include_pixel_attention'] = True
+    return inferred
+
+
 def convert_torch_state_dict(model_name, state_dict, legacy=None, **model_kwargs):
     """Convert a torch ``network`` state_dict to a flax params dict."""
-    if model_name not in CONVERTERS:
-        raise NotImplementedError('No torch->flax converter for %r yet '
-                                  '(available: %s)' % (model_name, sorted(CONVERTERS)))
-    state_dict = _apply_legacy(model_name, state_dict, legacy)
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
-    out = CONVERTERS[model_name](sd, **model_kwargs)
-    if model_name in _FULL_VARIABLES:
-        return out['params']
-    return out
+    return convert_torch_variables(model_name, state_dict, legacy,
+                                   **model_kwargs)['params']
 
 
 def convert_torch_variables(model_name, state_dict, legacy=None, **model_kwargs):
     """Like convert_torch_state_dict but returns the full flax variables dict
     ({'params': ..., 'batch_stats': ...} where applicable)."""
+    if model_name not in CONVERTERS:
+        raise NotImplementedError('No torch->flax converter for %r yet '
+                                  '(available: %s)' % (model_name, sorted(CONVERTERS)))
     state_dict = _apply_legacy(model_name, state_dict, legacy)
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    sd = _TrackingDict({k: np.asarray(v) for k, v in state_dict.items()})
     out = CONVERTERS[model_name](sd, **model_kwargs)
+    import re as _re
+    dead = [_re.compile(pat) for pat in _DEAD_REFERENCE_KEYS.get(model_name, ())]
+    leftovers = {k for k in dict.keys(sd) if k not in sd.accessed
+                 and not k.endswith('num_batches_tracked')
+                 and not any(d.search(k) for d in dead)}
+    if leftovers:
+        # silently dropping weights imports a broken model that evals without any
+        # error — fail loudly and name the structure kwargs that select them
+        raise RuntimeError(
+            'Converter for %r left %d checkpoint weight(s) unconsumed (e.g. %s) — '
+            'the architecture kwargs do not match the checkpoint (meta-attention '
+            'flags like include_q_layer/include_pixel_attention, block counts, or '
+            'sft_type). Hint: infer_structure_kwargs(%r, state_dict) -> %s'
+            % (model_name, len(leftovers), sorted(leftovers)[:4], model_name,
+               infer_structure_kwargs(model_name, state_dict)))
     if model_name in _FULL_VARIABLES:
         return out
     return {'params': out}
@@ -560,6 +633,9 @@ def import_reference_experiment(checkpoint_path, out_dir, experiment=None,
     if name is None:
         raise RuntimeError('Checkpoint has no model_name — pass model_name explicitly.')
 
+    # structure flags the CLI cannot know (q_node/pa_node presence) are read off
+    # the checkpoint's own key layout; explicit kwargs win
+    model_kwargs = {**infer_structure_kwargs(name, network), **model_kwargs}
     variables = convert_torch_variables(name, network, **model_kwargs)
 
     experiment = experiment or os.path.splitext(os.path.basename(checkpoint_path))[0]
@@ -621,7 +697,16 @@ def verify_reference_import(checkpoint_path, base, ref_code=None, spatial=(16, 1
         state = {'network': state, 'optimizer': {}, 'model_name': name,
                  'model_epoch': 0}
     state.setdefault('model_name', name)
-    epoch = int(state.get('model_epoch', 0))
+    state.setdefault('model_epoch', 0)  # the ref load path indexes it directly
+    # load the epoch the experiment was IMPORTED under (an --epoch override means
+    # the checkpoint's own model_epoch points at a file that doesn't exist here)
+    import glob as _glob
+    saved = _glob.glob(os.path.join(base, 'saved_models', 'train_model_*'))
+    if saved:
+        epoch = max(int(os.path.basename(p_).split('train_model_')[1])
+                    for p_ in saved)
+    else:
+        epoch = int(state.get('model_epoch', 0))
 
     ref_handler = ref_models.ModelInterface.define_model(
         name=name, model_save_dir=os.path.join(base, 'saved_models'),

@@ -75,3 +75,22 @@ def test_native_resampler_speed(rng):
     pil_t = time.perf_counter() - t0
     # must be in PIL's league (within 4x), not numpy's (12x slower)
     assert native_t < pil_t * 4, (native_t, pil_t)
+
+
+def test_torch_bicubic_interpolation_parity():
+    """interpolate_bicubic_torch must match torch F.interpolate(mode='bicubic',
+    align_corners=False) — the reference face-embedding preprocess kernel, which
+    differs from PIL's antialiased filter on downscales."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+    from sisr_tpu.ops.resize import interpolate_bicubic_torch
+    rng = np.random.RandomState(0)
+    for (h, w), (oh, ow) in [((128, 128), (128, 128)), ((512, 512), (128, 128)),
+                             ((100, 172), (128, 128)), ((64, 64), (224, 224))]:
+        x = rng.rand(2, h, w, 3).astype(np.float32)
+        ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                            size=(oh, ow), mode='bicubic', align_corners=False)
+        ref = ref.numpy().transpose(0, 2, 3, 1)
+        out = np.asarray(interpolate_bicubic_torch(x, oh, ow))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
