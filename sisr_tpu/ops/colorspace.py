@@ -115,8 +115,15 @@ class RGBtoYCbCrConverter:
 
 
 # --- device-side (jax, NHWC batched) -----------------------------------------------------
-def rgb_to_ycbcr_nhwc(img, y_only=False, max_val=1.0, im_type='jpg'):
-    """Batched NHWC RGB->YCbCr; identical math to :func:`rgb_to_ycbcr`, MXU-friendly."""
+def rgb_to_ycbcr_nhwc(img, y_only=False, max_val=1.0, im_type=None):
+    """Batched NHWC RGB->YCbCr; identical math to :func:`rgb_to_ycbcr`, MXU-friendly.
+
+    ``im_type`` is REQUIRED: the host converters default to 'png' (BT.601
+    studio-range) — a silently different default here would shift Y by up to
+    ~0.07 and move PSNR by whole dB with no error."""
+    if im_type is None:
+        raise ValueError("im_type required: 'jpg' (full-range JFIF) or 'png' "
+                         '(BT.601 studio-range) — the two matrices differ.')
     mat, bias = _matrices(im_type, inverse=False)
     mat = jnp.asarray(mat.T, dtype=img.dtype)
     bias = jnp.asarray(bias * (max_val / 255.), dtype=img.dtype)
@@ -126,8 +133,11 @@ def rgb_to_ycbcr_nhwc(img, y_only=False, max_val=1.0, im_type='jpg'):
     return out
 
 
-def ycbcr_to_rgb_nhwc(img, max_val=1.0, im_type='jpg'):
-    """Batched NHWC YCbCr->RGB; identical math to :func:`ycbcr_to_rgb`."""
+def ycbcr_to_rgb_nhwc(img, max_val=1.0, im_type=None):
+    """Batched NHWC YCbCr->RGB; identical math to :func:`ycbcr_to_rgb`.
+    ``im_type`` is REQUIRED — see :func:`rgb_to_ycbcr_nhwc`."""
+    if im_type is None:
+        raise ValueError("im_type required: 'jpg' or 'png' — the matrices differ.")
     mat, bias = _matrices(im_type, inverse=True)
     mat = jnp.asarray(mat.T, dtype=img.dtype)
     bias = jnp.asarray(bias * (max_val / 255.), dtype=img.dtype)

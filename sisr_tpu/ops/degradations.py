@@ -185,7 +185,13 @@ def random_batch_noise(batch, high, rate_cln=1.0):
 
 
 def gaussian_noising(arr, sigma, mean=0.0, min_val=0.0, max_val=1.0):
-    """Additive gaussian noise with clamp (ref: gaussian_utils.py:307-313)."""
+    """Additive gaussian noise with clamp (ref: gaussian_utils.py:307-313).
+
+    NB: the noise field is drawn in H,W,C layout; the reference draws the same
+    number of values in 1,C,H,W layout, so under a shared seed the RNG stays in
+    lockstep (kernel-sequence parity holds) but the noised IMAGES differ by a
+    transpose of the noise field — seeded image-level parity is not promised
+    when noise is enabled."""
     noise = np.random.normal(loc=mean, scale=1.0, size=arr.shape) * np.reshape(
         sigma, np.shape(sigma) + (1,) * (arr.ndim - np.ndim(sigma)))
     return np.clip(arr + noise, min_val, max_val).astype(np.float32)

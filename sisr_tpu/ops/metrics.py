@@ -141,6 +141,11 @@ def ssim_nhw(im1, im2, data_range=1.0, sigma=1.5, truncate=3.5, k1=0.01, k2=0.03
     """Batched single-channel SSIM on device: (N, H, W) -> (N,).  jit/vmap friendly."""
     kern, r = _gaussian_kernel1d(sigma, truncate)
     win_size = 2 * r + 1
+    if im1.shape[1] <= win_size - 1 or im1.shape[2] <= win_size - 1:
+        # shapes are static at trace time: fail like the host path instead of
+        # silently recording NaN from an empty crop slice
+        raise ValueError('Image (%dx%d) is too small for the %d-tap SSIM window.'
+                         % (im1.shape[1], im1.shape[2], win_size))
     filt = lambda x: _filt2d(x, kern, r)
 
     ux, uy = filt(im1), filt(im2)
@@ -185,7 +190,6 @@ class Metrics:
         self._dev_fns = None
 
     def _device_metric(self, metric, im_a, im_ref, max_value):
-        import jax
         if self._dev_fns is None:
             self._dev_fns = {
                 'PSNR': jax.jit(lambda a, b, mv: psnr_nhw(a, b, mv)),
@@ -259,8 +263,12 @@ class Metrics:
             value = self.run_image_metric(metric, images, references, max_value=max_value,
                                           single_values=True)
             if type(value) == dict:
+                # NB: keyed by metric_KEY (the reference keys by the loop variable,
+                # metrics.py:115, collapsing dict results to their last entry — no
+                # shipped metric returns a dict, so behavior is unchanged)
                 for metric_key in value.keys():
-                    output['%s%s%s' % (key, self.delimeter, metric)] = value[metric_key]
+                    output['%s%s%s' % (key, self.delimeter, metric_key)] = \
+                        value[metric_key]
             else:
                 output['%s%s%s' % (key, self.delimeter, metric)] = value
             if metric.upper() == 'PSNR':

@@ -128,6 +128,9 @@ def resize_uint8(img, size):
         out = _resample_axis_uint8(out, out_w, axis=1)
     if out.shape[0] != out_h:
         out = _resample_axis_uint8(out, out_h, axis=0)
+    if out is img:
+        out = img.copy()  # identity resize: PIL (and the native path) return a
+        # fresh buffer; aliasing the input would let callers corrupt the source
     return out
 
 
