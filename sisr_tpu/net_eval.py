@@ -3,7 +3,6 @@
 ``--config`` replaces the reference's click_config_file plugin (not available here): it
 loads a TOML file whose keys become option defaults; explicit CLI flags still win.
 """
-import os
 import sys
 
 import click

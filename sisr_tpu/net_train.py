@@ -26,7 +26,8 @@ from .utils.helpers import read_metadata_list as read_metadata
 @click.option("--sp_gpu", default=None, show_default=True,
               help='Specify which base device to use.')
 @click.option("--experiment_name", help='Experiment name to use for saving models/data.')
-@click.option("--seed", help='Random seed.', default=8, show_default=True)
+@click.option("--seed", help='Random seed.', default=None, type=int,
+              show_default='8 (config [training] seed wins if set)')
 @click.option("--continue_from_epoch", help='Epoch number from which to resume training.',
               type=int)
 @click.option("--overwrite_data", is_flag=True, default=None,
@@ -47,14 +48,15 @@ def experiment_setup(parameters, experiment_name, **kwargs):
         params['experiment'] = experiment_name
 
     for dataset_type in ['training_sets', 'eval_sets']:
-        for dataset_key, val in params['data'][dataset_type].items():
+        for dataset_key, val in (params['data'][dataset_type] or {}).items():
             if val['metadata_list'] is not None:
                 params['data'][dataset_type][dataset_key]['metadata'] = \
                     read_metadata(val['metadata_list'])
 
-    if params['model']['internal_params']['metadata_list'] is not None:
+    internal = params['model']['internal_params']
+    if internal is not None and internal['metadata_list'] is not None:
         params['model']['internal_params']['metadata'] = \
-            read_metadata(params['model']['internal_params']['metadata_list'])
+            read_metadata(internal['metadata_list'])
 
     experiment = TrainingHandler(experiment_name=params['experiment'],
                                  experiment_group=params['experiment_group'],

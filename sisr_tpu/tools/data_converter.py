@@ -33,7 +33,11 @@ from ..utils.helpers import create_dir_if_empty, extract_image_names_from_folder
 
 # --- YUV420p <-> RGB (replaces skvideo/ffmpeg) --------------------------------------------
 def rgb_to_yuv420p(rgb):
-    """H,W,3 uint8 RGB -> planar YUV420p bytes (BT.601 studio range)."""
+    """H,W,3 uint8 RGB -> planar YUV420p bytes (BT.601 studio range).
+
+    4:2:0 chroma requires even dimensions: odd-sized inputs are cropped by one
+    row/column (the same rounding downsample(jm=True) applies up front)."""
+    rgb = rgb[:rgb.shape[0] // 2 * 2, :rgb.shape[1] // 2 * 2]
     rgb = rgb.astype(np.float64)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     y = 16 + (65.481 * r + 128.553 * g + 24.966 * b) / 255.
@@ -84,6 +88,13 @@ class ConversionHub:
 
         self.base_names = [os.path.splitext(os.path.basename(loc))[0]
                            for loc in self.image_names]
+        if len(set(self.base_names)) != len(self.base_names):
+            dupes = sorted({n for n in self.base_names
+                            if self.base_names.count(n) > 1})[:4]
+            raise RuntimeError(
+                'Duplicate image basenames across subfolders (e.g. %s): outputs '
+                'are written flat into out_dir, so later files would silently '
+                'overwrite earlier ones and corrupt the metadata index.' % dupes)
         self.function_library = {
             'jm_compress': (self.jm_compress, 'QPI'),
             'jpeg_compress': (self.jpeg_compress, 'jpeg_quality'),
@@ -135,8 +146,12 @@ class ConversionHub:
     def run_conversion(self, pipeline, blur_sig=None, skip_images=False, **kwargs):
         """(ref: data_converter.py:113-176)"""
         temp_locations = []
+        preexisting = set()
         if 'jm_compress' in pipeline:
             jm_cmd, yuv_loc, comp_loc, temp_locations = self._jm_command()
+            # lencod drops data.txt/log.dat into the CWD; never delete files the
+            # user already had there
+            preexisting = {loc for loc in temp_locations if os.path.isfile(loc)}
             kwargs = {**kwargs, 'jm_command': jm_cmd, 'yuv_loc': yuv_loc,
                       'comp_loc': comp_loc, 'jm': True}
         if 'blur' in pipeline:
@@ -181,7 +196,7 @@ class ConversionHub:
             df.to_csv(os.path.join(self.out_dir, 'degradation_metadata.csv'))
 
         for location in temp_locations:
-            if os.path.isfile(location):
+            if os.path.isfile(location) and location not in preexisting:
                 os.remove(location)
 
     # --- ops (ref: data_converter.py:178-271) --------------------------------------------
@@ -213,7 +228,7 @@ class ConversionHub:
 
         for index, image in enumerate(images):
             arr = np.array(image.convert('RGB'))
-            l_h, l_w = arr.shape[:2]
+            l_h, l_w = arr.shape[0] // 2 * 2, arr.shape[1] // 2 * 2  # 4:2:0 even dims
             with open(yuv_loc, 'wb') as f:
                 f.write(rgb_to_yuv420p(arr))
             for qpi in qpi_list[index]:
@@ -221,11 +236,19 @@ class ConversionHub:
                                     '-p', 'SourceHeight=%d' % l_h,
                                     '-p', 'SourceWidth=%d' % l_w,
                                     '-p', 'FramesToBeEncoded=1']
+                if os.path.isfile(comp_loc):
+                    os.remove(comp_loc)  # a failed encode must not silently
+                    # re-read the PREVIOUS image's reconstruction
                 process = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                            stderr=subprocess.PIPE)
                 stdout, stderr = process.communicate()
                 if verbose:
                     print('JM output:', stdout.decode(errors='replace'))
+                if process.returncode != 0:
+                    raise RuntimeError(
+                        'lencod failed (exit %d) on %s at QPI %d:\n%s'
+                        % (process.returncode, self.base_names[index], qpi,
+                           stderr.decode(errors='replace')[-2000:]))
                 with open(comp_loc, 'rb') as f:
                     data = f.read()
                 compressed.append(PIL.Image.fromarray(yuv420p_to_rgb(data, l_h, l_w)))

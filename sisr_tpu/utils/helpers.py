@@ -27,7 +27,10 @@ def create_dir_if_empty(*directories):
 def extract_image_names_from_folder(folder, sorted=True, recursive=False):
     """Find all images in a folder (ref: helper_functions.py:167-177)."""
     filenames = []
-    for extension in ['*.jpg', '*.png', '*.bmp', '*.tif']:
+    # superset of the reference's lowercase list (helper_functions.py:169):
+    # camera-default .JPG/.jpeg files silently vanished on case-sensitive FSes
+    for extension in ['*.jpg', '*.png', '*.bmp', '*.tif', '*.jpeg',
+                      '*.JPG', '*.PNG', '*.BMP', '*.TIF', '*.JPEG']:
         if recursive:
             glob_path = os.path.join(folder, '**', extension)
         else:
@@ -53,12 +56,20 @@ def read_metadata_list(metadata_file):
 
 
 def generate_range(limits, subdivisions):
-    """Split a numeric range into subdivision boundaries (ref: helper_functions.py:94-101)."""
-    diff = limits[1] - limits[0]
-    step = int(diff / subdivisions)
-    steps = [limits[0] + (i * step) for i in range(subdivisions + 1)]
-    if steps[-1] != limits[1]:
-        steps[-1] = limits[1]
+    """Split a numeric range into subdivision boundaries (ref: helper_functions.py:94-101).
+
+    Unlike the reference's int-truncated step (which emits duplicate boundaries —
+    empty randint intervals downstream — whenever the range is narrower than the
+    subdivision count), boundaries are linearly spaced and strictly increasing."""
+    if subdivisions < 1:
+        raise ValueError('subdivisions must be >= 1 (got %d)' % subdivisions)
+    span = limits[1] - limits[0]
+    if span < subdivisions:
+        raise ValueError('Range %s is too narrow for %d subdivisions — each '
+                         'interval needs at least one integer.'
+                         % (list(limits), subdivisions))
+    steps = [limits[0] + round(i * span / subdivisions)
+             for i in range(subdivisions + 1)]
     steps[-1] += 1
     return steps
 
