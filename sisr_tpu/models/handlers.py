@@ -779,6 +779,10 @@ class BaseHandler:
             from ..utils.orbax_ckpt import save_orbax
             save_orbax(path, state_dict)
             return
+        if os.path.isdir(path):
+            # overwriting an epoch previously saved with the orbax backend
+            import shutil
+            shutil.rmtree(path)
         payload = serialization.msgpack_serialize(state_dict)
         with open(path, 'wb') as f:
             f.write(payload)

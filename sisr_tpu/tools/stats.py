@@ -15,7 +15,7 @@ def plot_stats(stats_dict, keynames, experiment_log_dir, filename):
     valid_keys = [key for key in keynames
                   if all(metric in stats_dict for metric in key)]
     num_plots = len(valid_keys)
-    if num_plots == 0:
+    if num_plots == 0 or 'epoch' not in stats_dict:
         return
     f, ax = plt.subplots(num_plots, 1, figsize=(10, 7))
     if num_plots == 1:
@@ -67,6 +67,11 @@ def legacy_load_statistics(experiment_log_dir, filename):
     for line in lines[1:]:
         values = line.rstrip('\n').split(',')
         for idx, value in enumerate(values):
+            if value == '':
+                # pandas writes NaN as an empty cell; keeping '' here would poison
+                # resumed stats (string/float comparisons, lexicographic argmax)
+                stats[keys[idx]].append(float('nan'))
+                continue
             try:
                 stats[keys[idx]].append(ast.literal_eval(value))
             except (ValueError, SyntaxError):
@@ -120,5 +125,7 @@ def read_vari_stats(load_dir, filename):
         if index == 0:
             xvals = np.array(values[1:]).astype(int)
         if values[0].endswith('y'):
-            data[values[0][:-2]] = np.array(values[1:])
+            # the reference leaves y-series as strings (stats.py:154) — cast like
+            # the x axis so numeric consumers don't get lexicographic semantics
+            data[values[0][:-2]] = np.array(values[1:]).astype(float)
     return xvals, data

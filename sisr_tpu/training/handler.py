@@ -386,14 +386,18 @@ class TrainingHandler:
             # empty stats (they never write plots/CSVs anyway)
             logs = os.path.dirname(self.model.logs) if self.branch_off else self.model.logs
             loaded = legacy_load_statistics(logs, 'summary.csv')
-            if self.branch_off and 'epoch' in loaded:
-                # an offshoot restarts history at the branch point: parent rows for
-                # LATER epochs are stale and would pollute the branch's summary and
-                # its best-epoch selection (the reference copies them verbatim,
-                # training_handler.py:236-241 — fixed, not ported)
+            if 'epoch' in loaded:
+                # resuming (or branching) from an earlier epoch REWRITES history:
+                # rows for the resumed-over epochs are stale and would pollute the
+                # summary and best-epoch selection (the reference keeps them
+                # verbatim, training_handler.py:236-241 — fixed, not ported)
                 keep = [i for i, e in enumerate(loaded['epoch'])
                         if e < self.starting_epoch]
-                loaded = {k: [v[i] for i in keep] for k, v in loaded.items()}
+                if len(keep) != len(loaded['epoch']):
+                    loaded = {k: [v[i] for i in keep] for k, v in loaded.items()}
+                    # the FILE still holds the stale rows: rewrite it from the
+                    # truncated history on the first save of this run
+                    self._rewrite_stats = True
             total_losses = defaultdict(list, loaded)
             if loaded.get('val-PSNR'):
                 # resume continues the best-PSNR race instead of restarting it at 0
@@ -459,12 +463,20 @@ class TrainingHandler:
             if self._primary:
                 self.model.save(override=self.overwrite)
 
-                save_statistics(experiment_log_dir=self.model.logs,
-                                filename='summary.csv', stats_dict=total_losses,
-                                selected_data=epoch_idx
-                                if (self.starting_epoch != 0 or i > 0) else None,
-                                append=True if (self.starting_epoch != 0 or i > 0)
-                                else False)
+                if getattr(self, '_rewrite_stats', False):
+                    # first save after a resume-from-earlier: replace the file so
+                    # its stale resumed-over rows don't survive on disk
+                    save_statistics(experiment_log_dir=self.model.logs,
+                                    filename='summary.csv',
+                                    stats_dict=total_losses, append=False)
+                    self._rewrite_stats = False
+                else:
+                    save_statistics(experiment_log_dir=self.model.logs,
+                                    filename='summary.csv', stats_dict=total_losses,
+                                    selected_data=epoch_idx
+                                    if (self.starting_epoch != 0 or i > 0) else None,
+                                    append=True if (self.starting_epoch != 0 or i > 0)
+                                    else False)
 
             out_string = " ".join(["{}_{:.4f}".format(key, np.mean(value))
                                    for key, value in current_epoch_losses.items()])

@@ -22,7 +22,12 @@ _TREE_NAME = 'tree'
 
 
 def save_orbax(path, state_dict):
-    """Write a handler state dict (see BaseHandler.save_model) as an orbax dir."""
+    """Write a handler state dict (see BaseHandler.save_model) as an orbax dir.
+
+    The whole checkpoint (tree + meta sidecar) is staged in a temp directory and
+    atomically renamed into place: a crash mid-save must never leave a directory
+    that load_model auto-detects as an orbax checkpoint but cannot restore."""
+    import shutil
     import orbax.checkpoint as ocp
 
     state_dict = dict(state_dict)
@@ -30,10 +35,18 @@ def save_orbax(path, state_dict):
             'model_epoch': int(state_dict.pop('model_epoch')),
             'step': int(np.asarray(state_dict.pop('step')))}
     path = os.path.abspath(path)
+    staging = path + '.tmp'
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
     ckpt = ocp.PyTreeCheckpointer()
-    ckpt.save(os.path.join(path, _TREE_NAME), state_dict, force=True)
-    with open(os.path.join(path, _META_NAME), 'w') as f:
+    ckpt.save(os.path.join(staging, _TREE_NAME), state_dict, force=True)
+    with open(os.path.join(staging, _META_NAME), 'w') as f:
         json.dump(meta, f)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.isfile(path):  # overwriting an epoch saved as msgpack
+        os.remove(path)
+    os.rename(staging, path)
 
 
 def restore_orbax(path):

@@ -237,3 +237,50 @@ def test_resume_with_changed_metric_set(tmp_path):
     assert list(summary['epoch']) == [0, 1]
     assert np.isnan(summary['val-SSIM'].iloc[0])   # backfilled history
     assert np.isfinite(summary['val-SSIM'].iloc[1])
+
+
+def test_resume_from_earlier_epoch_rewrites_stale_rows(tmp_path):
+    """Resuming from an earlier epoch rewrites history: stale resumed-over rows
+    must disappear from summary.csv on disk (the reference keeps them, breaking
+    best-epoch selection)."""
+    from sisr_tpu.training.handler import TrainingHandler
+    save_loc = str(tmp_path)
+    first = TrainingHandler(
+        experiment_name='rewindy', save_loc=save_loc, model_params=_model_params(),
+        data_params=_data_params(), num_epochs=3, metrics=['PSNR'], seed=8)
+    _write_config(first)
+    first.run_experiment()
+    resumed = TrainingHandler(
+        experiment_name='rewindy', save_loc=save_loc, model_params=_model_params(),
+        data_params=_data_params(), num_epochs=1, metrics=['PSNR'], seed=8,
+        continue_from_epoch=0, overwrite_data=True)
+    assert resumed.starting_epoch == 1
+    resumed.run_experiment()
+    summary = pd.read_csv(os.path.join(resumed.model.logs, 'summary.csv'))
+    # epochs 1-2 from the first run are stale (rewritten); only [0, 1] survive
+    assert list(summary['epoch']) == [0, 1]
+
+
+def test_cross_format_checkpoint_overwrite(tmp_path):
+    """Re-saving an epoch in the OTHER checkpoint backend replaces the old entry
+    (msgpack file <-> orbax directory) instead of crashing."""
+    from sisr_tpu.models.handlers import define_model
+    internal = dict(scale=4, num_features=8, num_blocks=1)
+    save_dir = str(tmp_path)
+    h = define_model('edsr', **internal)
+    h.init_state()
+    h.save_model('train_model', 0, save_dir)          # msgpack file
+    path = os.path.join(save_dir, 'train_model_0')
+    assert os.path.isfile(path)
+    h.checkpoint_backend = 'orbax'
+    h.save_model('train_model', 0, save_dir)          # orbax dir over the file
+    assert os.path.isdir(path)
+    h.checkpoint_backend = 'msgpack'
+    h.save_model('train_model', 0, save_dir)          # msgpack over the dir
+    assert os.path.isfile(path)
+    h2 = define_model('edsr', **internal)
+    h2.load_model('train_model', 0, save_dir)
+    import numpy as np_
+    np_.testing.assert_array_equal(
+        np_.asarray(h2.state.params['head']['kernel']),
+        np_.asarray(h.state.params['head']['kernel']))
