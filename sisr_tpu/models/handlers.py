@@ -1110,16 +1110,29 @@ class QSANHandler(QHandler):
     tiled_eval = True
     bucketed_eval_ok = False  # non-local spatial softmax + SOCA covariance
 
-    def build_module(self, scale, dtype, **kwargs):
-        return qmodels.QSAN(scale=scale, input_para=self.num_metadata, dtype=dtype)
+    def build_module(self, scale, dtype, n_feats=None, n_resgroups=None,
+                     n_resblocks=None, reduction=None, **kwargs):
+        # forward the same architecture kwargs SANHandler honors — silently
+        # training a default-sized net for a config that asked otherwise is worse
+        # than any error
+        arch = {k: v for k, v in (('n_feats', n_feats), ('n_resgroups', n_resgroups),
+                                  ('n_resblocks', n_resblocks),
+                                  ('reduction', reduction)) if v is not None}
+        return qmodels.QSAN(scale=scale, input_para=self.num_metadata, dtype=dtype,
+                            **arch)
 
 
 @register_model('qhan')
 class QHANHandler(QHandler):
     """(ref: attention_manipulators/handlers.py:156-171)"""
 
-    def build_module(self, scale, dtype, **kwargs):
-        return qmodels.QHAN(scale=scale, num_metadata=self.num_metadata, dtype=dtype)
+    def build_module(self, scale, dtype, n_feats=None, n_resgroups=None,
+                     n_resblocks=None, reduction=None, **kwargs):
+        arch = {k: v for k, v in (('n_feats', n_feats), ('n_resgroups', n_resgroups),
+                                  ('n_resblocks', n_resblocks),
+                                  ('reduction', reduction)) if v is not None}
+        return qmodels.QHAN(scale=scale, num_metadata=self.num_metadata, dtype=dtype,
+                            **arch)
 
 
 @register_model('sftmd')
@@ -1131,6 +1144,11 @@ class SFTMDHandler(QHandler):
     """
     colorspace = 'augmented_rgb'
     loss_type = 'l1'
+    # bucketed eval stays exact despite the in-module broadcast of vector
+    # metadata to full-resolution para maps: the conv interceptor masks every
+    # nn.Conv INPUT (ops/masking.py:111-121), so pad-region para values are
+    # zeroed before any SFT concat conv reads them
+    # (tests/test_bucketed_eval.py::test_bucketed_eval_exact[sftmd])
 
     def __init__(self, concat_strategy=False, q_injection=False, **kwargs):
         self.concat_strategy = bool(concat_strategy)
@@ -1158,9 +1176,11 @@ class SFTMDHandler(QHandler):
 
     def _prep_batch(self, batch):
         x, y, metadata = super()._prep_batch(batch)
-        if self.channel_concat and not self.q_injection:
-            # module still needs a metadata arg; give it the (already-concatenated) maps'
-            # source vector so SFT layers can broadcast it (x only provides the dtype)
+        if self.channel_concat:
+            # the base concat path nulls metadata, but SFTMD ALWAYS takes a
+            # metadata arg (SFT layers + q-injection): re-supply the source
+            # vector — with q_injection too, or concat+q configs crashed at the
+            # first step trace
             metadata = self.prepare_metadata(x, batch.get('metadata'))
         return x, y, metadata
 

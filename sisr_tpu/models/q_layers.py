@@ -94,6 +94,10 @@ class QCALayer(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        # reference-parity guard, condition kept verbatim (ref: attention_
+        # manipulators/architectures.py:58-59 rejects reduction < 16 — despite the
+        # message, it guards SMALL values; large ones hit the channel<reduction
+        # zero-width check instead)
         if self.reduction < 16:
             raise RuntimeError('Using an extreme channel attention reduction value')
 

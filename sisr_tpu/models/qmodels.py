@@ -39,7 +39,14 @@ class QRCAB(nn.Module):
         if self.pa:
             res = PALayer(self.n_feat, dtype=self.dtype, name='pa_node')(res)
         if self.q_layer:
-            res = ParaCALayer(self.n_feat, self.num_metadata, nonlinearity=True,
+            # 'modulate' metadata arrives scale_qpi-EXPANDED to n_feat (handler
+            # contract): sizing the MLP from the declared count would silently
+            # build a 1->.. ladder with a wrong bias init.  (No parity constraint:
+            # the torch reference CRASHES on this combo — its conv in_channels is
+            # fixed at num_metadata.)
+            q_meta_width = self.n_feat if self.style == 'modulate' \
+                else self.num_metadata
+            res = ParaCALayer(self.n_feat, q_meta_width, nonlinearity=True,
                               dtype=self.dtype, name='q_node')(res, metadata)
         return res + x
 
@@ -96,6 +103,11 @@ class QRCAN(nn.Module):
     @nn.compact
     def __call__(self, x, metadata):
         n = self.n_feats
+        if self.selective_meta_blocks is not None \
+                and len(self.selective_meta_blocks) != self.n_resgroups:
+            raise ValueError('selective_meta_blocks needs one entry per residual '
+                             'group (%d given, n_resgroups=%d).'
+                             % (len(self.selective_meta_blocks), self.n_resgroups))
         x = conv(n, 3, self.in_feats, dtype=self.dtype, name='head')(x)
         res = x
         for i in range(self.n_resgroups):

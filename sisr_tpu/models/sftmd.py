@@ -94,23 +94,26 @@ class SFTResidualBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feature_maps, para_maps):
-        # q layers consume the same para maps as the SFT layers (ref:
-        # SFTMD_variants/architectures.py:95-104); ParaCALayer handles both vector and
-        # spatial metadata forms
+    def __call__(self, feature_maps, para_maps, q_meta=None):
+        # the reference feeds its q layers the same SPATIAL para maps as the SFT
+        # layers (SFTMD_variants/architectures.py:95-104), running the attention
+        # MLP redundantly at every pixel when the metadata is a constant-broadcast
+        # vector; ``q_meta`` lets the caller pass the original vector instead —
+        # identical math (the MLP is pointwise), one evaluation per image
         kw = dict(nf=self.nf, para=self.para, mask_para=self.mask_para,
                   repeats=self.repeats, sft_type=self.sft_type, dtype=self.dtype)
+        q_meta = para_maps if q_meta is None else q_meta
         fea1 = nn.relu(SFTLayer(**kw, name='sft1')(feature_maps, para_maps))
         if self.q_injection:
             fea1 = ParaCALayer(self.nf, self.para, nonlinearity=True,
                                num_layers=self.q_layers, dtype=self.dtype,
-                               name='q_1')(fea1, para_maps)
+                               name='q_1')(fea1, q_meta)
         fea1 = conv(self.nf, 3, self.nf, dtype=self.dtype, name='conv1')(fea1)
         fea2 = nn.relu(SFTLayer(**kw, name='sft2')(fea1, para_maps))
         if self.q_injection:
             fea2 = ParaCALayer(self.nf, self.para, nonlinearity=True,
                                num_layers=self.q_layers, dtype=self.dtype,
-                               name='q_2')(fea2, para_maps)
+                               name='q_2')(fea2, q_meta)
         fea3 = conv(self.nf, 3, self.nf, dtype=self.dtype, name='conv2')(fea2)
         return feature_maps + fea3
 
@@ -153,20 +156,21 @@ class SFTMD(nn.Module):
         fea = leaky_relu(fea, 0.2)
         fea_bef = conv(nf, 3, nf, dtype=self.dtype, name='conv3')(fea)
 
+        q_meta = metadata if metadata.ndim == 2 else para_maps
         fea_in = fea_bef
         for i in range(self.num_blocks):
             fea_in = SFTResidualBlock(nf, self.input_para, self.sft_type, self.mask_para,
                                       self.repeats, self.q_injection, self.q_layers,
                                       dtype=self.dtype,
                                       name='sft_residual_%d' % (i + 1))(
-                fea_in, para_maps)
+                fea_in, para_maps, q_meta)
         fea_add = fea_in + fea_bef
         fea_fin = SFTLayer(self.sft_type, nf, self.input_para, self.mask_para,
                            self.repeats, dtype=self.dtype, name='sft')(fea_add, para_maps)
         if self.q_injection:
             fea_fin = ParaCALayer(nf, self.input_para, nonlinearity=True,
                                   num_layers=self.q_layers, dtype=self.dtype,
-                                  name='final_injection')(fea_fin, para_maps)
+                                  name='final_injection')(fea_fin, q_meta)
         fea = conv(nf, 3, nf, dtype=self.dtype, name='conv_mid')(fea_fin)
 
         if self.scale == 4:  # two conv+PixelShuffle(2) stages (ref: :141-151)

@@ -246,3 +246,54 @@ def test_zero_width_guard_covers_all_attention_layers():
         # network_channels // num_layers == 0 -> zero-width intermediate Dense
         ParaCALayer(network_channels=1, num_metadata=10, num_layers=2).init(
             KEY, jnp.zeros((1, 8, 8, 1)), jnp.zeros((1, 10)))
+
+
+def test_sftmd_concat_with_q_injection_trains():
+    """concat_strategy + q_injection together: the concat path nulls metadata in
+    the base prep, but SFTMD always takes a metadata arg — this combo crashed at
+    the first step trace before the handler re-supplied it."""
+    import numpy as np
+    from sisr_tpu.models.handlers import define_model
+    h = define_model('sftmd', scale=2, num_features=8, num_blocks=1,
+                     concat_strategy=True, q_injection=True,
+                     metadata=['blur_kernel'])
+    h.set_metadata_keys(['blur_kernel'] * 10)
+    rng = np.random.RandomState(0)
+    batch = {'lr': rng.rand(2, 8, 8, 3).astype(np.float32),
+             'hr': rng.rand(2, 16, 16, 3).astype(np.float32),
+             'metadata': rng.rand(2, 10).astype(np.float32)}
+    loss, _ = h.run_train(**batch)
+    assert np.isfinite(float(loss))
+    out, _, _ = h.run_eval(batch['lr'], metadata=batch['metadata'])
+    assert out.shape == (2, 16, 16, 3)
+
+
+def test_qrcan_selective_meta_blocks_length_validated():
+    import numpy as np
+    import pytest
+    from sisr_tpu.models.qmodels import QRCAN
+    with pytest.raises(ValueError, match='selective_meta_blocks'):
+        QRCAN(n_resgroups=3, n_resblocks=1, n_feats=16, scale=2, num_metadata=10,
+              include_q_layer=True, selective_meta_blocks=[True, False]).init(
+            KEY, jnp.zeros((1, 8, 8, 3)), metadata=jnp.zeros((1, 10)))
+
+
+def test_qrcan_modulate_with_q_layer_builds():
+    """style='modulate' + include_q_layer: metadata arrives scale_qpi-expanded to
+    n_feats; the q_node MLP must size from the expanded width (the torch
+    reference crashes on this combo, so no checkpoint constrains it)."""
+    import numpy as np
+    from sisr_tpu.models.handlers import define_model
+    h = define_model('qrcan', scale=2, n_feats=16, n_resgroups=1, n_resblocks=1,
+                     style='modulate', include_q_layer=True, metadata=['qpi'])
+    h.set_metadata_keys(['qpi'])
+    rng = np.random.RandomState(0)
+    batch = {'lr': rng.rand(1, 8, 8, 3).astype(np.float32),
+             'hr': rng.rand(1, 16, 16, 3).astype(np.float32),
+             'metadata': rng.rand(1, 1).astype(np.float32)}
+    loss, _ = h.run_train(**batch)
+    assert np.isfinite(float(loss))
+    # the q_node reduce MLP consumed the EXPANDED 16-wide metadata
+    q_node = h.state.params['group_0']['qrcab_0']['q_node']
+    first = [v for k, v in sorted(q_node.items())][0]
+    assert first['kernel'].shape[0] == 16
