@@ -113,6 +113,10 @@ def _config_callback(ctx, param, value):
               help='Set the maximum number of images to save when running comparisons.')
 @click.option('--time_models/--no-time_models', default=True,
               help='Specify whether to time model execution. Defaults to on.')
+@click.option('--cache_decoded/--no-cache_decoded', default=True,
+              help='Cache decoded images in memory (capped at 4 GiB) so repeated '
+                   'protocol passes and multi-model comparisons skip PNG re-decode — '
+                   'on weak hosts decode is the eval throughput ceiling. Default on.')
 @click.option('--config', type=click.Path(exists=True), callback=_config_callback,
               is_eager=True, expose_value=False,
               help='Read option defaults from a TOML config file.')
