@@ -514,11 +514,18 @@ class BaseHandler:
             tile_batch['metadata'] = jnp.tile(batch['metadata'], (grid * grid, 1))
         n_tiles_total = tiles.shape[0]
         if self.mesh_ctx is not None:
-            # context-parallel eval: pad the tile batch to the mesh size and shard the
-            # tiles across chips
-            tile_batch = self.mesh_ctx.pad_batch_to_devices(
-                {k: np.asarray(v) for k, v in tile_batch.items()})
-            tile_batch = self.mesh_ctx.shard_batch(tile_batch)
+            # context-parallel eval: pad the tile batch to the mesh size and shard
+            # the tiles across chips.  Trace-safe (pad counts are shape-derived
+            # Python ints; the reshard is a sharding constraint), so the tile
+            # scatter composes into the fused eval program — under jit XLA places
+            # the constraint, eagerly it acts like a device_put reshard.
+            nd = self.mesh_ctx.n_devices
+            pad = (-n_tiles_total) % nd
+            for k, v in tile_batch.items():
+                if pad:
+                    v = jnp.concatenate([v, jnp.repeat(v[-1:], pad, axis=0)], axis=0)
+                tile_batch[k] = jax.lax.with_sharding_constraint(
+                    v, self.mesh_ctx.batch_sharding)
         step = self._eval_step_for(tile_batch['lr'].shape)
         sr_tiles, _ = step(state, tile_batch)
         sr_tiles = sr_tiles[:n_tiles_total]
@@ -541,13 +548,13 @@ class BaseHandler:
         """Fused device eval covers every family mode: rgb/unmodified (edsr...),
         metadata models (augmented_rgb: qrcan/srmd/...), pre-upscaled interp inputs
         (sparnet), y-channel ycbcr models (srcnn/vdsr) and the tiled eval (san) —
-        the tile grid traces into the same program.  int8 and bucketed eval keep
-        their dedicated paths; mesh-sharded tiled eval stays on the standard path
-        (its tile scatter is host-side).  int8 serving composes with the fused step
-        for the families that have an int8 program (edsr/rcan/qrcan)."""
+        the tile grid traces into the same program, including mesh-sharded tiles
+        (the tile scatter is trace-safe: pad counts are shape-derived constants and
+        the reshard is a sharding constraint).  Bucketed eval keeps its dedicated
+        path.  int8 serving composes with the fused step for the families that have
+        an int8 program (edsr/rcan/qrcan)."""
         # (int8_mode implies int8_family is set — set_int8 refuses otherwise)
         return (not self.eval_buckets
-                and not (self.tiled_eval and self.mesh_ctx is not None)
                 and self.colorspace in ('rgb', 'augmented_rgb', 'ycbcr'))
 
     def run_eval_fused(self, batch, metrics=('PSNR', 'SSIM'), timing=False,
@@ -976,10 +983,15 @@ class RCANHandler(BaseHandler):
 
 @register_model('han')
 class HANHandler(BaseHandler):
-    """(ref: advanced/handlers.py:42-55)"""
+    """(ref: advanced/handlers.py:42-55).  The reference handler hardcodes the
+    full-size net; optional arch kwargs (defaults unchanged) let imported or
+    test-sized checkpoints evaluate — same superset SANHandler provides."""
 
     def build_module(self, scale, dtype, **kwargs):
-        return advanced.HAN(scale=scale, dtype=dtype)
+        cfg = {k: v for k, v in kwargs.items()
+               if k in ('n_resgroups', 'n_resblocks', 'n_feats', 'reduction')
+               and v is not None}
+        return advanced.HAN(scale=scale, dtype=dtype, **cfg)
 
 
 @register_model('san')

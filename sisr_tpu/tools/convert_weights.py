@@ -636,7 +636,9 @@ def import_reference_experiment(checkpoint_path, out_dir, experiment=None,
     # structure flags the CLI cannot know (q_node/pa_node presence) are read off
     # the checkpoint's own key layout; explicit kwargs win
     model_kwargs = {**infer_structure_kwargs(name, network), **model_kwargs}
-    variables = convert_torch_variables(name, network, **model_kwargs)
+    # scale shapes the converted tree (tail pixel-shuffle stage count) — forward
+    # it, or a non-x4 checkpoint converts against the wrong upsampler structure
+    variables = convert_torch_variables(name, network, scale=scale, **model_kwargs)
 
     experiment = experiment or os.path.splitext(os.path.basename(checkpoint_path))[0]
     base = os.path.join(out_dir, experiment)

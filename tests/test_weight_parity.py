@@ -14,8 +14,9 @@ import pytest
 torch = pytest.importorskip('torch')
 
 REF_CODE = '/root/reference/Code'
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF_CODE),
-                                reason='reference code unavailable')
+pytestmark = [pytest.mark.skipif(not os.path.isdir(REF_CODE),
+                                 reason='reference code unavailable'),
+              pytest.mark.slow]
 
 
 @pytest.fixture(scope='module')
@@ -328,6 +329,85 @@ def test_aged_sftmd_legacy_names(ref_modules):
     converted = convert_torch_state_dict('sftmd', aged, num_blocks=2, scale=4,
                                          sft_type='standard')
     _trees_equal(fresh, converted)
+
+
+def _reference_style_checkpoint(net, model_name, epoch, prefix=''):
+    """A byte-faithful replica of the reference's on-disk checkpoint dict, with
+    every key ``BaseModel.save_model`` writes (ref models/__init__.py:349-386):
+    network (optionally DataParallel-era 'model.module.'-prefixed), a REAL torch
+    Adam optimizer state (populated by an actual training step, so exp_avg/
+    exp_avg_sq/step entries exist exactly as released checkpoints carry them),
+    scheduler_G state, model_name and model_epoch."""
+    opt = torch.optim.Adam(net.parameters(), lr=1e-4)
+    sched = torch.optim.lr_scheduler.MultiStepLR(opt, milestones=[100], gamma=0.5)
+    net.train()
+    x = torch.rand(1, 3, 8, 8)
+    args = (x, torch.rand(1, 10, 1, 1)) if model_name.startswith('q') else (x,)
+    loss = net(*args).mean()
+    opt.zero_grad()
+    loss.backward()
+    opt.step()
+    sched.step()  # reference semantics: scheduler stepped per batch
+    return {'network': {prefix + k: v for k, v in net.state_dict().items()},
+            'optimizer': opt.state_dict(),
+            'model_name': model_name,
+            'model_epoch': epoch,
+            'scheduler_G': sched.state_dict()}
+
+
+def test_import_aged_han_zenodo_layout(ref_modules, tmp_path):
+    """HAN through a byte-faithful reference checkpoint (DataParallel 'model.module.'
+    prefixes + real optimizer/scheduler entries, the Zenodo release layout) ->
+    import CLI -> our eval == torch (VERDICT r3 item 6)."""
+    _, advanced, _ = ref_modules
+    from sisr_tpu.tools.convert_weights import import_reference_experiment
+    from sisr_tpu.models.interface import ModelInterface
+    tm = advanced.HAN(n_resgroups=10, n_resblocks=1, n_feats=16, scale=2)
+    ckpt = _reference_style_checkpoint(tm, 'han', epoch=11, prefix='model.module.')
+    assert set(ckpt) == {'network', 'optimizer', 'model_name', 'model_epoch',
+                         'scheduler_G'}
+    assert ckpt['optimizer']['state']  # real Adam moments present
+    ckpt_path = str(tmp_path / 'train_model_11')
+    torch.save(ckpt, ckpt_path)
+    base = import_reference_experiment(
+        ckpt_path, str(tmp_path / 'Results'), experiment='aged_han',
+        scale=2, n_resgroups=10, n_resblocks=1, n_feats=16)
+    iface = ModelInterface(str(tmp_path / 'Results'), 'aged_han', load_epoch=11,
+                           scale=2)
+    x = torch.rand(1, 3, 10, 12)
+    out_rgb, _, _, _ = iface.net_run_and_process(lr=x.numpy().transpose(0, 2, 3, 1))
+    tm.eval()
+    with torch.no_grad():
+        ref = np.clip(tm(x).numpy().transpose(0, 2, 3, 1), 0, 1)
+    np.testing.assert_allclose(out_rgb, ref, atol=5e-4)
+
+
+def test_import_aged_qhan_zenodo_layout(ref_modules, tmp_path):
+    """QHAN (metadata family) through the same byte-faithful checkpoint layout,
+    with metadata threaded through the imported experiment's eval."""
+    _, _, qarch = ref_modules
+    from sisr_tpu.tools.convert_weights import import_reference_experiment
+    from sisr_tpu.models.interface import ModelInterface
+    cfg = dict(n_resgroups=10, n_resblocks=1, n_feats=16, scale=2, num_metadata=10)
+    tm = qarch.QHAN(**cfg)
+    ckpt = _reference_style_checkpoint(tm, 'qhan', epoch=4, prefix='model.module.')
+    ckpt_path = str(tmp_path / 'train_model_4')
+    torch.save(ckpt, ckpt_path)
+    base = import_reference_experiment(
+        ckpt_path, str(tmp_path / 'Results'), experiment='aged_qhan',
+        scale=2, n_resgroups=10, n_resblocks=1, n_feats=16,
+        metadata=['blur_kernel'])
+    iface = ModelInterface(str(tmp_path / 'Results'), 'aged_qhan', load_epoch=4,
+                           scale=2)
+    iface.set_metadata_keys(['blur_kernel'] * 10)
+    x = torch.rand(1, 3, 10, 10)
+    meta = torch.rand(1, 10, 1, 1)
+    out_rgb, _, _, _ = iface.net_run_and_process(
+        lr=x.numpy().transpose(0, 2, 3, 1), metadata=meta.numpy()[:, :, 0, 0])
+    tm.eval()
+    with torch.no_grad():
+        ref = np.clip(tm(x, meta).numpy().transpose(0, 2, 3, 1), 0, 1)
+    np.testing.assert_allclose(out_rgb, ref, atol=5e-4)
 
 
 def test_import_aged_reference_experiment(ref_modules, tmp_path):
