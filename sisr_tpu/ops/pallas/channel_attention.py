@@ -132,6 +132,129 @@ def _fused_ca_forward(x, w1, b1, w2, b2, interpret=False):
     )(x, *weight_args)
 
 
+def _ca_res_kernel_single(x_ref, r_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
+                          hw):
+    """CA + residual-add epilogue, whole map in VMEM: out = x*att(x) + r."""
+    pooled = jnp.sum(x_ref[0].astype(jnp.float32), axis=(0, 1))[None, :] / hw
+    hidden = jnp.maximum(
+        jnp.dot(pooled, w1_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32) + b1_ref[...], 0.0)
+    att = jax.nn.sigmoid(
+        jnp.dot(hidden, w2_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32) + b2_ref[...])
+    out_ref[...] = (x_ref[...].astype(jnp.float32)
+                    * att[0][None, None, None, :]
+                    + r_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _ca_res_kernel(x_ref, r_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, acc_ref,
+                   att_ref, *, n_tiles, hw):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(t < n_tiles)
+    def _():
+        acc_ref[...] += jnp.sum(x_ref[0].astype(jnp.float32), axis=(0, 1))[None, :]
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        pooled = acc_ref[...] / hw
+        hidden = jnp.maximum(
+            jnp.dot(pooled, w1_ref[...].astype(jnp.float32),
+                    preferred_element_type=jnp.float32) + b1_ref[...], 0.0)
+        att_ref[...] = jax.nn.sigmoid(
+            jnp.dot(hidden, w2_ref[...].astype(jnp.float32),
+                    preferred_element_type=jnp.float32) + b2_ref[...])
+
+    @pl.when(t >= n_tiles)
+    def _():
+        out_ref[...] = (x_ref[...].astype(jnp.float32)
+                        * att_ref[...][0][None, None, None, :]
+                        + r_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _fused_ca_res_forward(x, r, w1, b1, w2, b2, interpret=False):
+    """out = x * sigmoid(excite(mean_hw(x))) + r, dtype of r — the RCAB block
+    epilogue (requant'd conv output -> CA scale -> residual add) in ONE dispatch.
+
+    Motivation (VERDICT r3 item 7): in the int8 serving path the conv output is
+    f32 while the residual carry is bf16 — the XLA chain reads x for the pool,
+    then re-reads x and r for the scale+add.  Fusing the add into the CA kernel's
+    phase B removes one full-map HBM round trip relative to separate kernels."""
+    n, h, w, c = x.shape
+    weight_args = (w1, b1.reshape(1, -1).astype(jnp.float32), w2,
+                   b2.reshape(1, -1).astype(jnp.float32))
+    weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+    out_dtype = r.dtype
+
+    if (h * w * c * (x.dtype.itemsize + r.dtype.itemsize)
+            <= _SINGLE_BLOCK_BUDGET):
+        return pl.pallas_call(
+            functools.partial(_ca_res_kernel_single, hw=float(h * w)),
+            out_shape=jax.ShapeDtypeStruct(x.shape, out_dtype),
+            grid=(n,),
+            in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 2 + weight_specs,
+            out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, r, *weight_args)
+
+    tile_h = _pick_tile(h, w, c, x.dtype.itemsize + r.dtype.itemsize)
+    n_tiles = h // tile_h
+    kern = functools.partial(_ca_res_kernel, n_tiles=n_tiles, hw=float(h * w))
+
+    def in_index(i, t):
+        return (i, jax.lax.rem(t, n_tiles), 0, 0)
+
+    def out_index(i, t):
+        return (i, jnp.where(t < n_tiles, 0, t - n_tiles), 0, 0)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x.shape, out_dtype),
+        grid=(n, 2 * n_tiles),
+        in_specs=[pl.BlockSpec((1, tile_h, w, c), in_index,
+                               memory_space=pltpu.VMEM)] * 2 + weight_specs,
+        out_specs=pl.BlockSpec((1, tile_h, w, c), out_index,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, c), jnp.float32),
+                        pltpu.VMEM((1, c), jnp.float32)],
+        interpret=interpret,
+    )(x, r, *weight_args)
+
+
+def _reference_ca_res(x, r, w1, b1, w2, b2):
+    """Plain-XLA CA + residual-add epilogue (identical math)."""
+    return (_reference_ca(x, w1, b1, w2, b2).astype(jnp.float32)
+            + r.astype(jnp.float32)).astype(r.dtype)
+
+
+@jax.custom_vjp
+def fused_channel_attention_residual(x, r, w1, b1, w2, b2):
+    """Fused CA scale-and-excite + residual add (Pallas on TPU; XLA elsewhere)."""
+    if jax.default_backend() == 'tpu':
+        return _fused_ca_res_forward(x, r, w1, b1, w2, b2)
+    return _reference_ca_res(x, r, w1, b1, w2, b2)
+
+
+def _res_fwd(x, r, w1, b1, w2, b2):
+    return fused_channel_attention_residual(x, r, w1, b1, w2, b2), \
+        (x, r, w1, b1, w2, b2)
+
+
+def _res_bwd(residuals, g):
+    x, r, w1, b1, w2, b2 = residuals
+    _, vjp = jax.vjp(_reference_ca_res, x, r, w1, b1, w2, b2)
+    return vjp(g)
+
+
+fused_channel_attention_residual.defvjp(_res_fwd, _res_bwd)
+
+
 def _reference_ca(x, w1, b1, w2, b2):
     """Plain-XLA implementation (identical math) for backward and fallback."""
     pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))

@@ -317,12 +317,18 @@ def calibrate_rcan_scales(params, sample_batches, n_resgroups=10, n_resblocks=20
 
 
 def rcan_int8_forward_static(qparams, act_scales, x, n_resgroups=10, n_resblocks=20,
-                             residual_dtype='bfloat16'):
+                             residual_dtype='bfloat16', ca_epilogue='xla'):
     """Quantized RCAN/QRCAN-base forward: int8 convs + f32 channel attention.
 
     Same recipe as :func:`edsr_int8_forward_static` (static calibrated activation
     scales, narrow residual carry).  The channel-attention pool/dense/sigmoid runs
     in f32 on the (B, C) pooled vector — negligible cost next to the convs.
+
+    ``ca_epilogue='pallas'`` runs each RCAB tail (CA scale + residual add) as one
+    Pallas dispatch (ops/pallas/channel_attention.fused_channel_attention_residual)
+    — the memory-bound chain XLA cannot fuse across the int8 dot.  Numerics differ
+    from 'xla' only in rounding order (scale+add in f32, one cast at the end);
+    measured via tools/bench_pallas_epilogue before being claimed as a win.
     """
     from ..models.blocks import pixel_shuffle
 
@@ -340,6 +346,14 @@ def rcan_int8_forward_static(qparams, act_scales, x, n_resgroups=10, n_resblocks
         a = jax.nn.sigmoid(a @ entry['du_1']['kernel'] + entry['du_1']['bias'])
         return h * a[:, None, None, :].astype(h.dtype)
 
+    def ca_res(entry, h, r):
+        if ca_epilogue == 'pallas':
+            from .pallas.channel_attention import fused_channel_attention_residual
+            return fused_channel_attention_residual(
+                h, r, entry['du_0']['kernel'], entry['du_0']['bias'],
+                entry['du_1']['kernel'], entry['du_1']['bias'])
+        return ca(entry, h).astype(carry_t) + r
+
     h = qconv('head', qparams['head'], x).astype(carry_t)
     res = h
     for g in range(n_resgroups):
@@ -350,7 +364,7 @@ def rcan_int8_forward_static(qparams, act_scales, x, n_resgroups=10, n_resblocks
             pre = 'group_%d.rcab_%d' % (g, b)
             y = jax.nn.relu(qconv(pre + '.conv_0', blk['conv_0'], r))
             y = qconv(pre + '.conv_1', blk['conv_1'], y)
-            r = ca(blk['ca'], y).astype(carry_t) + r
+            r = ca_res(blk['ca'], y, r)
         res = qconv('group_%d.conv_tail' % g, grp['conv_tail'], r).astype(carry_t) \
             + res
     res = qconv('body_tail', qparams['body_tail'], res) + h.astype(jnp.float32)

@@ -21,8 +21,9 @@ from PIL import Image
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SET5 = '/root/reference/Data/example_data/Set5'
-pytestmark = pytest.mark.skipif(not os.path.isdir(SET5),
-                                reason='Set5 example data unavailable')
+pytestmark = [pytest.mark.skipif(not os.path.isdir(SET5),
+                                 reason='Set5 example data unavailable'),
+              pytest.mark.slow]
 
 WRAPPER = r"""
 import os, sys

@@ -5,8 +5,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from sisr_tpu.ops.pallas.channel_attention import (_fused_ca_forward, _reference_ca,
-                                                   fused_channel_attention)
+from sisr_tpu.ops.pallas.channel_attention import (
+    _fused_ca_forward, _fused_ca_res_forward, _reference_ca, _reference_ca_res,
+    fused_channel_attention, fused_channel_attention_residual)
 
 
 def _params(rng, c=32, red=4):
@@ -32,6 +33,39 @@ def test_fused_ca_odd_heights_interpret():
     fused = _fused_ca_forward(x, w1, b1, w2, b2, interpret=True)
     ref = _reference_ca(x, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize('shape', [(2, 16, 8, 32), (1, 13, 8, 32)])
+def test_fused_ca_residual_interpret(shape):
+    """CA + residual-add epilogue (the int8 RCAB block tail): f32 conv output,
+    bf16 carry, output in the carry dtype — single-block and tiled grids."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(*shape), jnp.float32)
+    r = jnp.asarray(rng.rand(*shape), jnp.bfloat16)
+    w1, b1, w2, b2 = _params(rng)
+    fused = _fused_ca_res_forward(x, r, w1, b1, w2, b2, interpret=True)
+    ref = _reference_ca_res(x, r, w1, b1, w2, b2)
+    assert fused.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(fused, np.float32),
+                               np.asarray(ref, np.float32), atol=1e-2)
+
+
+def test_fused_ca_residual_gradients():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(1, 8, 8, 32), jnp.float32)
+    r = jnp.asarray(rng.rand(1, 8, 8, 32), jnp.float32)
+    params = _params(rng)
+
+    def loss_fused(x, r, *p):
+        return jnp.sum(fused_channel_attention_residual(x, r, *p) ** 2)
+
+    def loss_ref(x, r, *p):
+        return jnp.sum(_reference_ca_res(x, r, *p) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, r, *params)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, r, *params)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_fused_ca_gradients():

@@ -26,9 +26,9 @@ torch = pytest.importorskip('torch')
 
 REF_CODE = '/root/reference/Code'
 SET5 = '/root/reference/Data/example_data/Set5'
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.skipif(
     not (os.path.isdir(REF_CODE) and os.path.isdir(SET5)),
-    reason='reference code/data unavailable')
+    reason='reference code/data unavailable'), pytest.mark.slow]
 
 
 def _functional_transform_stubs():
