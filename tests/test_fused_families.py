@@ -122,6 +122,47 @@ def test_fused_eval_matches_standard(tmp_path, family):
     np.testing.assert_allclose(fus[('LR', 'SSIM')], std[('LR', 'SSIM')], atol=2e-3)
 
 
+def test_fused_device_batch_cache_reuse(tmp_path):
+    """Repeated fused protocol runs on one hub reuse the device-resident batches
+    from the first complete pass (no re-decode, no re-upload) and must produce
+    identical CSVs; a later standard-protocol run still works (it bypasses the
+    cache and re-reads from the loader)."""
+    from sisr_tpu.evaluation.standard_eval import EvalHub
+    lr_dir, hr_dir = build_workload(str(tmp_path), 4, lr_size=32)
+    save_loc = str(tmp_path / 'Results')
+    os.makedirs(save_loc)
+    _make_experiment(save_loc, 'exp', 'edsr',
+                     {'scale': 4, 'num_features': 8, 'num_blocks': 1}, 0)
+    out_loc = str(tmp_path / 'out')
+    os.makedirs(out_loc)
+    hub = EvalHub(
+        hr_dir=hr_dir, lr_dir=lr_dir, model_and_epoch=[('exp', '0')],
+        results_name='r', gpu=False, metrics=['PSNR', 'SSIM'], data_split='all',
+        save_im=False, batch_size=2, full_directory=True, lr_dir_interp=None,
+        model_only=False, scale=4, model_loc=save_loc, out_loc=out_loc,
+        use_test_group=False, no_image_comparison=True, num_image_save=0,
+        qpi_selection=(None, None), data_attributes=None, dataset_name=None,
+        image_shortlist=None, metadata_file=None, sp_gpu=0, time_models=False,
+        recursive=False, fused_eval=True)
+    assert hub._device_batch_cache is None
+    csv_path = os.path.join(out_loc, 'r', 'standard_metrics',
+                            'individual_metrics.csv')
+    hub.full_image_protocol()
+    first = pd.read_csv(csv_path, header=[0, 1], index_col=0)
+    assert hub._device_batch_cache is not None and hub._device_batch_cache
+    cached = hub._device_batch_cache
+    hub.full_image_protocol()
+    second = pd.read_csv(csv_path, header=[0, 1], index_col=0)
+    pd.testing.assert_frame_equal(first, second)
+    assert hub._device_batch_cache is cached  # reused, not rebuilt
+    # the standard protocol bypasses the cache and still matches on metrics
+    hub.fused_eval = False
+    hub.full_image_protocol()
+    std = pd.read_csv(csv_path, header=[0, 1], index_col=0)
+    np.testing.assert_allclose(std[('exp', 'PSNR')], first[('exp', 'PSNR')],
+                               atol=2e-2)
+
+
 def test_fused_mesh_tiled_matches_standard(tmp_path):
     """Mesh-sharded tiled eval (SAN, context-parallel tiles across the 8-device CPU
     mesh) through the FUSED protocol must match the standard protocol — the tile
