@@ -15,8 +15,9 @@ import pytest
 from sisr_tpu.utils.toml_io import convert_default_none_dict
 
 SET5 = '/root/reference/Data/example_data/Set5'
-pytestmark = pytest.mark.skipif(not os.path.isdir(SET5),
-                                reason='Set5 example data unavailable')
+pytestmark = [pytest.mark.skipif(not os.path.isdir(SET5),
+                                reason='Set5 example data unavailable'),
+              pytest.mark.slow]
 
 
 def _data_params(crop=None, batch_size=1):

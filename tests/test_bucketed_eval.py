@@ -9,6 +9,8 @@ import jax.numpy as jnp
 
 from sisr_tpu.models.handlers import define_model
 
+pytestmark = pytest.mark.slow
+
 RNG = np.random.RandomState(42)
 
 

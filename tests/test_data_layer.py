@@ -12,6 +12,8 @@ from PIL import Image
 from sisr_tpu.data.datasets import SuperResImages, read_augmentation_list
 from sisr_tpu.data.loader import DataLoader, CelebaSplitSampler
 
+pytestmark = pytest.mark.slow
+
 SET5 = '/root/reference/Data/example_data/Set5'
 
 

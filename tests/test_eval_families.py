@@ -8,8 +8,9 @@ import pandas as pd
 import pytest
 
 SET5 = '/root/reference/Data/example_data/Set5'
-pytestmark = pytest.mark.skipif(not os.path.isdir(SET5),
-                                reason='Set5 example data unavailable')
+pytestmark = [pytest.mark.skipif(not os.path.isdir(SET5),
+                                reason='Set5 example data unavailable'),
+              pytest.mark.slow]
 
 
 def _make_experiment(save_loc, name, model_name, internal):

@@ -12,6 +12,8 @@ from sisr_tpu.tools.export_serving import (build_serving_fn, export_handler,
                                            export_serving_cli)
 from jax import export as jax_export
 
+pytestmark = pytest.mark.slow
+
 
 def _roundtrip(blob):
     return jax_export.deserialize(bytearray(bytes(blob))).call

@@ -14,8 +14,9 @@ import pytest
 torch = pytest.importorskip('torch')
 
 REF_CODE = '/root/reference/Code'
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF_CODE),
-                                reason='reference code unavailable')
+pytestmark = [pytest.mark.skipif(not os.path.isdir(REF_CODE),
+                                reason='reference code unavailable'),
+              pytest.mark.slow]
 
 
 @pytest.fixture(scope='module')

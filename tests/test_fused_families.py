@@ -11,6 +11,8 @@ import pytest
 
 from sisr_tpu.tools.e2e_bench import build_workload
 
+pytestmark = pytest.mark.slow
+
 # family -> (model, internal_params, metadata_cols, model-PSNR atol)
 FAMILIES = {
     'qrcan': ('qrcan', {'scale': 4, 'n_feats': 16, 'n_resblocks': 1,

@@ -11,6 +11,8 @@ from sisr_tpu.models.qmodels import QRCAN, QEDSR, QSAN, QHAN
 from sisr_tpu.models.sftmd import SFTMD
 from sisr_tpu.models.sparnet import SPARNet
 
+pytestmark = pytest.mark.slow
+
 
 KEY = jax.random.PRNGKey(0)
 

@@ -1,9 +1,12 @@
 """Fused multi-step training (lax.scan over K optimizer steps in one dispatch)."""
 import numpy as np
+import pytest
 
 import jax
 
 from sisr_tpu.models.handlers import define_model
+
+pytestmark = pytest.mark.slow
 
 
 def _batches(rng, k=4, b=2):

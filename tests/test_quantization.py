@@ -10,6 +10,8 @@ from sisr_tpu.ops.quantization import (conv_int8, edsr_int8_forward,
                                        quantize_edsr_params, quantize_kernel_int8)
 from sisr_tpu.ops.metrics import psnr
 
+pytestmark = pytest.mark.slow
+
 
 def test_kernel_quantization_roundtrip():
     rng = np.random.RandomState(0)
