@@ -381,8 +381,8 @@ class EvalHub:
         if self.fused_eval:
             if all(m.model.supports_fused_eval() for m in self.model_bundles):
                 return self._fused_image_protocol()
-            print('fused_eval: some models lack a fused path (bucketed eval / '
-                  'mesh-sharded tiling) — using the standard protocol.')
+            print('fused_eval: some models lack a fused path (bucketed eval) — '
+                  'using the standard protocol.')
         # undo fused-run transport if a previous protocol call enabled it: this
         # path expects float, host-stacked batches
         for ds in getattr(self.rgb_data.dataset, 'datasets', [self.rgb_data.dataset]):

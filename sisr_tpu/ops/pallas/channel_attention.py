@@ -86,6 +86,9 @@ def _ca_kernel_single(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, hw):
 
 # pallas double-buffers both in and out blocks (4x the block size in VMEM)
 _SINGLE_BLOCK_BUDGET = 3 * 1024 * 1024
+# the CA+residual variant counts x+r bytes against this; with out and double
+# buffering a 12 MB block keeps peak VMEM ~32 MB on a 128 MB part
+_RES_SINGLE_BLOCK_BUDGET = 12 * 1024 * 1024
 
 
 def _fused_ca_forward(x, w1, b1, w2, b2, interpret=False):
@@ -190,8 +193,12 @@ def _fused_ca_res_forward(x, r, w1, b1, w2, b2, interpret=False):
     weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
     out_dtype = r.dtype
 
+    # larger budget than the plain-CA kernel: the single-block path is where the
+    # fusion actually wins HBM traffic (1R(x)+1R(r)+1W vs XLA's 2R(x)+1R(r)+1W),
+    # and v5e VMEM (~128 MB) comfortably holds a double-buffered 12 MB x+r block
+    # (the e2e bench shape, 128^2 x 64 f32+bf16 per image, is 6.3 MB)
     if (h * w * c * (x.dtype.itemsize + r.dtype.itemsize)
-            <= _SINGLE_BLOCK_BUDGET):
+            <= _RES_SINGLE_BLOCK_BUDGET):
         return pl.pallas_call(
             functools.partial(_ca_res_kernel_single, hw=float(h * w)),
             out_shape=jax.ShapeDtypeStruct(x.shape, out_dtype),
@@ -213,12 +220,17 @@ def _fused_ca_res_forward(x, r, w1, b1, w2, b2, interpret=False):
     def out_index(i, t):
         return (i, jnp.where(t < n_tiles, 0, t - n_tiles), 0, 0)
 
+    # r is only READ in phase B: park its block during phase A (pallas fetches
+    # blocks per index map whether or not the kernel reads them — streaming r in
+    # phase A would re-spend the exact HBM round trip this fusion saves)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(x.shape, out_dtype),
         grid=(n, 2 * n_tiles),
         in_specs=[pl.BlockSpec((1, tile_h, w, c), in_index,
-                               memory_space=pltpu.VMEM)] * 2 + weight_specs,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile_h, w, c), out_index,
+                               memory_space=pltpu.VMEM)] + weight_specs,
         out_specs=pl.BlockSpec((1, tile_h, w, c), out_index,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, c), jnp.float32),

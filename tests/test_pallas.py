@@ -36,9 +36,15 @@ def test_fused_ca_odd_heights_interpret():
 
 
 @pytest.mark.parametrize('shape', [(2, 16, 8, 32), (1, 13, 8, 32)])
-def test_fused_ca_residual_interpret(shape):
+@pytest.mark.parametrize('force_tiled', [False, True])
+def test_fused_ca_residual_interpret(shape, force_tiled, monkeypatch):
     """CA + residual-add epilogue (the int8 RCAB block tail): f32 conv output,
-    bf16 carry, output in the carry dtype — single-block and tiled grids."""
+    bf16 carry, output in the carry dtype — single-block and tiled grids
+    (tiled forced via a 1-byte budget; the parked-r index map must still align
+    residual tiles with output tiles in phase B)."""
+    from sisr_tpu.ops.pallas import channel_attention as ca_mod
+    if force_tiled:
+        monkeypatch.setattr(ca_mod, '_RES_SINGLE_BLOCK_BUDGET', 1)
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.rand(*shape), jnp.float32)
     r = jnp.asarray(rng.rand(*shape), jnp.bfloat16)
