@@ -40,7 +40,7 @@ METRIC = 'images_per_sec_per_chip_edsr_4x_eval_protocol_128to512'
 PEAK_TFLOPS = float(os.environ.get('BENCH_PEAK_TFLOPS', '197'))
 
 
-def probe_backend(budget=75.0, retries=3):
+def probe_backend(budget=None, retries=None):
     """Initialize the accelerator backend in a SUBPROCESS with a wall-clock budget,
     retrying with backoff.  The remote-attached TPU service (axon tunnel) can be
     transiently unreachable, and an in-process ``jax.devices()`` then blocks forever
@@ -48,6 +48,10 @@ def probe_backend(budget=75.0, retries=3):
     rc=124 driver artifact.  Returns the platform name, or None if the backend never
     came up (callers must then emit a structured error line, not a traceback)."""
     import subprocess
+    if budget is None:
+        budget = float(os.environ.get('BENCH_PROBE_BUDGET', '75'))
+    if retries is None:
+        retries = int(os.environ.get('BENCH_PROBE_RETRIES', '3'))
     # honor JAX_PLATFORMS through jax.config too: the axon sitecustomize imports
     # jax before user code, after which the env var alone no longer selects the
     # platform (same workaround as tests/conftest.py and dryrun_multichip)

@@ -1,0 +1,47 @@
+"""Driver-artifact contracts under TPU-service outage.
+
+Round-3 regression being guarded: with the remote TPU tunnel down, `bench.py`
+died with a bare traceback (no JSON line) and `dryrun_multichip` hung forever in
+backend-init retries (rc=124).  Both must now degrade structurally: bench prints
+ONE parseable JSON line with an error field, and the dryrun completes on the
+virtual CPU platform regardless of real-backend availability.  The dead TPU is
+reproduced by pointing the axon pool at a closed local port.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEAD_TPU_ENV = {**os.environ,
+                'JAX_PLATFORMS': 'axon',
+                'PALLAS_AXON_POOL_IPS': '127.0.0.1:1'}
+
+
+def test_bench_emits_structured_error_when_tpu_unreachable():
+    env = {**DEAD_TPU_ENV, 'BENCH_PROBE_BUDGET': '5', 'BENCH_PROBE_RETRIES': '1'}
+    res = subprocess.run([sys.executable, os.path.join(REPO, 'bench.py')],
+                         cwd=REPO, env=env, capture_output=True, text=True,
+                         timeout=180)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [l for l in res.stdout.splitlines() if l.startswith('{')]
+    assert len(lines) == 1, res.stdout
+    rec = json.loads(lines[0])
+    assert rec['value'] is None and rec['vs_baseline'] is None
+    assert 'tpu-unavailable' in rec['error']
+    assert rec['metric'].startswith('images_per_sec_per_chip')
+
+
+def test_dryrun_multichip_completes_with_tpu_unreachable():
+    code = ("import sys; sys.path.insert(0, %r); "
+            "import __graft_entry__ as g; g.dryrun_multichip(4); "
+            "print('DRYRUN_OK')" % REPO)
+    res = subprocess.run([sys.executable, '-c', code], cwd=REPO,
+                         env=DEAD_TPU_ENV, capture_output=True, text=True,
+                         timeout=480)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert 'DRYRUN_OK' in res.stdout
