@@ -316,19 +316,27 @@ class EvalHub:
                 batches = self._collecting_iter(batches, collect)
         # results download on a BACKGROUND thread as soon as each batch dispatches:
         # the compute wait + the payload-independent ~31 ms download round trip then
-        # overlap the next batches' decode instead of serializing at the end
-        fetcher = ThreadPoolExecutor(max_workers=1)
+        # overlap the next batches' decode instead of serializing at the end.
+        # When batches come from the device cache there is no decode to overlap —
+        # defer realization entirely and download ONE concatenated matrix per
+        # model (one round trip total instead of one per batch).
+        defer = self._device_batch_cache is not None and not self.time_models
+        fetcher = None if defer else ThreadPoolExecutor(max_workers=1)
         try:
             self._run_fused_loop(batches, pending, metric_package, fetcher)
         finally:
-            fetcher.shutdown(wait=True)
+            if fetcher is not None:
+                fetcher.shutdown(wait=True)
         if collect is not None:  # commit only after a COMPLETE pass
             total = sum(getattr(v, 'nbytes', 0) for b in collect
                         for v in b.values() if hasattr(v, 'nbytes'))
             if total <= self._device_batch_cache_cap:
                 self._device_batch_cache = collect
+        if defer and pending:
+            self._realize_pending_grouped(pending)
         for experiment, is_first, keys, fut, runtime, n in pending:
-            rows = dict(zip(keys, np.asarray(fut.result())))
+            vals = fut.result() if hasattr(fut, 'result') else fut
+            rows = dict(zip(keys, np.asarray(vals)))
             for met in self.metrics:
                 if is_first:
                     metric_package['LR>%s' % met].append(
@@ -350,6 +358,28 @@ class EvalHub:
             out.append(b)
             yield b
 
+    @staticmethod
+    def _realize_pending_grouped(pending):
+        """Replace each pending entry's unrealized (K, N) device matrix with its
+        host slice, downloading one concatenated matrix per (model, keys) group —
+        the device tunnel charges a payload-independent ~31 ms per transfer, so
+        per-batch downloads dominate the cached fast path."""
+        import jax
+        import jax.numpy as jnp
+        groups = OrderedDict()
+        for i, entry in enumerate(pending):
+            groups.setdefault((entry[0], entry[2]), []).append(i)
+        for idxs in groups.values():
+            mats = [pending[i][3] for i in idxs]
+            cat = mats[0] if len(mats) == 1 else jnp.concatenate(mats, axis=1)
+            host = np.asarray(jax.device_get(cat))
+            off = 0
+            for i, mat in zip(idxs, mats):
+                exp, first, keys, _, rt, n = pending[i]
+                width = mat.shape[1]
+                pending[i] = (exp, first, keys, host[:, off:off + width], rt, n)
+                off += width
+
     def _run_fused_loop(self, batches, pending, metric_package, fetcher):
         import jax
         with tqdm(total=len(self.rgb_data)) as pbar:
@@ -362,7 +392,10 @@ class EvalHub:
                     (keys, vals), runtime = model.model.run_eval_fused(
                         batch, metrics=tuple(self.metrics), timing=self.time_models,
                         include_lr=idx == 0)
-                    fut = fetcher.submit(jax.device_get, vals)
+                    # no fetcher => deferred: the unrealized device matrix is
+                    # downloaded later in one grouped transfer per model
+                    fut = vals if fetcher is None \
+                        else fetcher.submit(jax.device_get, vals)
                     pending.append((model.experiment, idx == 0, keys, fut,
                                     runtime, len(im_names)))
                     if runtime is not None and 'PSNR' in self.metrics:
