@@ -121,6 +121,15 @@ def test_rcan_int8_static_quality():
         assert out.shape == out_f32.shape
         assert psnr(out, out_f32, max_value=1.0) > 35, dtype
 
+    # ca_epilogue='pallas' (fused CA+residual block tail) must agree with 'xla'
+    # to rounding-order tolerance — on CPU the op falls back to the reference
+    # math, so this validates the plumbing (param trees, shapes, dtypes);
+    # tools/bench_pallas_epilogue measures the kernel itself on the real chip
+    out_xla = np.asarray(rcan_int8_forward_static(qparams, scales, x, 2, 2))
+    out_pal = np.asarray(rcan_int8_forward_static(qparams, scales, x, 2, 2,
+                                                  ca_epilogue='pallas'))
+    assert psnr(out_pal, out_xla, max_value=1.0) > 55
+
 
 def test_handler_int8_serving_path():
     """set_int8 through the handler: quantize+calibrate lazily on the first eval
