@@ -242,6 +242,11 @@ class EvalHub:
 
     def direct_model_protocol(self):
         """SR-image-only run (ref: standard_eval.py:187-215)."""
+        # undo fused-run transport if a previous protocol call on this hub
+        # enabled it: this path expects float, host-stacked batches
+        for ds in getattr(self.rgb_data.dataset, 'datasets', [self.rgb_data.dataset]):
+            ds.keep_uint8 = False
+        self.rgb_data.device_collate = False
         self.interp_data = iter(self.interp_loader) if self.interp_loader else None
         with tqdm(total=len(self.rgb_data)) as pbar:
             for index, batch in enumerate(self.rgb_data):
