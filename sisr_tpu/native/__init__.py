@@ -50,7 +50,18 @@ def _load_native(src_name, extra_flags, configure):
             lib = ctypes.CDLL(lib_path)
             configure(lib)
             _LIBS[src_name] = lib
-        except Exception:
+        except Exception as exc:
+            # degrade to the Python fallback, but say WHY once — a silent
+            # fallback reads as a mysterious ~10x data-pipeline slowdown
+            detail = ''
+            if isinstance(exc, subprocess.CalledProcessError):
+                detail = (exc.stderr or b'').decode(
+                    errors='replace').strip().splitlines()[-1:]
+                detail = ': %s' % detail[0] if detail else ''
+            import sys
+            print('sisr_tpu.native: %s unavailable (%s%s) — using the Python '
+                  'fallback' % (src_name, type(exc).__name__, detail),
+                  file=sys.stderr)
             _LIBS[src_name] = None
         return _LIBS[src_name]
 

@@ -36,6 +36,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _excite(pooled, w1_ref, b1_ref, w2_ref, b2_ref):
+    """Shared excitation MLP: sigmoid(relu(pooled @ w1 + b1) @ w2 + b2), f32.
+    ONE definition so the four kernel bodies cannot drift numerically."""
+    hidden = jnp.maximum(
+        jnp.dot(pooled, w1_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32) + b1_ref[...], 0.0)
+    return jax.nn.sigmoid(
+        jnp.dot(hidden, w2_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32) + b2_ref[...])
+
+
 def _ca_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, acc_ref, att_ref, *,
                n_tiles, hw):
     t = pl.program_id(1)
@@ -50,13 +61,8 @@ def _ca_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, acc_ref, att_ref,
 
     @pl.when(t == n_tiles - 1)
     def _():
-        pooled = acc_ref[...] / hw  # (1, C) f32
-        hidden = jnp.maximum(
-            jnp.dot(pooled, w1_ref[...].astype(jnp.float32),
-                    preferred_element_type=jnp.float32) + b1_ref[...], 0.0)
-        att_ref[...] = jax.nn.sigmoid(
-            jnp.dot(hidden, w2_ref[...].astype(jnp.float32),
-                    preferred_element_type=jnp.float32) + b2_ref[...])
+        att_ref[...] = _excite(acc_ref[...] / hw, w1_ref, b1_ref,
+                               w2_ref, b2_ref)
 
     @pl.when(t >= n_tiles)
     def _():
@@ -75,12 +81,7 @@ def _pick_tile(h, w, c, itemsize, budget=1024 * 1024):
 def _ca_kernel_single(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, hw):
     """Whole feature map resident in VMEM: one HBM read + one HBM write."""
     pooled = jnp.sum(x_ref[0].astype(jnp.float32), axis=(0, 1))[None, :] / hw
-    hidden = jnp.maximum(
-        jnp.dot(pooled, w1_ref[...].astype(jnp.float32),
-                preferred_element_type=jnp.float32) + b1_ref[...], 0.0)
-    att = jax.nn.sigmoid(
-        jnp.dot(hidden, w2_ref[...].astype(jnp.float32),
-                preferred_element_type=jnp.float32) + b2_ref[...])
+    att = _excite(pooled, w1_ref, b1_ref, w2_ref, b2_ref)
     out_ref[...] = x_ref[...] * att[0][None, None, None, :].astype(x_ref.dtype)
 
 
@@ -139,12 +140,7 @@ def _ca_res_kernel_single(x_ref, r_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
                           hw):
     """CA + residual-add epilogue, whole map in VMEM: out = x*att(x) + r."""
     pooled = jnp.sum(x_ref[0].astype(jnp.float32), axis=(0, 1))[None, :] / hw
-    hidden = jnp.maximum(
-        jnp.dot(pooled, w1_ref[...].astype(jnp.float32),
-                preferred_element_type=jnp.float32) + b1_ref[...], 0.0)
-    att = jax.nn.sigmoid(
-        jnp.dot(hidden, w2_ref[...].astype(jnp.float32),
-                preferred_element_type=jnp.float32) + b2_ref[...])
+    att = _excite(pooled, w1_ref, b1_ref, w2_ref, b2_ref)
     out_ref[...] = (x_ref[...].astype(jnp.float32)
                     * att[0][None, None, None, :]
                     + r_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
@@ -164,13 +160,8 @@ def _ca_res_kernel(x_ref, r_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, acc_re
 
     @pl.when(t == n_tiles - 1)
     def _():
-        pooled = acc_ref[...] / hw
-        hidden = jnp.maximum(
-            jnp.dot(pooled, w1_ref[...].astype(jnp.float32),
-                    preferred_element_type=jnp.float32) + b1_ref[...], 0.0)
-        att_ref[...] = jax.nn.sigmoid(
-            jnp.dot(hidden, w2_ref[...].astype(jnp.float32),
-                    preferred_element_type=jnp.float32) + b2_ref[...])
+        att_ref[...] = _excite(acc_ref[...] / hw, w1_ref, b1_ref,
+                               w2_ref, b2_ref)
 
     @pl.when(t >= n_tiles)
     def _():

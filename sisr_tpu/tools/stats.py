@@ -60,7 +60,7 @@ def save_statistics(experiment_log_dir, filename, stats_dict, selected_data=None
 def legacy_load_statistics(experiment_log_dir, filename):
     """summary.csv -> dict of lists (ref: stats.py:112-132)."""
     summary_filename = os.path.join(experiment_log_dir, filename)
-    with open(summary_filename, 'r+') as f:
+    with open(summary_filename, 'r') as f:
         lines = f.readlines()
     keys = lines[0].rstrip('\n').split(',')
     stats = {key: [] for key in keys}
@@ -116,7 +116,7 @@ def read_vari_stats(load_dir, filename):
     """(ref: stats.py:143-156)"""
     import numpy as np
     filename = os.path.join(load_dir, filename)
-    with open(filename, 'r+') as f:
+    with open(filename, 'r') as f:
         lines = f.readlines()
     data = {}
     xvals = None

@@ -40,14 +40,18 @@ def _index_converter(ind, images_per_row):
     return int(ind / images_per_row), ind % images_per_row
 
 
+def _hide_unused_axes(ax, rows, images_per_row, images_per_fig, double_indexing):
+    for raw_ind in range(images_per_fig, rows * images_per_row):
+        ind = _index_converter(raw_ind, images_per_row) if double_indexing else raw_ind
+        ax[ind].axis('off')
+
+
 def _prep_figure(rows, images_per_row, images_per_fig, double_indexing, figsize=(10, 10)):
     f, ax = plt.subplots(rows, images_per_row, figsize=figsize)
     if rows * images_per_row == 1:
         ax = np.array([ax])
     ax = np.atleast_1d(ax)
-    for raw_ind in range(images_per_fig, rows * images_per_row):
-        ind = _index_converter(raw_ind, images_per_row) if double_indexing else raw_ind
-        ax[ind].axis('off')
+    _hide_unused_axes(ax, rows, images_per_row, images_per_fig, double_indexing)
     return f, ax
 
 
@@ -57,7 +61,8 @@ def interpret_sisr_images(image_package, metrics, metric_names, out_loc, names,
     """Comparison collage per image (ref: visualization.py:72-185)."""
     images_per_fig = len(image_package)
     rows = math.ceil(images_per_fig / images_per_row)
-    double_indexing = rows != 1
+    # a 1-wide grid gives a 1-D axes array (like a 1-row grid): plain indexing
+    double_indexing = rows != 1 and images_per_row != 1
     metrics = metrics if metrics is not None else {}
     metric_names = metric_names if metric_names is not None else []
 
@@ -84,6 +89,10 @@ def interpret_sisr_images(image_package, metrics, metric_names, out_loc, names,
         if im_index:  # re-drawing on the same axes would stack full-res images
             for a in np.ravel(ax):  # and union data limits across image sizes
                 a.clear()
+            # Axes.clear() re-enables the axis: re-hide the unused grid cells,
+            # or every collage after the first grows empty ticked boxes
+            _hide_unused_axes(ax, rows, images_per_row, images_per_fig,
+                              double_indexing)
         for key, val in image_package.items():
             plot_ind, title = image_ordering[key]
             if double_indexing:

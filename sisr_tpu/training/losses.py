@@ -26,6 +26,14 @@ def build_loss(loss_type='l1', perceptual=None, vgg_apply=None, lambda_pixel=1.0
     if perceptual is None:
         return base
 
+    if loss_type != 'l1':
+        # reference parity: PerceptualMechanism REPLACES the criterion and its
+        # pixel term is always L1 (ref loss_functions.py:6-22) — say so instead
+        # of silently training with a different pixel loss than configured
+        print("Warning: perceptual loss overrides the configured '%s' pixel "
+              "criterion with L1 (reference PerceptualMechanism semantics)."
+              % loss_type)
+
     if vgg_apply is None:
         raise RuntimeError('Perceptual loss requested but no VGG feature extractor is '
                            'available (provide pretrained weights — see '

@@ -26,9 +26,29 @@ def test_fused_ca_matches_reference_interpret():
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
 
 
-def test_fused_ca_odd_heights_interpret():
+def _force_multi_tile(monkeypatch, rows_per_tile=4):
+    """Force the two-phase tiled grid with SMALL tiles: shrink both the
+    single-block budget (so the tiled path is taken) and _pick_tile's budget
+    (so n_tiles > 1 — otherwise tile_h == h and the cross-step accumulator,
+    rem() revisits and parked index maps are never exercised)."""
+    from sisr_tpu.ops.pallas import channel_attention as ca_mod
+    orig = ca_mod._pick_tile
+
+    def small_tiles(h, w, c, itemsize):
+        return orig(h, w, c, itemsize, budget=rows_per_tile * w * c * itemsize)
+
+    monkeypatch.setattr(ca_mod, '_SINGLE_BLOCK_BUDGET', 1)
+    monkeypatch.setattr(ca_mod, '_RES_SINGLE_BLOCK_BUDGET', 1)
+    monkeypatch.setattr(ca_mod, '_pick_tile', small_tiles)
+
+
+@pytest.mark.parametrize('shape', [(2, 16, 8, 32), (1, 13, 8, 32)])
+def test_fused_ca_multi_tile_grid_interpret(shape, monkeypatch):
+    """The two-phase tiled grid with n_tiles > 1 (4 tiles for H=16; H=13 prime
+    degrades to tile_h=1, 13 tiles): cross-step accumulation + revisit phase."""
+    _force_multi_tile(monkeypatch)
     rng = np.random.RandomState(1)
-    x = jnp.asarray(rng.rand(1, 13, 8, 32), jnp.float32)  # H=13 prime -> tile_h=1
+    x = jnp.asarray(rng.rand(*shape), jnp.float32)
     w1, b1, w2, b2 = _params(rng)
     fused = _fused_ca_forward(x, w1, b1, w2, b2, interpret=True)
     ref = _reference_ca(x, w1, b1, w2, b2)
@@ -39,12 +59,11 @@ def test_fused_ca_odd_heights_interpret():
 @pytest.mark.parametrize('force_tiled', [False, True])
 def test_fused_ca_residual_interpret(shape, force_tiled, monkeypatch):
     """CA + residual-add epilogue (the int8 RCAB block tail): f32 conv output,
-    bf16 carry, output in the carry dtype — single-block and tiled grids
-    (tiled forced via a 1-byte budget; the parked-r index map must still align
-    residual tiles with output tiles in phase B)."""
-    from sisr_tpu.ops.pallas import channel_attention as ca_mod
+    bf16 carry, output in the carry dtype — single-block and MULTI-tile grids
+    (the parked-r index map must still align residual tiles with output tiles
+    in phase B across several tiles)."""
     if force_tiled:
-        monkeypatch.setattr(ca_mod, '_RES_SINGLE_BLOCK_BUDGET', 1)
+        _force_multi_tile(monkeypatch)
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.rand(*shape), jnp.float32)
     r = jnp.asarray(rng.rand(*shape), jnp.bfloat16)

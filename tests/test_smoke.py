@@ -61,6 +61,24 @@ def test_data_layer_smoke(tmp_path):
     assert batch['metadata'].shape == (2, 10)
 
 
+def test_collage_multi_image_and_one_wide(tmp_path):
+    """Comparison collages across multiple images (axes are cleared and the
+    unused grid cells re-hidden between images) and the 1-wide grid layout
+    (matplotlib returns a 1-D axes array there — tuple indexing would crash)."""
+    from collections import OrderedDict
+    from sisr_tpu.tools.visualization import interpret_sisr_images
+    rng = np.random.RandomState(0)
+    pkg = OrderedDict([('HR', rng.rand(2, 16, 16, 3)),
+                       ('LR', rng.rand(2, 16, 16, 3)),
+                       ('exp', rng.rand(2, 16, 16, 3))])
+    interpret_sisr_images(pkg, {'exp>PSNR': [30.0, 31.0]}, ['PSNR'],
+                          str(tmp_path), names=['a.pdf', 'b.pdf'], config='rgb')
+    interpret_sisr_images(pkg, {}, [], str(tmp_path), names=['c.pdf', 'd.pdf'],
+                          config='rgb', images_per_row=1)
+    for n in ('a.pdf', 'b.pdf', 'c.pdf', 'd.pdf'):
+        assert os.path.getsize(os.path.join(str(tmp_path), n)) > 0
+
+
 def test_int8_conv_smoke():
     """int8 conv matches the f32 conv within quantization tolerance."""
     import jax.numpy as jnp
