@@ -233,6 +233,16 @@ class BaseHandler:
                 fwd = jax.jit(lambda qp_, xx, mm: qz.rcan_int8_forward_static(
                     qp_, scales, xx, m.n_resgroups, m.n_resblocks,
                     residual_dtype=rd))
+            elif self.int8_family == 'han':
+                qp = qz.quantize_han_params(params, m.n_resgroups, m.n_resblocks)
+                scales = qz.calibrate_han_scales(params, [x], m.n_resgroups,
+                                                 m.n_resblocks, margin=1.1)
+                rd = self.int8_residual_dtype \
+                    if self.int8_residual_dtype in ('float32', 'bfloat16') \
+                    else 'bfloat16'
+                fwd = jax.jit(lambda qp_, xx, mm: qz.han_int8_forward_static(
+                    qp_, scales, xx, m.n_resgroups, m.n_resblocks,
+                    residual_dtype=rd))
             elif self.int8_family == 'qrcan':
                 if meta is None:
                     raise RuntimeError('int8 QRCAN calibration needs a metadata '
@@ -986,6 +996,7 @@ class HANHandler(BaseHandler):
     """(ref: advanced/handlers.py:42-55).  The reference handler hardcodes the
     full-size net; optional arch kwargs (defaults unchanged) let imported or
     test-sized checkpoints evaluate — same superset SANHandler provides."""
+    int8_family = 'han'
 
     def build_module(self, scale, dtype, **kwargs):
         cfg = {k: v for k, v in kwargs.items()

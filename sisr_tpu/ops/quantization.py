@@ -375,6 +375,182 @@ def rcan_int8_forward_static(qparams, act_scales, x, n_resgroups=10, n_resblocks
     return qconv('tail', qparams['tail'], res)
 
 
+def quantize_han_params(params, n_resgroups=10, n_resblocks=20):
+    """Quantize a HAN parameter tree (models/advanced.py naming) to int8.
+
+    HAN = the RCAN body + layer attention (LAM) + channel-spatial attention
+    (CSAM) + two fusion convs: the 3x3 convs (incl. the wide ``last_conv``
+    (N+1)*C->C fusion, the biggest single matmul in the net) go int8; LAM and
+    CSAM stay f32 (softmax/sigmoid gates over tiny FLOPs)."""
+    def q(entry):
+        qk, s = quantize_kernel_int8(entry['kernel'])
+        return {'kernel': qk, 'scale': s,
+                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+
+    def f32(tree):
+        return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
+
+    out = quantize_rcan_params(params, n_resgroups, n_resblocks)
+    out['last_conv'] = q(params['last_conv'])
+    out['last'] = q(params['last'])
+    out['la'] = f32(params['la'])
+    out['csa'] = f32(params['csa'])
+    return out
+
+
+def _lam_apply(entry, stack_f32):
+    """LAM on the (B, N, H, W, C) f32 stack (mirrors models/advanced.py LAM)."""
+    b, n, h, w, c = stack_f32.shape
+    flat = stack_f32.reshape(b, n, -1)
+    energy = jnp.einsum('bnd,bmd->bnm', flat, flat,
+                        preferred_element_type=jnp.float32)
+    energy_new = jnp.max(energy, axis=-1, keepdims=True) - energy
+    attention = jax.nn.softmax(energy_new, axis=-1)
+    out = jnp.einsum('bnm,bmd->bnd', attention, flat)
+    out = entry['gamma'] * out.reshape(b, n, h, w, c) + stack_f32
+    return out.transpose(0, 2, 3, 1, 4).reshape(b, h, w, n * c)
+
+
+def _csam_apply(entry, h_f32):
+    """CSAM on the (B, H, W, C) f32 map (mirrors models/advanced.py CSAM)."""
+    vol = h_f32.transpose(0, 3, 1, 2)[..., None]
+    dn = jax.lax.conv_dimension_numbers(vol.shape, entry['conv3d_kernel'].shape,
+                                        ('NDHWC', 'DHWIO', 'NDHWC'))
+    out = jax.lax.conv_general_dilated(vol, entry['conv3d_kernel'], (1, 1, 1),
+                                       'SAME', dimension_numbers=dn)
+    out = jax.nn.sigmoid(out + entry['conv3d_bias'])
+    out = entry['gamma'] * out[..., 0].transpose(0, 2, 3, 1)
+    return h_f32 * out + h_f32
+
+
+def _han_float_forward(params, x, n_resgroups, n_resblocks, track=None):
+    """f32 HAN forward used for calibration (mirrors models/advanced.py HAN)."""
+    from ..models.blocks import pixel_shuffle
+
+    tr = track or (lambda name, h: h)
+
+    def fconv(entry, h):
+        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
+                                            dimension_numbers=dn) + entry['bias']
+
+    def ca(entry, h):
+        a = jnp.mean(h, axis=(1, 2))
+        a = jax.nn.relu(a @ entry['du_0']['kernel'] + entry['du_0']['bias'])
+        a = jax.nn.sigmoid(a @ entry['du_1']['kernel'] + entry['du_1']['bias'])
+        return h * a[:, None, None, :]
+
+    h = fconv(params['head'], tr('head', x))
+    res = tr('_residual', h)
+    stack = []
+    for g in range(n_resgroups):
+        grp = params['group_%d' % g]
+        r = res
+        for b in range(n_resblocks):
+            blk = grp['rcab_%d' % b]
+            pre = 'group_%d.rcab_%d' % (g, b)
+            y = jax.nn.relu(fconv(blk['conv_0'], tr(pre + '.conv_0', r)))
+            y = fconv(blk['conv_1'], tr(pre + '.conv_1', y))
+            r = tr('_residual', ca(blk['ca'], y) + r)
+        res = tr('_residual',
+                 fconv(grp['conv_tail'], tr('group_%d.conv_tail' % g, r)) + res)
+        stack.append(res)
+    res = fconv(params['body_tail'], tr('body_tail', res))
+    stack.append(res)
+    res1 = jnp.stack(stack[::-1], axis=1)  # newest first (ref torch.cat order)
+    la = _lam_apply(params['la'], res1)
+    out2 = fconv(params['last_conv'], tr('last_conv', la))
+    out1 = _csam_apply(params['csa'], res)
+    out = jnp.concatenate([out1, out2], axis=-1)
+    res = fconv(params['last'], tr('last', out)) + h
+    _check_rcan_upsampler_pow2(params['upsampler'])
+    for i in range(sum(1 for k in params['upsampler'] if k.startswith('conv_'))):
+        res = fconv(params['upsampler']['conv_%d' % i],
+                    tr('upsampler.conv_%d' % i, res))
+        res = pixel_shuffle(res, 2)
+    return fconv(params['tail'], tr('tail', res))
+
+
+def calibrate_han_scales(params, sample_batches, n_resgroups=10, n_resblocks=20,
+                         margin=1.0):
+    """Static activation scales for the int8 HAN forward (absmax calibration)."""
+    maxes = {}
+
+    def track(name, h):
+        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
+        return h
+
+    if not sample_batches:
+        raise ValueError('no calibration batches provided.')
+    for x in sample_batches:
+        _han_float_forward(params, jnp.asarray(x, jnp.float32), n_resgroups,
+                           n_resblocks, track=track)
+    maxes.pop('_residual')
+    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+
+
+def han_int8_forward_static(qparams, act_scales, x, n_resgroups=10, n_resblocks=20,
+                            residual_dtype='bfloat16', ca_epilogue='xla'):
+    """Quantized HAN forward: int8 convs + f32 channel/layer/spatial attention.
+
+    Same recipe as :func:`rcan_int8_forward_static`; the LAM stack and CSAM
+    volume attention run once per image in f32 (their cost is dwarfed by the
+    n_resgroups*n_resblocks conv body)."""
+    from ..models.blocks import pixel_shuffle
+
+    if residual_dtype not in ('float32', 'bfloat16'):
+        raise ValueError('residual_dtype must be float32 | bfloat16')
+    carry_t = jnp.float32 if residual_dtype == 'float32' else jnp.bfloat16
+
+    def qconv(name, tree, h):
+        return conv_int8_static(h, tree['kernel'], tree['scale'], act_scales[name],
+                                tree['bias'])
+
+    def ca(entry, h):
+        a = jnp.mean(h, axis=(1, 2)).astype(jnp.float32)
+        a = jax.nn.relu(a @ entry['du_0']['kernel'] + entry['du_0']['bias'])
+        a = jax.nn.sigmoid(a @ entry['du_1']['kernel'] + entry['du_1']['bias'])
+        return h * a[:, None, None, :].astype(h.dtype)
+
+    def ca_res(entry, h, r):
+        if ca_epilogue == 'pallas':
+            from .pallas.channel_attention import fused_channel_attention_residual
+            return fused_channel_attention_residual(
+                h, r, entry['du_0']['kernel'], entry['du_0']['bias'],
+                entry['du_1']['kernel'], entry['du_1']['bias'])
+        return ca(entry, h).astype(carry_t) + r
+
+    h = qconv('head', qparams['head'], x).astype(carry_t)
+    res = h
+    stack = []
+    for g in range(n_resgroups):
+        grp = qparams['group_%d' % g]
+        r = res
+        for b in range(n_resblocks):
+            blk = grp['rcab_%d' % b]
+            pre = 'group_%d.rcab_%d' % (g, b)
+            y = jax.nn.relu(qconv(pre + '.conv_0', blk['conv_0'], r))
+            y = qconv(pre + '.conv_1', blk['conv_1'], y)
+            r = ca_res(blk['ca'], y, r)
+        res = qconv('group_%d.conv_tail' % g, grp['conv_tail'], r).astype(carry_t) \
+            + res
+        stack.append(res)
+    res = qconv('body_tail', qparams['body_tail'], res)
+    stack.append(res.astype(carry_t))
+    res1 = jnp.stack(stack[::-1], axis=1).astype(jnp.float32)
+    la = _lam_apply(qparams['la'], res1)
+    out2 = qconv('last_conv', qparams['last_conv'], la)
+    out1 = _csam_apply(qparams['csa'], res.astype(jnp.float32))
+    out = jnp.concatenate([out1, out2], axis=-1)
+    res = qconv('last', qparams['last'], out) + h.astype(jnp.float32)
+    _check_rcan_upsampler_pow2(qparams['upsampler'])
+    for i in range(sum(1 for k in qparams['upsampler'] if k.startswith('conv_'))):
+        res = qconv('upsampler.conv_%d' % i, qparams['upsampler']['conv_%d' % i], res)
+        res = pixel_shuffle(res, 2)
+    return qconv('tail', qparams['tail'], res)
+
+
 def quantize_qrcan_params(params, n_resgroups=10, n_resblocks=20):
     """Quantize a QRCAN parameter tree (models/qmodels.py naming) to int8.
 

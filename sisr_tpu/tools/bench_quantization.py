@@ -59,6 +59,30 @@ def _rcan_section(x):
           % (tput, tput / bf16_tput, fid))
 
 
+def _han_section(x):
+    from ..models.advanced import HAN
+    from ..ops.quantization import (calibrate_han_scales, quantize_han_params,
+                                    han_int8_forward_static)
+
+    model = HAN(dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(2), x)
+    f32_model = HAN()
+    qparams = quantize_han_params(variables['params'])
+    scales = calibrate_han_scales(variables['params'], [np.asarray(x[:2])])
+    ref = np.asarray(f32_model.apply(variables, x[:1]))
+
+    bf16_tput = _timed(_make_loop(lambda h: model.apply(variables, h)), x)
+    print('han bf16 model            : %8.1f img/s' % bf16_tput)
+    for epi in ('xla', 'pallas'):
+        fwd = lambda h, e=epi: han_int8_forward_static(qparams, scales, h,
+                                                       ca_epilogue=e)
+        tput = _timed(_make_loop(fwd), x)
+        err = np.abs(np.asarray(fwd(x[:1])) - ref)
+        fid = 10 * np.log10(1.0 / max(float((err ** 2).mean()), 1e-12))
+        print('han int8 %-6s, bf16 res: %8.1f img/s  (%.2fx bf16, %4.1f dB vs f32)'
+              % (epi, tput, tput / bf16_tput, fid))
+
+
 def _qrcan_section(x):
     from ..models.qmodels import QRCAN
     from ..ops.quantization import (calibrate_qrcan_scales, quantize_qrcan_params,
@@ -115,6 +139,7 @@ def main():
               % (dtype, tput, tput / bf16_tput, fid))
 
     _rcan_section(x)
+    _han_section(x)
     _qrcan_section(x)
 
 
