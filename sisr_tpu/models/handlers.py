@@ -243,6 +243,20 @@ class BaseHandler:
                 fwd = jax.jit(lambda qp_, xx, mm: qz.han_int8_forward_static(
                     qp_, scales, xx, m.n_resgroups, m.n_resblocks,
                     residual_dtype=rd))
+            elif self.int8_family == 'qhan':
+                if meta is None:
+                    raise RuntimeError('int8 QHAN calibration needs a metadata '
+                                       'batch alongside the first LR batch.')
+                qp = qz.quantize_qhan_params(params, m.n_resgroups, m.n_resblocks)
+                scales = qz.calibrate_qhan_scales(
+                    params, [x], [meta], n_resgroups=m.n_resgroups,
+                    n_resblocks=m.n_resblocks, margin=1.1)
+                rd = self.int8_residual_dtype \
+                    if self.int8_residual_dtype in ('float32', 'bfloat16') \
+                    else 'bfloat16'
+                fwd = jax.jit(lambda qp_, xx, mm: qz.qhan_int8_forward_static(
+                    qp_, scales, xx, mm, n_resgroups=m.n_resgroups,
+                    n_resblocks=m.n_resblocks, residual_dtype=rd))
             elif self.int8_family == 'qrcan':
                 if meta is None:
                     raise RuntimeError('int8 QRCAN calibration needs a metadata '
@@ -1148,6 +1162,7 @@ class QSANHandler(QHandler):
 @register_model('qhan')
 class QHANHandler(QHandler):
     """(ref: attention_manipulators/handlers.py:156-171)"""
+    int8_family = 'qhan'
 
     def build_module(self, scale, dtype, n_feats=None, n_resgroups=None,
                      n_resblocks=None, reduction=None, **kwargs):

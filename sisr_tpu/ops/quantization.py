@@ -585,6 +585,165 @@ def quantize_qrcan_params(params, n_resgroups=10, n_resblocks=20):
     return out
 
 
+def quantize_qhan_params(params, n_resgroups=10, n_resblocks=20):
+    """Quantize a QHAN parameter tree to int8: HAN's outer structure (LAM/CSAM +
+    fusion convs) with QRCAN-style meta-attention groups — convs int8, every
+    attention stage (QCA/ParaCA/LAM/CSAM) f32."""
+    def q(entry):
+        qk, s = quantize_kernel_int8(entry['kernel'])
+        return {'kernel': qk, 'scale': s,
+                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+
+    def f32(tree):
+        return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
+
+    out = {'head': q(params['head']), 'body_tail': q(params['body_tail']),
+           'tail': q(params['tail']),
+           'upsampler': {k: q(v) for k, v in params['upsampler'].items()},
+           'last_conv': q(params['last_conv']), 'last': q(params['last']),
+           'la': f32(params['la']), 'csa': f32(params['csa'])}
+    for g in range(n_resgroups):
+        grp = params['group_%d' % g]
+        qg = {'final_body': q(grp['final_body'])}
+        for b in range(n_resblocks):
+            blk = grp['qrcab_%d' % b]
+            qb = {'conv_0': q(blk['conv_0']), 'conv_1': q(blk['conv_1']),
+                  'qca': f32(blk['qca'])}
+            for extra in ('pa_node', 'q_node'):
+                if extra in blk:
+                    qb[extra] = f32(blk[extra])
+            qg['qrcab_%d' % b] = qb
+        out['group_%d' % g] = qg
+    return out
+
+
+def _qhan_float_forward(params, x, metadata, n_resgroups, n_resblocks, track=None):
+    """f32 QHAN forward used for calibration (mirrors models/qmodels.py QHAN:
+    QResidualGroup(style='standard', q_layer=True) body + HAN LAM/CSAM tail)."""
+    from ..models.blocks import pixel_shuffle
+
+    tr = track or (lambda name, h: h)
+    meta = jnp.asarray(metadata, jnp.float32)
+
+    def fconv(entry, h):
+        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
+                                            dimension_numbers=dn) + entry['bias']
+
+    h = fconv(params['head'], tr('head', jnp.asarray(x, jnp.float32)))
+    res = tr('_residual', h)
+    stack = []
+    for g in range(n_resgroups):
+        grp = params['group_%d' % g]
+        r = res
+        for b in range(n_resblocks):
+            blk = grp['qrcab_%d' % b]
+            pre = 'group_%d.qrcab_%d' % (g, b)
+            y = jax.nn.relu(fconv(blk['conv_0'], tr(pre + '.conv_0', r)))
+            y = fconv(blk['conv_1'], tr(pre + '.conv_1', y))
+            att = _qca_apply(blk['qca'], jnp.mean(y, axis=(1, 2)), meta, 'standard')
+            y = y * att[:, None, None, :]
+            if 'pa_node' in blk:
+                y = _pa_apply(blk['pa_node'], y)
+            if 'q_node' in blk:
+                y = y * _para_ca_apply(blk['q_node'], meta)[:, None, None, :]
+            r = tr('_residual', y + r)
+        res = tr('_residual',
+                 fconv(grp['final_body'], tr('group_%d.final_body' % g, r)) + res)
+        stack.append(res)
+    res = fconv(params['body_tail'], tr('body_tail', res))
+    stack.append(res)
+    res1 = jnp.stack(stack[::-1], axis=1)
+    la = _lam_apply(params['la'], res1)
+    out2 = fconv(params['last_conv'], tr('last_conv', la))
+    out1 = _csam_apply(params['csa'], res)
+    out = jnp.concatenate([out1, out2], axis=-1)
+    res = fconv(params['last'], tr('last', out)) + h
+    _check_rcan_upsampler_pow2(params['upsampler'])
+    for i in range(sum(1 for k in params['upsampler'] if k.startswith('conv_'))):
+        res = fconv(params['upsampler']['conv_%d' % i],
+                    tr('upsampler.conv_%d' % i, res))
+        res = pixel_shuffle(res, 2)
+    return fconv(params['tail'], tr('tail', res))
+
+
+def calibrate_qhan_scales(params, sample_batches, metadata_batches,
+                          n_resgroups=10, n_resblocks=20, margin=1.0):
+    """Static activation scales for the int8 QHAN forward (absmax calibration);
+    ``metadata_batches`` is the handler-prepared metadata per sample batch."""
+    maxes = {}
+
+    def track(name, h):
+        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
+        return h
+
+    sample_batches = list(sample_batches)
+    metadata_batches = list(metadata_batches)
+    if not sample_batches:
+        raise ValueError('calibrate_qhan_scales: no calibration batches provided.')
+    if len(sample_batches) != len(metadata_batches):
+        raise ValueError('calibrate_qhan_scales: %d sample batches but %d metadata '
+                         'batches.' % (len(sample_batches), len(metadata_batches)))
+    for x, meta in zip(sample_batches, metadata_batches):
+        _qhan_float_forward(params, x, meta, n_resgroups, n_resblocks, track=track)
+    maxes.pop('_residual')
+    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+
+
+def qhan_int8_forward_static(qparams, act_scales, x, metadata, n_resgroups=10,
+                             n_resblocks=20, residual_dtype='bfloat16'):
+    """Quantized QHAN forward: int8 convs + f32 meta/layer/spatial attention."""
+    from ..models.blocks import pixel_shuffle
+
+    if residual_dtype not in ('float32', 'bfloat16'):
+        raise ValueError('residual_dtype must be float32 | bfloat16')
+    carry_t = jnp.float32 if residual_dtype == 'float32' else jnp.bfloat16
+    meta = jnp.asarray(metadata, jnp.float32)
+
+    def qconv(name, tree, h):
+        return conv_int8_static(h, tree['kernel'], tree['scale'], act_scales[name],
+                                tree['bias'])
+
+    h = qconv('head', qparams['head'], x).astype(carry_t)
+    res = h
+    stack = []
+    for g in range(n_resgroups):
+        grp = qparams['group_%d' % g]
+        r = res
+        for b in range(n_resblocks):
+            blk = grp['qrcab_%d' % b]
+            pre = 'group_%d.qrcab_%d' % (g, b)
+            y = jax.nn.relu(qconv(pre + '.conv_0', blk['conv_0'], r))
+            y = qconv(pre + '.conv_1', blk['conv_1'], y)
+            att = _qca_apply(blk['qca'],
+                             jnp.mean(y, axis=(1, 2)).astype(jnp.float32), meta,
+                             'standard')
+            y = y * att[:, None, None, :].astype(y.dtype)
+            if 'pa_node' in blk:
+                y = _pa_apply(blk['pa_node'], y)
+            if 'q_node' in blk:
+                y = y * _para_ca_apply(blk['q_node'],
+                                       meta)[:, None, None, :].astype(y.dtype)
+            r = y.astype(carry_t) + r
+        res = qconv('group_%d.final_body' % g, grp['final_body'], r).astype(carry_t) \
+            + res
+        stack.append(res)
+    res = qconv('body_tail', qparams['body_tail'], res)
+    stack.append(res.astype(carry_t))
+    res1 = jnp.stack(stack[::-1], axis=1).astype(jnp.float32)
+    la = _lam_apply(qparams['la'], res1)
+    out2 = qconv('last_conv', qparams['last_conv'], la)
+    out1 = _csam_apply(qparams['csa'], res.astype(jnp.float32))
+    out = jnp.concatenate([out1, out2], axis=-1)
+    res = qconv('last', qparams['last'], out) + h.astype(jnp.float32)
+    _check_rcan_upsampler_pow2(qparams['upsampler'])
+    for i in range(sum(1 for k in qparams['upsampler'] if k.startswith('conv_'))):
+        res = qconv('upsampler.conv_%d' % i, qparams['upsampler']['conv_%d' % i], res)
+        res = pixel_shuffle(res, 2)
+    return qconv('tail', qparams['tail'], res)
+
+
 def _dense_apply(entry, y):
     return y @ entry['kernel'] + entry['bias']
 
