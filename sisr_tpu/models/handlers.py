@@ -243,6 +243,16 @@ class BaseHandler:
                 fwd = jax.jit(lambda qp_, xx, mm: qz.han_int8_forward_static(
                     qp_, scales, xx, m.n_resgroups, m.n_resblocks,
                     residual_dtype=rd))
+            elif self.int8_family == 'san':
+                qp = qz.quantize_san_params(params, m.n_resgroups, m.n_resblocks)
+                scales = qz.calibrate_san_scales(params, [x], m.n_resgroups,
+                                                 m.n_resblocks, margin=1.1)
+                rd = self.int8_residual_dtype \
+                    if self.int8_residual_dtype in ('float32', 'bfloat16') \
+                    else 'bfloat16'
+                fwd = jax.jit(lambda qp_, xx, mm: qz.san_int8_forward_static(
+                    qp_, scales, xx, m.n_resgroups, m.n_resblocks,
+                    residual_dtype=rd))
             elif self.int8_family == 'qhan':
                 if meta is None:
                     raise RuntimeError('int8 QHAN calibration needs a metadata '
@@ -451,6 +461,15 @@ class BaseHandler:
             # (bs=1 stays whole; tiled models shard their tile batch instead)
             batch = self.mesh_ctx.shard_batch(batch)
 
+        if self.tiled_eval and self.int8_mode and self._int8_ctx is None:
+            # calibrate on the full image BEFORE the tiled dispatch (the tile
+            # grid then runs the quantized program per tile)
+            xf = jnp.asarray(x)
+            xf = xf.astype(jnp.float32) / 255.0 if xf.dtype == jnp.uint8 \
+                else xf.astype(jnp.float32)
+            meta_cal = self.prepare_metadata(xf, batch.get('metadata')) \
+                if self.uses_metadata else None
+            self._ensure_int8_ctx(xf, meta_cal)
         fwd = self._tiled_forward if self.tiled_eval else \
             self._int8_forward if self.int8_mode else \
             self._bucketed_forward if self.eval_buckets else None
@@ -488,6 +507,20 @@ class BaseHandler:
         loss_out = float(loss) if (request_loss and y is not None) else None
         return np.asarray(out, np.float32), loss_out, runtime
 
+    def _tile_step(self, state, tb):
+        """One forward over a (tile-)batch inside the tiled eval: the calibrated
+        int8 program when int8 serving is on (calibration happened outside any
+        trace), else the standard jitted eval step."""
+        if self.int8_mode and self._int8_ctx is not None:
+            fwd_q, qp = self._int8_ctx
+            xq = tb['lr']
+            xq = xq.astype(jnp.float32) / 255.0 if xq.dtype == jnp.uint8 \
+                else xq.astype(jnp.float32)
+            meta_in = self.prepare_metadata(xq, tb.get('metadata')) \
+                if self.uses_metadata else None
+            return fwd_q(qp, xq, meta_in)
+        return self._eval_step_for(tb['lr'].shape)(state, tb)[0]
+
     def _tiled_forward(self, batch, shave=10, state=None):
         """Static-shape tile-grid eval replacing the reference's recursive forward_chop
         (ref: advanced/handlers.py:80-129).
@@ -506,8 +539,7 @@ class BaseHandler:
                 >= self.max_combined_im_size:
             level += 1
         if level == 0:
-            step = self._eval_step_for(x.shape)
-            return step(state, batch)[0]
+            return self._tile_step(state, batch)
 
         grid = 2 ** level
         tile_h, tile_w = -(-h // grid), -(-w // grid)
@@ -517,8 +549,7 @@ class BaseHandler:
             tile_h, tile_w = -(-h // grid), -(-w // grid)
             span_h, span_w = tile_h + 2 * shave, tile_w + 2 * shave
         if grid == 1:
-            step = self._eval_step_for(x.shape)
-            return step(state, batch)[0]
+            return self._tile_step(state, batch)
 
         # tiles carry `shave` halo on each side; anchors are clamped inside the image so
         # border tiles see the exact image edge (same zero-pad context as the untiled
@@ -550,8 +581,7 @@ class BaseHandler:
                     v = jnp.concatenate([v, jnp.repeat(v[-1:], pad, axis=0)], axis=0)
                 tile_batch[k] = jax.lax.with_sharding_constraint(
                     v, self.mesh_ctx.batch_sharding)
-        step = self._eval_step_for(tile_batch['lr'].shape)
-        sr_tiles, _ = step(state, tile_batch)
+        sr_tiles = self._tile_step(state, tile_batch)
         sr_tiles = sr_tiles[:n_tiles_total]
 
         s = self.scale
@@ -723,7 +753,16 @@ class BaseHandler:
             else:
                 x_in = lr
 
-            if self.int8_mode:
+            if self.tiled_eval:
+                # the static tile grid traces into this same program (anchors are
+                # shape-derived constants); the inner step is inlined — the
+                # calibrated int8 program when int8 serving is on (handled by
+                # _tile_step), else the standard jitted eval step
+                tb = {'lr': x_in}
+                if batch.get('metadata') is not None:
+                    tb['metadata'] = batch['metadata']
+                sr = self._tiled_forward(tb, state=state)
+            elif self.int8_mode:
                 # calibrated int8 serving program, inlined into the fused step
                 # (int8 convs at 2x the bf16 MXU rate; quantized params are trace
                 # constants, refreshed via set_int8/_invalidate_steps)
@@ -731,13 +770,6 @@ class BaseHandler:
                 meta_in = self.prepare_metadata(x_in, batch.get('metadata')) \
                     if self.uses_metadata else None
                 sr = fwd(qp, x_in.astype(jnp.float32), meta_in)
-            elif self.tiled_eval:
-                # the static tile grid traces into this same program (anchors are
-                # shape-derived constants); the inner jitted eval step is inlined
-                tb = {'lr': x_in}
-                if batch.get('metadata') is not None:
-                    tb['metadata'] = batch['metadata']
-                sr = self._tiled_forward(tb, state=state)
             else:
                 x, _, metadata = self._prep_batch({**batch, 'hr': hr, 'lr': x_in})
                 kwargs = {}
@@ -1024,6 +1056,7 @@ class SANHandler(BaseHandler):
     """(ref: advanced/handlers.py:58-129) — tiled eval replaces forward_chop."""
     tiled_eval = True
     bucketed_eval_ok = False  # non-local spatial softmax + SOCA covariance
+    int8_family = 'san'  # int8 RB conv body; composes with the tile grid
 
     def build_module(self, scale, dtype, **kwargs):
         cfg = {k: v for k, v in kwargs.items()

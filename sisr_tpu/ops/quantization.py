@@ -585,6 +585,188 @@ def quantize_qrcan_params(params, n_resgroups=10, n_resblocks=20):
     return out
 
 
+def quantize_san_params(params, n_resgroups=20, n_resblocks=10):
+    """Quantize a SAN parameter tree (models/san.py naming) to int8.
+
+    The LSRAG RB conv body (n_resgroups x n_resblocks x 2 convs + per-group
+    conv_last) and head/upsampler/tail go int8; the shared non-local block
+    (1x1 g/theta/phi/w + spatial softmax) and SOCA (covariance + Newton-Schulz
+    + sigmoid gate) stay f32 — both are precision-sensitive attention stages
+    whose FLOPs are small next to the conv body."""
+    def q(entry):
+        qk, s = quantize_kernel_int8(entry['kernel'])
+        return {'kernel': qk, 'scale': s,
+                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+
+    def f32(tree):
+        return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
+
+    out = {'head': q(params['head']), 'tail': q(params['tail']),
+           'upsampler': {k: q(v) for k, v in params['upsampler'].items()},
+           'non_local': f32(params['non_local']),
+           'gamma': jnp.asarray(params['gamma'], jnp.float32)}
+    for g in range(n_resgroups):
+        grp = params['rg_%d' % g]
+        qg = {'conv_last': q(grp['conv_last']), 'soca': f32(grp['soca'])}
+        for b in range(n_resblocks):
+            blk = grp['rb_%d' % b]
+            qg['rb_%d' % b] = {'conv_0': q(blk['conv_0']),
+                               'conv_1': q(blk['conv_1'])}
+        out['rg_%d' % g] = qg
+    return out
+
+
+def _nonlocal_block_apply(entry, x_f32):
+    """Embedded-gaussian non-local block in f32 (mirrors models/san.py
+    NonLocalBlock2D, incl. the reference's always-on g/phi 2x2 max-pool)."""
+    b, h, w, c = x_f32.shape
+
+    def c1x1(e, z):
+        dn = jax.lax.conv_dimension_numbers(z.shape, e['kernel'].shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(z, e['kernel'], (1, 1), 'VALID',
+                                            dimension_numbers=dn) + e['bias']
+
+    def pool2(z):
+        return jax.lax.reduce_window(z, -jnp.inf, jax.lax.max, (1, 2, 2, 1),
+                                     (1, 2, 2, 1), 'VALID')
+
+    inter = entry['g']['kernel'].shape[-1]
+    g = pool2(c1x1(entry['g'], x_f32))
+    theta = c1x1(entry['theta'], x_f32)
+    phi = pool2(c1x1(entry['phi'], x_f32))
+    m_sub = g.shape[1] * g.shape[2]
+    g = g.reshape(b, m_sub, inter)
+    theta = theta.reshape(b, h * w, inter)
+    phi = phi.reshape(b, m_sub, inter)
+    f = jnp.einsum('bmc,bnc->bmn', theta, phi, preferred_element_type=jnp.float32)
+    f = jax.nn.softmax(f, axis=-1)
+    y = jnp.einsum('bmn,bnc->bmc', f, g).reshape(b, h, w, inter)
+    return c1x1(entry['w'], y) + x_f32
+
+
+def _nonlocal_ca_apply(entry, x_f32):
+    """Quadrant-split non-local (mirrors models/san.py NonlocalCA)."""
+    block = entry['non_local']
+    b, h, w, c = x_f32.shape
+    h1, w1 = h // 2, w // 2
+    lu = _nonlocal_block_apply(block, x_f32[:, :h1, :w1, :])
+    ld = _nonlocal_block_apply(block, x_f32[:, h1:, :w1, :])
+    ru = _nonlocal_block_apply(block, x_f32[:, :h1, w1:, :])
+    rd = _nonlocal_block_apply(block, x_f32[:, h1:, w1:, :])
+    top = jnp.concatenate([lu, ru], axis=2)
+    bot = jnp.concatenate([ld, rd], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
+
+
+def _soca_apply(entry, h_f32):
+    """SOCA in f32 (mirrors models/san.py SOCA incl. the 1000^2 crop cap)."""
+    from ..models.san import covariance_pool, newton_schulz_sqrt
+    b, h, w, c = h_f32.shape
+    hs = 0 if h < 1000 else (h - 1000) // 2
+    ws = 0 if w < 1000 else (w - 1000) // 2
+    x_sub = h_f32[:, hs:hs + min(h, 1000), ws:ws + min(w, 1000), :]
+    cov_sqrt = newton_schulz_sqrt(covariance_pool(x_sub))
+    pooled = cov_sqrt.mean(axis=1)
+    y = jax.nn.relu(pooled @ entry['du_0']['kernel'] + entry['du_0']['bias'])
+    y = jax.nn.sigmoid(y @ entry['du_1']['kernel'] + entry['du_1']['bias'])
+    return h_f32 * y[:, None, None, :]
+
+
+def _san_float_forward(params, x, n_resgroups, n_resblocks, track=None):
+    """f32 SAN forward used for calibration (mirrors models/san.py SAN)."""
+    from ..models.blocks import pixel_shuffle
+
+    tr = track or (lambda name, h: h)
+
+    def fconv(entry, h):
+        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
+                                            dimension_numbers=dn) + entry['bias']
+
+    gamma = jnp.asarray(params['gamma'], jnp.float32)
+    h = fconv(params['head'], tr('head', jnp.asarray(x, jnp.float32)))
+    xx = _nonlocal_ca_apply(params['non_local'], h)
+    residual = tr('_residual', xx)
+    for g in range(n_resgroups):
+        grp = params['rg_%d' % g]
+        r = xx
+        for b in range(n_resblocks):
+            blk = grp['rb_%d' % b]
+            pre = 'rg_%d.rb_%d' % (g, b)
+            y = jax.nn.relu(fconv(blk['conv_0'], tr(pre + '.conv_0', r)))
+            y = fconv(blk['conv_1'], tr(pre + '.conv_1', y))
+            r = tr('_residual', y + r)
+        r = _soca_apply(grp['soca'], r)
+        xx = tr('_residual',
+                fconv(grp['conv_last'], tr('rg_%d.conv_last' % g, r)) + xx
+                + gamma * residual)
+    res = _nonlocal_ca_apply(params['non_local'], xx) + h
+    _check_rcan_upsampler_pow2(params['upsampler'])
+    for i in range(sum(1 for k in params['upsampler'] if k.startswith('conv_'))):
+        res = fconv(params['upsampler']['conv_%d' % i],
+                    tr('upsampler.conv_%d' % i, res))
+        res = pixel_shuffle(res, 2)
+    return fconv(params['tail'], tr('tail', res))
+
+
+def calibrate_san_scales(params, sample_batches, n_resgroups=20, n_resblocks=10,
+                         margin=1.0):
+    """Static activation scales for the int8 SAN forward (absmax calibration)."""
+    maxes = {}
+
+    def track(name, h):
+        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
+        return h
+
+    if not sample_batches:
+        raise ValueError('no calibration batches provided.')
+    for x in sample_batches:
+        _san_float_forward(params, jnp.asarray(x, jnp.float32), n_resgroups,
+                           n_resblocks, track=track)
+    maxes.pop('_residual')
+    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+
+
+def san_int8_forward_static(qparams, act_scales, x, n_resgroups=20, n_resblocks=10,
+                            residual_dtype='bfloat16'):
+    """Quantized SAN forward: int8 RB conv body + f32 non-local/SOCA attention."""
+    from ..models.blocks import pixel_shuffle
+
+    if residual_dtype not in ('float32', 'bfloat16'):
+        raise ValueError('residual_dtype must be float32 | bfloat16')
+    carry_t = jnp.float32 if residual_dtype == 'float32' else jnp.bfloat16
+
+    def qconv(name, tree, h):
+        return conv_int8_static(h, tree['kernel'], tree['scale'], act_scales[name],
+                                tree['bias'])
+
+    gamma = qparams['gamma']
+    h = qconv('head', qparams['head'], x)
+    xx = _nonlocal_ca_apply(qparams['non_local'], h).astype(carry_t)
+    residual = xx
+    for g in range(n_resgroups):
+        grp = qparams['rg_%d' % g]
+        r = xx
+        for b in range(n_resblocks):
+            blk = grp['rb_%d' % b]
+            pre = 'rg_%d.rb_%d' % (g, b)
+            y = jax.nn.relu(qconv(pre + '.conv_0', blk['conv_0'], r))
+            y = qconv(pre + '.conv_1', blk['conv_1'], y)
+            r = y.astype(carry_t) + r
+        r = _soca_apply(grp['soca'], r.astype(jnp.float32))
+        xx = (qconv('rg_%d.conv_last' % g, grp['conv_last'], r).astype(carry_t)
+              + xx + (gamma.astype(carry_t) * residual))
+    res = _nonlocal_ca_apply(qparams['non_local'],
+                             xx.astype(jnp.float32)) + h
+    _check_rcan_upsampler_pow2(qparams['upsampler'])
+    for i in range(sum(1 for k in qparams['upsampler'] if k.startswith('conv_'))):
+        res = qconv('upsampler.conv_%d' % i, qparams['upsampler']['conv_%d' % i], res)
+        res = pixel_shuffle(res, 2)
+    return qconv('tail', qparams['tail'], res)
+
+
 def quantize_qhan_params(params, n_resgroups=10, n_resblocks=20):
     """Quantize a QHAN parameter tree to int8: HAN's outer structure (LAM/CSAM +
     fusion convs) with QRCAN-style meta-attention groups — convs int8, every

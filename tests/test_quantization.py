@@ -179,6 +179,56 @@ def test_handler_int8_han_serving_path():
     assert psnr(out, ref, max_value=1.0) > 35
 
 
+def test_san_int8_static_quality():
+    """Quantized SAN (int8 RB conv body + f32 non-local/SOCA) stays >35 dB vs f32,
+    and the calibration mirror (quadrant non-local, Newton-Schulz SOCA, gamma
+    share-source skip) matches the flax model."""
+    from sisr_tpu.models.san import SAN
+    from sisr_tpu.ops.quantization import (calibrate_san_scales,
+                                           quantize_san_params,
+                                           san_int8_forward_static,
+                                           _san_float_forward)
+    rng = np.random.RandomState(23)
+    cfg = dict(n_resgroups=2, n_resblocks=2, n_feats=16, reduction=8, scale=4)
+    model = SAN(**cfg)
+    x = jnp.asarray(rng.rand(1, 16, 16, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(6), x)
+    out_f32 = np.asarray(model.apply(variables, x))
+
+    mirror = np.asarray(_san_float_forward(variables['params'], x, 2, 2))
+    np.testing.assert_allclose(mirror, out_f32, atol=2e-5)
+
+    qparams = quantize_san_params(variables['params'], 2, 2)
+    scales = calibrate_san_scales(variables['params'], [np.asarray(x)], 2, 2)
+    out = np.asarray(san_int8_forward_static(qparams, scales, x, 2, 2))
+    assert out.shape == out_f32.shape
+    assert psnr(out, out_f32, max_value=1.0) > 35
+
+
+def test_handler_int8_san_tiled_serving_path():
+    """eval_sisr --int8 on SAN: the quantized program composes with the static
+    tile grid (run_eval AND the fused step route tiles through _tile_step)."""
+    from sisr_tpu.models.handlers import define_model
+    from sisr_tpu.ops.metrics import psnr
+    rng = np.random.RandomState(29)
+    cfg = dict(scale=4, n_feats=16, n_resgroups=1, n_resblocks=1, reduction=8,
+               max_combined_im_size=600)
+    h = define_model('san', eval_mode=True, **cfg)
+    h.init_state(spatial=(32, 32))
+    x = rng.rand(1, 32, 32, 3).astype(np.float32)
+    ref, _, _ = h.run_eval(x)  # tiled f32 (32+10)^2 > 600 forces the grid
+    h.set_int8(True)
+    out, _, _ = h.run_eval(x)
+    assert out.shape == ref.shape
+    assert psnr(out, ref, max_value=1.0) > 35
+    # fused eval path with int8+tiled composed
+    (keys, vals), _ = h.run_eval_fused(
+        {'lr': x, 'hr': rng.rand(1, 128, 128, 3).astype(np.float32)},
+        metrics=('PSNR',))
+    vals = np.asarray(vals)
+    assert vals.shape == (len(keys), 1) and np.isfinite(vals).all()
+
+
 def test_qhan_int8_static_quality():
     """Quantized QHAN (int8 convs + f32 QCA/ParaCA/LAM/CSAM) stays >35 dB vs f32."""
     from sisr_tpu.models.qmodels import QHAN
