@@ -253,6 +253,20 @@ class BaseHandler:
                 fwd = jax.jit(lambda qp_, xx, mm: qz.san_int8_forward_static(
                     qp_, scales, xx, m.n_resgroups, m.n_resblocks,
                     residual_dtype=rd))
+            elif self.int8_family == 'qsan':
+                if meta is None:
+                    raise RuntimeError('int8 QSAN calibration needs a metadata '
+                                       'batch alongside the first LR batch.')
+                qp = qz.quantize_qsan_params(params, m.n_resgroups, m.n_resblocks)
+                scales = qz.calibrate_qsan_scales(
+                    params, [x], [meta], n_resgroups=m.n_resgroups,
+                    n_resblocks=m.n_resblocks, margin=1.1)
+                rd = self.int8_residual_dtype \
+                    if self.int8_residual_dtype in ('float32', 'bfloat16') \
+                    else 'bfloat16'
+                fwd = jax.jit(lambda qp_, xx, mm: qz.qsan_int8_forward_static(
+                    qp_, scales, xx, mm, n_resgroups=m.n_resgroups,
+                    n_resblocks=m.n_resblocks, residual_dtype=rd))
             elif self.int8_family == 'qhan':
                 if meta is None:
                     raise RuntimeError('int8 QHAN calibration needs a metadata '
@@ -1179,6 +1193,7 @@ class QSANHandler(QHandler):
     """(ref: attention_manipulators/handlers.py:79-153) — tiled eval."""
     tiled_eval = True
     bucketed_eval_ok = False  # non-local spatial softmax + SOCA covariance
+    int8_family = 'qsan'  # int8 conv body; composes with the tile grid
 
     def build_module(self, scale, dtype, n_feats=None, n_resgroups=None,
                      n_resblocks=None, reduction=None, **kwargs):

@@ -767,6 +767,134 @@ def san_int8_forward_static(qparams, act_scales, x, n_resgroups=20, n_resblocks=
     return qconv('tail', qparams['tail'], res)
 
 
+def quantize_qsan_params(params, n_resgroups=20, n_resblocks=10):
+    """Quantize a QSAN parameter tree to int8: SAN's structure with a ParaCALayer
+    gate (f32) inside each residual block."""
+    def q(entry):
+        qk, s = quantize_kernel_int8(entry['kernel'])
+        return {'kernel': qk, 'scale': s,
+                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+
+    def f32(tree):
+        return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
+
+    out = {'head': q(params['head']), 'tail': q(params['tail']),
+           'upsampler': {k: q(v) for k, v in params['upsampler'].items()},
+           'non_local': f32(params['non_local']),
+           'gamma': jnp.asarray(params['gamma'], jnp.float32)}
+    for g in range(n_resgroups):
+        grp = params['rg_%d' % g]
+        qg = {'conv_last': q(grp['conv_last']), 'soca': f32(grp['soca'])}
+        for b in range(n_resblocks):
+            blk = grp['qrb_%d' % b]
+            qg['qrb_%d' % b] = {'conv_0': q(blk['conv_0']),
+                                'conv_1': q(blk['conv_1']),
+                                'q_layer': f32(blk['q_layer'])}
+        out['rg_%d' % g] = qg
+    return out
+
+
+def _qsan_float_forward(params, x, metadata, n_resgroups, n_resblocks, track=None):
+    """f32 QSAN forward used for calibration (mirrors models/qmodels.py QSAN)."""
+    from ..models.blocks import pixel_shuffle
+
+    tr = track or (lambda name, h: h)
+    meta = jnp.asarray(metadata, jnp.float32)
+
+    def fconv(entry, h):
+        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
+                                            dimension_numbers=dn) + entry['bias']
+
+    gamma = jnp.asarray(params['gamma'], jnp.float32)
+    h = fconv(params['head'], tr('head', jnp.asarray(x, jnp.float32)))
+    xx = _nonlocal_ca_apply(params['non_local'], h)
+    residual = tr('_residual', xx)
+    for g in range(n_resgroups):
+        grp = params['rg_%d' % g]
+        r = xx
+        for b in range(n_resblocks):
+            blk = grp['qrb_%d' % b]
+            pre = 'rg_%d.qrb_%d' % (g, b)
+            y = jax.nn.relu(fconv(blk['conv_0'], tr(pre + '.conv_0', r)))
+            y = fconv(blk['conv_1'], tr(pre + '.conv_1', y))
+            y = y * _para_ca_apply(blk['q_layer'], meta)[:, None, None, :]
+            r = tr('_residual', y + r)
+        r = _soca_apply(grp['soca'], r)
+        xx = tr('_residual',
+                fconv(grp['conv_last'], tr('rg_%d.conv_last' % g, r)) + xx
+                + gamma * residual)
+    res = _nonlocal_ca_apply(params['non_local'], xx) + h
+    _check_rcan_upsampler_pow2(params['upsampler'])
+    for i in range(sum(1 for k in params['upsampler'] if k.startswith('conv_'))):
+        res = fconv(params['upsampler']['conv_%d' % i],
+                    tr('upsampler.conv_%d' % i, res))
+        res = pixel_shuffle(res, 2)
+    return fconv(params['tail'], tr('tail', res))
+
+
+def calibrate_qsan_scales(params, sample_batches, metadata_batches,
+                          n_resgroups=20, n_resblocks=10, margin=1.0):
+    """Static activation scales for the int8 QSAN forward (absmax calibration)."""
+    maxes = {}
+
+    def track(name, h):
+        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
+        return h
+
+    sample_batches = list(sample_batches)
+    metadata_batches = list(metadata_batches)
+    if not sample_batches:
+        raise ValueError('calibrate_qsan_scales: no calibration batches provided.')
+    if len(sample_batches) != len(metadata_batches):
+        raise ValueError('calibrate_qsan_scales: %d sample batches but %d metadata '
+                         'batches.' % (len(sample_batches), len(metadata_batches)))
+    for x, meta in zip(sample_batches, metadata_batches):
+        _qsan_float_forward(params, x, meta, n_resgroups, n_resblocks, track=track)
+    maxes.pop('_residual')
+    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+
+
+def qsan_int8_forward_static(qparams, act_scales, x, metadata, n_resgroups=20,
+                             n_resblocks=10, residual_dtype='bfloat16'):
+    """Quantized QSAN forward: int8 conv body + f32 ParaCA/non-local/SOCA."""
+    from ..models.blocks import pixel_shuffle
+
+    if residual_dtype not in ('float32', 'bfloat16'):
+        raise ValueError('residual_dtype must be float32 | bfloat16')
+    carry_t = jnp.float32 if residual_dtype == 'float32' else jnp.bfloat16
+    meta = jnp.asarray(metadata, jnp.float32)
+
+    def qconv(name, tree, h):
+        return conv_int8_static(h, tree['kernel'], tree['scale'], act_scales[name],
+                                tree['bias'])
+
+    gamma = qparams['gamma']
+    h = qconv('head', qparams['head'], x)
+    xx = _nonlocal_ca_apply(qparams['non_local'], h).astype(carry_t)
+    residual = xx
+    for g in range(n_resgroups):
+        grp = qparams['rg_%d' % g]
+        r = xx
+        for b in range(n_resblocks):
+            blk = grp['qrb_%d' % b]
+            pre = 'rg_%d.qrb_%d' % (g, b)
+            y = jax.nn.relu(qconv(pre + '.conv_0', blk['conv_0'], r))
+            y = qconv(pre + '.conv_1', blk['conv_1'], y)
+            y = y * _para_ca_apply(blk['q_layer'], meta)[:, None, None, :]
+            r = y.astype(carry_t) + r
+        r = _soca_apply(grp['soca'], r.astype(jnp.float32))
+        xx = (qconv('rg_%d.conv_last' % g, grp['conv_last'], r).astype(carry_t)
+              + xx + (gamma.astype(carry_t) * residual))
+    res = _nonlocal_ca_apply(qparams['non_local'], xx.astype(jnp.float32)) + h
+    _check_rcan_upsampler_pow2(qparams['upsampler'])
+    for i in range(sum(1 for k in qparams['upsampler'] if k.startswith('conv_'))):
+        res = qconv('upsampler.conv_%d' % i, qparams['upsampler']['conv_%d' % i], res)
+        res = pixel_shuffle(res, 2)
+    return qconv('tail', qparams['tail'], res)
+
+
 def quantize_qhan_params(params, n_resgroups=10, n_resblocks=20):
     """Quantize a QHAN parameter tree to int8: HAN's outer structure (LAM/CSAM +
     fusion convs) with QRCAN-style meta-attention groups — convs int8, every

@@ -229,6 +229,46 @@ def test_handler_int8_san_tiled_serving_path():
     assert vals.shape == (len(keys), 1) and np.isfinite(vals).all()
 
 
+def test_qsan_int8_static_quality_and_tiled_handler():
+    """Quantized QSAN (int8 conv body + f32 ParaCA/non-local/SOCA) >35 dB vs f32;
+    the handler path composes int8 with the tile grid and threads metadata."""
+    from sisr_tpu.models.qmodels import QSAN
+    from sisr_tpu.models.handlers import define_model
+    from sisr_tpu.ops.quantization import (calibrate_qsan_scales,
+                                           quantize_qsan_params,
+                                           qsan_int8_forward_static,
+                                           _qsan_float_forward)
+    rng = np.random.RandomState(31)
+    cfg = dict(n_resgroups=1, n_resblocks=2, n_feats=16, reduction=8, scale=4,
+               input_para=10)
+    model = QSAN(**cfg)
+    x = jnp.asarray(rng.rand(1, 16, 16, 3), jnp.float32)
+    meta = jnp.asarray(rng.rand(1, 10), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(7), x, meta)
+    out_f32 = np.asarray(model.apply(variables, x, meta))
+
+    mirror = np.asarray(_qsan_float_forward(variables['params'], x, meta, 1, 2))
+    np.testing.assert_allclose(mirror, out_f32, atol=2e-5)
+
+    qparams = quantize_qsan_params(variables['params'], 1, 2)
+    scales = calibrate_qsan_scales(variables['params'], [np.asarray(x)],
+                                   [np.asarray(meta)], 1, 2)
+    out = np.asarray(qsan_int8_forward_static(qparams, scales, x, meta, 1, 2))
+    assert psnr(out, out_f32, max_value=1.0) > 35
+
+    h = define_model('qsan', eval_mode=True, scale=4, n_feats=16, n_resgroups=1,
+                     n_resblocks=1, reduction=8, max_combined_im_size=600,
+                     metadata=['blur_kernel'])
+    h.set_metadata_keys(['blur_kernel'] * 10)
+    h.init_state(spatial=(32, 32))
+    xb = rng.rand(1, 32, 32, 3).astype(np.float32)
+    mb = rng.rand(1, 10).astype(np.float32)
+    ref, _, _ = h.run_eval(xb, metadata=mb)
+    h.set_int8(True)
+    out, _, _ = h.run_eval(xb, metadata=mb)
+    assert psnr(out, ref, max_value=1.0) > 35
+
+
 def test_qhan_int8_static_quality():
     """Quantized QHAN (int8 convs + f32 QCA/ParaCA/LAM/CSAM) stays >35 dB vs f32."""
     from sisr_tpu.models.qmodels import QHAN
