@@ -243,6 +243,13 @@ class BaseHandler:
                 fwd = jax.jit(lambda qp_, xx, mm: qz.han_int8_forward_static(
                     qp_, scales, xx, m.n_resgroups, m.n_resblocks,
                     residual_dtype=rd))
+            elif self.int8_family == 'vdsr':
+                if getattr(m, 'padding', 'same') != 'same':
+                    raise RuntimeError("int8 VDSR supports padding='same' only.")
+                qp = qz.quantize_vdsr_params(params)
+                scales = qz.calibrate_vdsr_scales(params, [x], margin=1.1)
+                fwd = jax.jit(lambda qp_, xx, mm: qz.vdsr_int8_forward_static(
+                    qp_, scales, xx))
             elif self.int8_family == 'san':
                 qp = qz.quantize_san_params(params, m.n_resgroups, m.n_resblocks)
                 scales = qz.calibrate_san_scales(params, [x], m.n_resgroups,
@@ -1016,6 +1023,7 @@ class VDSRHandler(BaseHandler):
     loss_type = 'mse'
     grad_clip = 0.1
     in_channels = 1
+    int8_family = 'vdsr'  # full-HR-resolution conv chain: conv-heaviest per pixel
 
     def build_module(self, scale, dtype, kernel_pattern=None, channel_pattern=None,
                      padding='same', **kwargs):

@@ -219,6 +219,67 @@ def edsr_int8_forward_static(qparams, act_scales, x, num_blocks=16, scale=4,
     return qconv('tail', qparams['tail'], res)
 
 
+def quantize_vdsr_params(params):
+    """Quantize a VDSR parameter tree (models/basic.py naming: conv_0..conv_N)."""
+    def q(entry):
+        qk, s = quantize_kernel_int8(entry['kernel'])
+        return {'kernel': qk, 'scale': s,
+                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+
+    return {k: q(v) for k, v in params.items() if k.startswith('conv_')}
+
+
+def _vdsr_float_forward(params, x, track=None):
+    """f32 VDSR forward used for calibration (mirrors models/basic.py VDSR,
+    padding='same')."""
+    tr = track or (lambda name, h: h)
+
+    def fconv(entry, h):
+        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
+                                            dimension_numbers=dn) + entry['bias']
+
+    n = sum(1 for k in params if k.startswith('conv_'))
+    out = jnp.asarray(x, jnp.float32)
+    residual = out
+    for i in range(n):
+        out = fconv(params['conv_%d' % i], tr('conv_%d' % i, out))
+        if i != n - 1:
+            out = jax.nn.relu(out)
+    return out + residual
+
+
+def calibrate_vdsr_scales(params, sample_batches, margin=1.0):
+    """Static activation scales for the int8 VDSR forward (absmax calibration)."""
+    maxes = {}
+
+    def track(name, h):
+        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
+        return h
+
+    if not sample_batches:
+        raise ValueError('no calibration batches provided.')
+    for x in sample_batches:
+        _vdsr_float_forward(params, x, track=track)
+    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+
+
+def vdsr_int8_forward_static(qparams, act_scales, x):
+    """Quantized VDSR forward: the whole 20-conv chain int8 at the pre-upscaled
+    (full HR) resolution — the conv-heaviest per-pixel family in the zoo."""
+    n = sum(1 for k in qparams if k.startswith('conv_'))
+    out = jnp.asarray(x, jnp.float32)
+    residual = out
+    for i in range(n):
+        tree = qparams['conv_%d' % i]
+        out = conv_int8_static(out, tree['kernel'], tree['scale'],
+                               act_scales['conv_%d' % i], tree['bias'])
+        if i != n - 1:
+            out = jax.nn.relu(out)
+    return out + residual
+
+
 def quantize_rcan_params(params, n_resgroups=10, n_resblocks=20):
     """Quantize an RCAN parameter tree (models/advanced.py naming) to int8.
 

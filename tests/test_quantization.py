@@ -179,6 +179,38 @@ def test_handler_int8_han_serving_path():
     assert psnr(out, ref, max_value=1.0) > 35
 
 
+def test_vdsr_int8_static_quality_and_handler():
+    """Quantized VDSR (whole conv chain int8 at full HR resolution) >35 dB vs
+    f32, including the y-channel handler serving path."""
+    from sisr_tpu.models.basic import VDSR
+    from sisr_tpu.models.handlers import define_model
+    from sisr_tpu.ops.quantization import (calibrate_vdsr_scales,
+                                           quantize_vdsr_params,
+                                           vdsr_int8_forward_static,
+                                           _vdsr_float_forward)
+    rng = np.random.RandomState(37)
+    model = VDSR(kernel_pattern=[3] * 6, channel_pattern=[1] + [32] * 5 + [1])
+    x = jnp.asarray(rng.rand(2, 16, 16, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(8), x)
+    out_f32 = np.asarray(model.apply(variables, x))
+
+    mirror = np.asarray(_vdsr_float_forward(variables['params'], x))
+    np.testing.assert_allclose(mirror, out_f32, atol=2e-6)
+
+    qparams = quantize_vdsr_params(variables['params'])
+    scales = calibrate_vdsr_scales(variables['params'], [np.asarray(x)])
+    out = np.asarray(vdsr_int8_forward_static(qparams, scales, x))
+    assert psnr(out, out_f32, max_value=1.0) > 35
+
+    h = define_model('vdsr', eval_mode=True, scale=4, kernel_pattern=[3] * 6,
+                     channel_pattern=[1] + [32] * 5 + [1])
+    h.init_state(spatial=(16, 16))  # vdsr handler is 1-channel (ycbcr y-only)
+    ref, _, _ = h.run_eval(x)
+    h.set_int8(True)
+    out, _, _ = h.run_eval(x)
+    assert psnr(out, ref, max_value=1.0) > 35
+
+
 def test_san_int8_static_quality():
     """Quantized SAN (int8 RB conv body + f32 non-local/SOCA) stays >35 dB vs f32,
     and the calibration mirror (quadrant non-local, Newton-Schulz SOCA, gamma
