@@ -243,6 +243,17 @@ class BaseHandler:
                 fwd = jax.jit(lambda qp_, xx, mm: qz.han_int8_forward_static(
                     qp_, scales, xx, m.n_resgroups, m.n_resblocks,
                     residual_dtype=rd))
+            elif self.int8_family == 'srmd':
+                if meta is None and self.uses_metadata:
+                    raise RuntimeError('int8 SRMD calibration needs a metadata '
+                                       'batch alongside the first LR batch.')
+                x_cat = self.network_input(x, meta)
+                qp = qz.quantize_srmd_params(params)
+                scales = qz.calibrate_srmd_scales(params, [x_cat], self.scale,
+                                                  margin=1.1)
+                fwd = jax.jit(lambda qp_, xx, mm: qz.srmd_int8_forward_static(
+                    qp_, scales, self.network_input(xx.astype(jnp.float32), mm),
+                    self.scale))
             elif self.int8_family == 'vdsr':
                 if getattr(m, 'padding', 'same') != 'same':
                     raise RuntimeError("int8 VDSR supports padding='same' only.")
@@ -1092,6 +1103,7 @@ class SRMDHandler(QHandler):
     """(ref: advanced/handlers.py:132-158) — metadata concatenated as input maps."""
     colorspace = 'augmented_rgb'
     channel_concat = True
+    int8_family = 'srmd'  # whole chain int8 (concat input maps quantize with x)
 
     def build_module(self, scale, dtype, in_features=3, nc=128, nb=12, **kwargs):
         self.in_channels = in_features or 3

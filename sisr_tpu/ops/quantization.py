@@ -280,6 +280,71 @@ def vdsr_int8_forward_static(qparams, act_scales, x):
     return out + residual
 
 
+def quantize_srmd_params(params):
+    """Quantize an SRMD parameter tree (models/advanced.py naming: conv_0..conv_N
+    + conv_tail) — a plain conv chain over RGB+metadata maps."""
+    def q(entry):
+        qk, s = quantize_kernel_int8(entry['kernel'])
+        return {'kernel': qk, 'scale': s,
+                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+
+    return {k: q(v) for k, v in params.items()
+            if k.startswith('conv_') or k == 'conv_tail'}
+
+
+def _srmd_float_forward(params, x, scale, track=None):
+    """f32 SRMD forward used for calibration (mirrors models/advanced.py SRMD;
+    ``x`` is the handler-concatenated RGB+metadata-map input)."""
+    from ..models.blocks import pixel_shuffle
+
+    tr = track or (lambda name, h: h)
+
+    def fconv(entry, h):
+        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
+                                            dimension_numbers=dn) + entry['bias']
+
+    n = sum(1 for k in params if k.startswith('conv_') and k != 'conv_tail')
+    out = jnp.asarray(x, jnp.float32)
+    for i in range(n):
+        out = jax.nn.relu(fconv(params['conv_%d' % i], tr('conv_%d' % i, out)))
+    out = fconv(params['conv_tail'], tr('conv_tail', out))
+    return pixel_shuffle(out, scale)
+
+
+def calibrate_srmd_scales(params, sample_batches, scale, margin=1.0):
+    """Static activation scales for the int8 SRMD forward (absmax calibration)."""
+    maxes = {}
+
+    def track(name, h):
+        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
+        return h
+
+    if not sample_batches:
+        raise ValueError('no calibration batches provided.')
+    for x in sample_batches:
+        _srmd_float_forward(params, x, scale, track=track)
+    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+
+
+def srmd_int8_forward_static(qparams, act_scales, x, scale):
+    """Quantized SRMD forward: the whole chain int8 (channel-concat input)."""
+    from ..models.blocks import pixel_shuffle
+
+    n = sum(1 for k in qparams if k.startswith('conv_') and k != 'conv_tail')
+    out = jnp.asarray(x, jnp.float32)
+    for i in range(n):
+        tree = qparams['conv_%d' % i]
+        out = jax.nn.relu(conv_int8_static(out, tree['kernel'], tree['scale'],
+                                           act_scales['conv_%d' % i],
+                                           tree['bias']))
+    tree = qparams['conv_tail']
+    out = conv_int8_static(out, tree['kernel'], tree['scale'],
+                           act_scales['conv_tail'], tree['bias'])
+    return pixel_shuffle(out, scale)
+
+
 def quantize_rcan_params(params, n_resgroups=10, n_resblocks=20):
     """Quantize an RCAN parameter tree (models/advanced.py naming) to int8.
 

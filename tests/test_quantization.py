@@ -211,6 +211,41 @@ def test_vdsr_int8_static_quality_and_handler():
     assert psnr(out, ref, max_value=1.0) > 35
 
 
+def test_srmd_int8_static_quality_and_handler():
+    """Quantized SRMD (whole chain int8 over the RGB+metadata-map concat input)
+    >35 dB vs f32, incl. the channel-concat handler path."""
+    from sisr_tpu.models.advanced import SRMD
+    from sisr_tpu.models.handlers import define_model
+    from sisr_tpu.ops.quantization import (calibrate_srmd_scales,
+                                           quantize_srmd_params,
+                                           srmd_int8_forward_static,
+                                           _srmd_float_forward)
+    rng = np.random.RandomState(41)
+    model = SRMD(in_nc=13, nc=16, nb=4, scale=4)
+    x = jnp.asarray(rng.rand(2, 12, 12, 13), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(9), x)
+    out_f32 = np.asarray(model.apply(variables, x))
+
+    mirror = np.asarray(_srmd_float_forward(variables['params'], x, 4))
+    np.testing.assert_allclose(mirror, out_f32, atol=2e-6)
+
+    qparams = quantize_srmd_params(variables['params'])
+    scales = calibrate_srmd_scales(variables['params'], [np.asarray(x)], 4)
+    out = np.asarray(srmd_int8_forward_static(qparams, scales, x, 4))
+    assert psnr(out, out_f32, max_value=1.0) > 35
+
+    h = define_model('srmd', eval_mode=True, scale=4, nc=16, nb=4,
+                     metadata=['blur_kernel'])
+    h.set_metadata_keys(['blur_kernel'] * 10)
+    h.init_state(spatial=(12, 12))
+    xb = rng.rand(2, 12, 12, 3).astype(np.float32)
+    mb = rng.rand(2, 10).astype(np.float32)
+    ref, _, _ = h.run_eval(xb, metadata=mb)
+    h.set_int8(True)
+    out, _, _ = h.run_eval(xb, metadata=mb)
+    assert psnr(out, ref, max_value=1.0) > 35
+
+
 def test_san_int8_static_quality():
     """Quantized SAN (int8 RB conv body + f32 non-local/SOCA) stays >35 dB vs f32,
     and the calibration mirror (quadrant non-local, Newton-Schulz SOCA, gamma
