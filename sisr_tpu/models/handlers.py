@@ -243,6 +243,22 @@ class BaseHandler:
                 fwd = jax.jit(lambda qp_, xx, mm: qz.han_int8_forward_static(
                     qp_, scales, xx, m.n_resgroups, m.n_resblocks,
                     residual_dtype=rd))
+            elif self.int8_family == 'sftmd':
+                if meta is None:
+                    raise RuntimeError('int8 SFTMD calibration needs a metadata '
+                                       'batch alongside the first LR batch.')
+                if getattr(self, 'channel_concat', False):
+                    raise RuntimeError('int8 SFTMD does not support '
+                                       'concat_strategy — disable --int8 or the '
+                                       'concat strategy.')
+                cfg = dict(num_blocks=m.num_blocks, scale=self.scale,
+                           sft_type=m.sft_type, mask_para=m.mask_para,
+                           repeats=m.repeats)
+                qp = qz.quantize_sftmd_params(params, m.num_blocks, self.scale)
+                scales = qz.calibrate_sftmd_scales(params, [x], [meta],
+                                                   margin=1.1, **cfg)
+                fwd = jax.jit(lambda qp_, xx, mm: qz.sftmd_int8_forward_static(
+                    qp_, scales, xx, mm, **cfg))
             elif self.int8_family == 'srmd':
                 if meta is None and self.uses_metadata:
                     raise RuntimeError('int8 SRMD calibration needs a metadata '
@@ -1250,6 +1266,7 @@ class SFTMDHandler(QHandler):
     """
     colorspace = 'augmented_rgb'
     loss_type = 'l1'
+    int8_family = 'sftmd'  # int8 conv spine; SFT modulation + q-injection f32
     # bucketed eval stays exact despite the in-module broadcast of vector
     # metadata to full-resolution para maps: the conv interceptor masks every
     # nn.Conv INPUT (ops/masking.py:111-121), so pad-region para values are

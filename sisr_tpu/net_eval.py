@@ -89,8 +89,8 @@ def _config_callback(ctx, param, value):
               help='Path to the face-network torch weights (defaults to the '
                    'reference external-package paths in configuration/constants).')
 @click.option('--int8', 'int8', is_flag=True,
-              help='Run supported models (vdsr, edsr, srmd, rcan, han, san, qrcan, '
-                   'qhan, qsan) through the int8 serving fast path: int8 convs at 2x '
+              help='Run supported models (vdsr, edsr, srmd, sftmd, rcan, han, san, '
+                   'qrcan, qhan, qsan) through the int8 serving fast path: int8 convs at 2x '
                    'the bf16 MXU rate, calibrated on the first batch; attention '
                    'stages stay f32. 1.13-1.25x measured at ~40-55 dB vs f32.')
 @click.option("--sp_gpu", default=0, show_default=True,

@@ -1021,6 +1021,198 @@ def qsan_int8_forward_static(qparams, act_scales, x, metadata, n_resgroups=20,
     return qconv('tail', qparams['tail'], res)
 
 
+def quantize_sftmd_params(params, num_blocks=16, scale=4):
+    """Quantize an SFTMD parameter tree (models/sftmd.py naming) to int8.
+
+    The nf-channel conv spine (conv1/2/3, per-block conv1/conv2, conv_mid,
+    up_conv*, the 9x9 conv_output) goes int8; SFT layers (32-channel modulation
+    branches ending in sigmoid) and any q-injection ParaCALayers stay f32."""
+    def q(entry):
+        qk, s = quantize_kernel_int8(entry['kernel'])
+        return {'kernel': qk, 'scale': s,
+                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+
+    def f32(tree):
+        return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
+
+    out = {k: q(params[k]) for k in ('conv1', 'conv2', 'conv3', 'conv_mid',
+                                     'up_conv1', 'conv_output')}
+    if 'up_conv2' in params:
+        out['up_conv2'] = q(params['up_conv2'])
+    out['sft'] = f32(params['sft'])
+    if 'final_injection' in params:
+        out['final_injection'] = f32(params['final_injection'])
+    for i in range(1, num_blocks + 1):
+        blk = params['sft_residual_%d' % i]
+        qb = {'conv1': q(blk['conv1']), 'conv2': q(blk['conv2']),
+              'sft1': f32(blk['sft1']), 'sft2': f32(blk['sft2'])}
+        for extra in ('q_1', 'q_2'):
+            if extra in blk:
+                qb[extra] = f32(blk[extra])
+        out['sft_residual_%d' % i] = qb
+    return out
+
+
+def _sft_apply(entry, sft_type, fea, para_maps, repeats=None, mask_para=False):
+    """SFTLayer math in f32 (mirrors models/sftmd.py SFTLayer/StandardSft/ConcatSft)."""
+    def fconv(e, h):
+        dn = jax.lax.conv_dimension_numbers(h.shape, e['kernel'].shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(h, e['kernel'], (1, 1), 'SAME',
+                                            dimension_numbers=dn) + e['bias']
+
+    if sft_type == 'none':
+        return fea
+    if sft_type == 'weak':
+        return fea * para_maps
+    if sft_type == 'concat':
+        cat = jnp.concatenate([fea, para_maps], axis=-1)
+        return fconv(entry['sft_module']['conv'], cat)
+    # standard
+    mod = entry['sft_module']
+    if repeats is not None:
+        para_maps = jnp.tile(para_maps, (1, 1, 1, repeats))
+    cat = fea if mask_para else jnp.concatenate([fea, para_maps], axis=-1)
+    mul = jax.nn.leaky_relu(fconv(mod['mul_conv1'], cat), 0.2)
+    mul = jax.nn.sigmoid(fconv(mod['mul_conv2'], mul))
+    add = jax.nn.leaky_relu(fconv(mod['add_conv1'], cat), 0.2)
+    add = fconv(mod['add_conv2'], add)
+    return fea * mul + add
+
+
+def _sftmd_float_forward(params, x, metadata, num_blocks=16, scale=4,
+                         sft_type='standard', mask_para=False, repeats=None,
+                         track=None):
+    """f32 SFTMD forward used for calibration (mirrors models/sftmd.py SFTMD;
+    ``metadata`` is the flat (B, M) vector — the int8 path's interface)."""
+    from ..models.blocks import pixel_shuffle
+
+    tr = track or (lambda name, h: h)
+    meta = jnp.asarray(metadata, jnp.float32)
+
+    def fconv(e, h):
+        dn = jax.lax.conv_dimension_numbers(h.shape, e['kernel'].shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(h, e['kernel'], (1, 1), 'SAME',
+                                            dimension_numbers=dn) + e['bias']
+
+    x = jnp.asarray(x, jnp.float32)
+    para_maps = jnp.broadcast_to(meta[:, None, None, :],
+                                 (x.shape[0], x.shape[1], x.shape[2],
+                                  meta.shape[-1]))
+    fea = jax.nn.leaky_relu(fconv(params['conv1'], tr('conv1', x)), 0.2)
+    fea = jax.nn.leaky_relu(fconv(params['conv2'], tr('conv2', fea)), 0.2)
+    fea_bef = fconv(params['conv3'], tr('conv3', fea))
+    fea_in = fea_bef
+    for i in range(1, num_blocks + 1):
+        blk = params['sft_residual_%d' % i]
+        pre = 'sft_residual_%d' % i
+        f1 = jax.nn.relu(_sft_apply(blk['sft1'], sft_type, fea_in, para_maps,
+                                    repeats, mask_para))
+        if 'q_1' in blk:
+            f1 = f1 * _para_ca_apply(blk['q_1'], meta)[:, None, None, :]
+        f1 = fconv(blk['conv1'], tr(pre + '.conv1', f1))
+        f2 = jax.nn.relu(_sft_apply(blk['sft2'], sft_type, f1, para_maps,
+                                    repeats, mask_para))
+        if 'q_2' in blk:
+            f2 = f2 * _para_ca_apply(blk['q_2'], meta)[:, None, None, :]
+        f3 = fconv(blk['conv2'], tr(pre + '.conv2', f2))
+        fea_in = fea_in + f3
+    fea_add = fea_in + fea_bef
+    fea_fin = _sft_apply(params['sft'], sft_type, fea_add, para_maps, repeats,
+                         mask_para)
+    if 'final_injection' in params:
+        fea_fin = fea_fin * _para_ca_apply(params['final_injection'],
+                                           meta)[:, None, None, :]
+    fea = fconv(params['conv_mid'], tr('conv_mid', fea_fin))
+    if scale == 4:
+        fea = fconv(params['up_conv1'], tr('up_conv1', fea))
+        fea = jax.nn.leaky_relu(pixel_shuffle(fea, 2), 0.2)
+        fea = fconv(params['up_conv2'], tr('up_conv2', fea))
+        fea = jax.nn.leaky_relu(pixel_shuffle(fea, 2), 0.2)
+    else:
+        fea = fconv(params['up_conv1'], tr('up_conv1', fea))
+        fea = jax.nn.leaky_relu(pixel_shuffle(fea, scale), 0.2)
+    out = fconv(params['conv_output'], tr('conv_output', fea))
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def calibrate_sftmd_scales(params, sample_batches, metadata_batches, num_blocks=16,
+                           scale=4, sft_type='standard', mask_para=False,
+                           repeats=None, margin=1.0):
+    """Static activation scales for the int8 SFTMD forward (absmax calibration)."""
+    maxes = {}
+
+    def track(name, h):
+        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
+        return h
+
+    sample_batches = list(sample_batches)
+    metadata_batches = list(metadata_batches)
+    if not sample_batches:
+        raise ValueError('calibrate_sftmd_scales: no calibration batches provided.')
+    if len(sample_batches) != len(metadata_batches):
+        raise ValueError('calibrate_sftmd_scales: %d sample batches but %d metadata '
+                         'batches.' % (len(sample_batches), len(metadata_batches)))
+    for x, meta in zip(sample_batches, metadata_batches):
+        _sftmd_float_forward(params, x, meta, num_blocks, scale, sft_type,
+                             mask_para, repeats, track=track)
+    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+
+
+def sftmd_int8_forward_static(qparams, act_scales, x, metadata, num_blocks=16,
+                              scale=4, sft_type='standard', mask_para=False,
+                              repeats=None):
+    """Quantized SFTMD forward: int8 conv spine + f32 SFT modulation / q-injection."""
+    from ..models.blocks import pixel_shuffle
+
+    meta = jnp.asarray(metadata, jnp.float32)
+    x = jnp.asarray(x, jnp.float32)
+    para_maps = jnp.broadcast_to(meta[:, None, None, :],
+                                 (x.shape[0], x.shape[1], x.shape[2],
+                                  meta.shape[-1]))
+
+    def qconv(name, tree, h):
+        return conv_int8_static(h, tree['kernel'], tree['scale'], act_scales[name],
+                                tree['bias'])
+
+    fea = jax.nn.leaky_relu(qconv('conv1', qparams['conv1'], x), 0.2)
+    fea = jax.nn.leaky_relu(qconv('conv2', qparams['conv2'], fea), 0.2)
+    fea_bef = qconv('conv3', qparams['conv3'], fea)
+    fea_in = fea_bef
+    for i in range(1, num_blocks + 1):
+        blk = qparams['sft_residual_%d' % i]
+        pre = 'sft_residual_%d' % i
+        f1 = jax.nn.relu(_sft_apply(blk['sft1'], sft_type, fea_in, para_maps,
+                                    repeats, mask_para))
+        if 'q_1' in blk:
+            f1 = f1 * _para_ca_apply(blk['q_1'], meta)[:, None, None, :]
+        f1 = qconv(pre + '.conv1', blk['conv1'], f1)
+        f2 = jax.nn.relu(_sft_apply(blk['sft2'], sft_type, f1, para_maps,
+                                    repeats, mask_para))
+        if 'q_2' in blk:
+            f2 = f2 * _para_ca_apply(blk['q_2'], meta)[:, None, None, :]
+        f3 = qconv(pre + '.conv2', blk['conv2'], f2)
+        fea_in = fea_in + f3
+    fea_add = fea_in + fea_bef
+    fea_fin = _sft_apply(qparams['sft'], sft_type, fea_add, para_maps, repeats,
+                         mask_para)
+    if 'final_injection' in qparams:
+        fea_fin = fea_fin * _para_ca_apply(qparams['final_injection'],
+                                           meta)[:, None, None, :]
+    fea = qconv('conv_mid', qparams['conv_mid'], fea_fin)
+    if scale == 4:
+        fea = qconv('up_conv1', qparams['up_conv1'], fea)
+        fea = jax.nn.leaky_relu(pixel_shuffle(fea, 2), 0.2)
+        fea = qconv('up_conv2', qparams['up_conv2'], fea)
+        fea = jax.nn.leaky_relu(pixel_shuffle(fea, 2), 0.2)
+    else:
+        fea = qconv('up_conv1', qparams['up_conv1'], fea)
+        fea = jax.nn.leaky_relu(pixel_shuffle(fea, scale), 0.2)
+    out = qconv('conv_output', qparams['conv_output'], fea)
+    return jnp.clip(out, 0.0, 1.0)
+
+
 def quantize_qhan_params(params, n_resgroups=10, n_resblocks=20):
     """Quantize a QHAN parameter tree to int8: HAN's outer structure (LAM/CSAM +
     fusion convs) with QRCAN-style meta-attention groups — convs int8, every

@@ -211,6 +211,54 @@ def test_vdsr_int8_static_quality_and_handler():
     assert psnr(out, ref, max_value=1.0) > 35
 
 
+@pytest.mark.parametrize('sft_type,q_injection', [('standard', False),
+                                                  ('standard', True),
+                                                  ('concat', False)])
+def test_sftmd_int8_static_quality_and_handler(sft_type, q_injection):
+    """Quantized SFTMD (int8 conv spine + f32 SFT modulation / q-injection)
+    >35 dB vs f32, for the standard and concat SFT types."""
+    from sisr_tpu.models.sftmd import SFTMD
+    from sisr_tpu.models.handlers import define_model
+    from sisr_tpu.ops.quantization import (calibrate_sftmd_scales,
+                                           quantize_sftmd_params,
+                                           sftmd_int8_forward_static,
+                                           _sftmd_float_forward)
+    rng = np.random.RandomState(43)
+    cfg = dict(num_features=16, num_blocks=2, scale=4, input_para=10,
+               sft_type=sft_type, q_injection=q_injection)
+    model = SFTMD(**cfg)
+    x = jnp.asarray(rng.rand(1, 10, 10, 3), jnp.float32)
+    meta = jnp.asarray(rng.rand(1, 10), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(10), x, meta)
+    out_f32 = np.asarray(model.apply(variables, x, meta))
+
+    mirror = np.asarray(_sftmd_float_forward(variables['params'], x, meta,
+                                             num_blocks=2, scale=4,
+                                             sft_type=sft_type))
+    np.testing.assert_allclose(mirror, out_f32, atol=2e-6)
+
+    qparams = quantize_sftmd_params(variables['params'], 2, 4)
+    scales = calibrate_sftmd_scales(variables['params'], [np.asarray(x)],
+                                    [np.asarray(meta)], num_blocks=2, scale=4,
+                                    sft_type=sft_type)
+    out = np.asarray(sftmd_int8_forward_static(qparams, scales, x, meta,
+                                               num_blocks=2, scale=4,
+                                               sft_type=sft_type))
+    assert psnr(out, out_f32, max_value=1.0) > 35
+
+    h = define_model('sftmd', eval_mode=True, scale=4, num_features=16,
+                     num_blocks=2, SFT_type=sft_type, q_injection=q_injection,
+                     metadata=['blur_kernel'])
+    h.set_metadata_keys(['blur_kernel'] * 10)
+    h.init_state(spatial=(10, 10))
+    xb = rng.rand(1, 10, 10, 3).astype(np.float32)
+    mb = rng.rand(1, 10).astype(np.float32)
+    ref, _, _ = h.run_eval(xb, metadata=mb)
+    h.set_int8(True)
+    out, _, _ = h.run_eval(xb, metadata=mb)
+    assert psnr(out, ref, max_value=1.0) > 35
+
+
 def test_srmd_int8_static_quality_and_handler():
     """Quantized SRMD (whole chain int8 over the RGB+metadata-map concat input)
     >35 dB vs f32, incl. the channel-concat handler path."""
