@@ -193,6 +193,32 @@ class BaseHandler:
         self._int8_ctx = None
         self._invalidate_steps()  # int8 is traced into cached (fused) eval steps
 
+    def _int8_calibration_input(self, lr_f32, hr_hw=None):
+        """Build the calibration input MATCHING what the int8 program consumes:
+        interp-input families calibrate on the pre-upscaled (and y-channel)
+        input, not the raw LR RGB (wrong channel count AND wrong statistics);
+        tiled families calibrate on a tile-sized center crop — the tile grid
+        exists precisely because the full-image forward does not fit, so an
+        eager full-image calibration pass would OOM on large eval images."""
+        from ..ops.colorspace import rgb_to_ycbcr_nhwc
+        from ..ops.resize import resize_bicubic
+        x = lr_f32
+        if self.im_input == 'interp' and hr_hw is not None \
+                and tuple(x.shape[1:3]) != tuple(hr_hw):
+            x = resize_bicubic(x, int(hr_hw[0]), int(hr_hw[1]), dtype=jnp.float32)
+        if self.colorspace == 'ycbcr' and x.shape[-1] == 3:
+            x = jnp.clip(x.astype(jnp.float32), 0.0, 1.0)
+            x = rgb_to_ycbcr_nhwc(x, y_only=True, im_type='jpg')[..., :1]
+        if self.tiled_eval:
+            import math
+            side = max(16, int(math.sqrt(self.max_combined_im_size)))
+            h, w = x.shape[1:3]
+            if h > side or w > side:
+                hs = (h - min(h, side)) // 2
+                ws = (w - min(w, side)) // 2
+                x = x[:, hs:hs + min(h, side), ws:ws + min(w, side), :]
+        return x
+
     def _int8_forward(self, batch):
         """Quantized forward; lazily quantizes weights + calibrates activation scales
         from the first batch seen, then reuses the jitted int8 program."""
@@ -215,6 +241,11 @@ class BaseHandler:
             params = jax.tree.map(lambda a: np.asarray(a, np.float32),
                                   self.state.params)
             m = self.module
+            rd = self.int8_residual_dtype
+            if self.int8_family != 'edsr' and rd not in ('float32', 'bfloat16'):
+                print("int8 %s: residual_dtype %r is EDSR-only (int16 grid) — "
+                      "using bfloat16." % (self.int8_family, rd))
+                rd = 'bfloat16'
             if self.int8_family == 'edsr':
                 qp = qz.quantize_edsr_params(params)
                 scales = qz.calibrate_edsr_scales(
@@ -227,9 +258,6 @@ class BaseHandler:
                 qp = qz.quantize_rcan_params(params, m.n_resgroups, m.n_resblocks)
                 scales = qz.calibrate_rcan_scales(params, [x], m.n_resgroups,
                                                   m.n_resblocks, margin=1.1)
-                rd = self.int8_residual_dtype \
-                    if self.int8_residual_dtype in ('float32', 'bfloat16') \
-                    else 'bfloat16'
                 fwd = jax.jit(lambda qp_, xx, mm: qz.rcan_int8_forward_static(
                     qp_, scales, xx, m.n_resgroups, m.n_resblocks,
                     residual_dtype=rd))
@@ -237,9 +265,6 @@ class BaseHandler:
                 qp = qz.quantize_han_params(params, m.n_resgroups, m.n_resblocks)
                 scales = qz.calibrate_han_scales(params, [x], m.n_resgroups,
                                                  m.n_resblocks, margin=1.1)
-                rd = self.int8_residual_dtype \
-                    if self.int8_residual_dtype in ('float32', 'bfloat16') \
-                    else 'bfloat16'
                 fwd = jax.jit(lambda qp_, xx, mm: qz.han_int8_forward_static(
                     qp_, scales, xx, m.n_resgroups, m.n_resblocks,
                     residual_dtype=rd))
@@ -281,9 +306,6 @@ class BaseHandler:
                 qp = qz.quantize_san_params(params, m.n_resgroups, m.n_resblocks)
                 scales = qz.calibrate_san_scales(params, [x], m.n_resgroups,
                                                  m.n_resblocks, margin=1.1)
-                rd = self.int8_residual_dtype \
-                    if self.int8_residual_dtype in ('float32', 'bfloat16') \
-                    else 'bfloat16'
                 fwd = jax.jit(lambda qp_, xx, mm: qz.san_int8_forward_static(
                     qp_, scales, xx, m.n_resgroups, m.n_resblocks,
                     residual_dtype=rd))
@@ -295,9 +317,6 @@ class BaseHandler:
                 scales = qz.calibrate_qsan_scales(
                     params, [x], [meta], n_resgroups=m.n_resgroups,
                     n_resblocks=m.n_resblocks, margin=1.1)
-                rd = self.int8_residual_dtype \
-                    if self.int8_residual_dtype in ('float32', 'bfloat16') \
-                    else 'bfloat16'
                 fwd = jax.jit(lambda qp_, xx, mm: qz.qsan_int8_forward_static(
                     qp_, scales, xx, mm, n_resgroups=m.n_resgroups,
                     n_resblocks=m.n_resblocks, residual_dtype=rd))
@@ -309,9 +328,6 @@ class BaseHandler:
                 scales = qz.calibrate_qhan_scales(
                     params, [x], [meta], n_resgroups=m.n_resgroups,
                     n_resblocks=m.n_resblocks, margin=1.1)
-                rd = self.int8_residual_dtype \
-                    if self.int8_residual_dtype in ('float32', 'bfloat16') \
-                    else 'bfloat16'
                 fwd = jax.jit(lambda qp_, xx, mm: qz.qhan_int8_forward_static(
                     qp_, scales, xx, mm, n_resgroups=m.n_resgroups,
                     n_resblocks=m.n_resblocks, residual_dtype=rd))
@@ -323,9 +339,6 @@ class BaseHandler:
                 scales = qz.calibrate_qrcan_scales(
                     params, [x], [meta], style=m.style, n_resgroups=m.n_resgroups,
                     n_resblocks=m.n_resblocks, margin=1.1)
-                rd = self.int8_residual_dtype \
-                    if self.int8_residual_dtype in ('float32', 'bfloat16') \
-                    else 'bfloat16'
                 fwd = jax.jit(lambda qp_, xx, mm: qz.qrcan_int8_forward_static(
                     qp_, scales, xx, mm, style=m.style, n_resgroups=m.n_resgroups,
                     n_resblocks=m.n_resblocks, residual_dtype=rd))
@@ -510,11 +523,13 @@ class BaseHandler:
             batch = self.mesh_ctx.shard_batch(batch)
 
         if self.tiled_eval and self.int8_mode and self._int8_ctx is None:
-            # calibrate on the full image BEFORE the tiled dispatch (the tile
-            # grid then runs the quantized program per tile)
+            # calibrate BEFORE the tiled dispatch (the tile grid then runs the
+            # quantized program per tile) — on a tile-sized crop, never the
+            # full image (see _int8_calibration_input)
             xf = jnp.asarray(x)
             xf = xf.astype(jnp.float32) / 255.0 if xf.dtype == jnp.uint8 \
                 else xf.astype(jnp.float32)
+            xf = self._int8_calibration_input(xf)
             meta_cal = self.prepare_metadata(xf, batch.get('metadata')) \
                 if self.uses_metadata else None
             self._ensure_int8_ctx(xf, meta_cal)
@@ -740,7 +755,11 @@ class BaseHandler:
         if self.int8_mode and self._int8_ctx is None:
             lr_f32 = lr.astype(np.float32) / 255.0 if lr.dtype == np.uint8 \
                 else np.asarray(lr, np.float32)
-            x_cal = jnp.asarray(lr_f32)
+            # the calibration input must match the int8 program's input (interp
+            # upscale / y-channel for interp families; tile-sized crop for tiled
+            # families), not the raw LR RGB
+            x_cal = self._int8_calibration_input(
+                jnp.asarray(lr_f32), hr_hw=dev_batch['hr'].shape[1:3])
             meta_cal = self.prepare_metadata(x_cal, dev_batch.get('metadata')) \
                 if self.uses_metadata else None
             self._ensure_int8_ctx(x_cal, meta_cal)  # calibrate OUTSIDE the trace

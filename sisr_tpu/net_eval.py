@@ -90,9 +90,11 @@ def _config_callback(ctx, param, value):
                    'reference external-package paths in configuration/constants).')
 @click.option('--int8', 'int8', is_flag=True,
               help='Run supported models (vdsr, edsr, srmd, sftmd, rcan, han, san, '
-                   'qrcan, qhan, qsan) through the int8 serving fast path: int8 convs at 2x '
-                   'the bf16 MXU rate, calibrated on the first batch; attention '
-                   'stages stay f32. 1.13-1.25x measured at ~40-55 dB vs f32.')
+                   'qrcan, qhan, qsan) through the int8 serving fast path: int8 '
+                   'convs at 2x the bf16 MXU rate, calibrated on the first batch; '
+                   'attention stages stay f32. Measured 1.13-1.25x at ~40-55 dB vs '
+                   'f32 on edsr/rcan/qrcan; other families >35 dB fidelity-tested, '
+                   'throughput not yet measured on chip.')
 @click.option("--sp_gpu", default=0, show_default=True,
               help='Specify specific device to use for computation.')
 @click.option('--scale', default=4, help='Scale of SR to perform.', show_default=True)

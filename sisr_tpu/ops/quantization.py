@@ -72,6 +72,41 @@ def conv_int8(x, q_kernel, w_scale, bias=None, x_scale=None):
     return out
 
 
+def _q_entry(entry):
+    """Quantize one conv param entry: int8 HWIO kernel + per-out-channel scales."""
+    qk, sc = quantize_kernel_int8(entry['kernel'])
+    return {'kernel': qk, 'scale': sc,
+            'bias': jnp.asarray(entry['bias'], jnp.float32)}
+
+
+def _f32_tree(tree):
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
+
+
+def _fconv(entry, h):
+    """f32 SAME conv + bias (the calibration mirrors' conv primitive)."""
+    dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+    return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
+                                        dimension_numbers=dn) + entry['bias']
+
+
+def _absmax_tracker():
+    """(track, maxes): record per-name activation absmax during a mirror pass."""
+    maxes = {}
+
+    def track(name, h):
+        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
+        return h
+
+    return track, maxes
+
+
+def _finalize_scales(maxes, margin):
+    return {k: np.float32(max(v * margin, 1e-12) / 127.0)
+            for k, v in maxes.items()}
+
+
 def quantize_edsr_params(params):
     """Quantize an EDSR parameter tree (models/advanced.py naming) to int8."""
     def q(entry):
@@ -125,11 +160,7 @@ def calibrate_edsr_scales(params, sample_batches, num_blocks=16, scale=4, res_sc
 
     from ..models.blocks import pixel_shuffle
 
-    def fconv(entry, h):
-        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
-                                            ('NHWC', 'HWIO', 'NHWC'))
-        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
-                                            dimension_numbers=dn) + entry['bias']
+    fconv = _fconv
 
     if not sample_batches:
         raise ValueError('no calibration batches provided.')
@@ -221,10 +252,7 @@ def edsr_int8_forward_static(qparams, act_scales, x, num_blocks=16, scale=4,
 
 def quantize_vdsr_params(params):
     """Quantize a VDSR parameter tree (models/basic.py naming: conv_0..conv_N)."""
-    def q(entry):
-        qk, s = quantize_kernel_int8(entry['kernel'])
-        return {'kernel': qk, 'scale': s,
-                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+    q = _q_entry
 
     return {k: q(v) for k, v in params.items() if k.startswith('conv_')}
 
@@ -234,11 +262,7 @@ def _vdsr_float_forward(params, x, track=None):
     padding='same')."""
     tr = track or (lambda name, h: h)
 
-    def fconv(entry, h):
-        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
-                                            ('NHWC', 'HWIO', 'NHWC'))
-        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
-                                            dimension_numbers=dn) + entry['bias']
+    fconv = _fconv
 
     n = sum(1 for k in params if k.startswith('conv_'))
     out = jnp.asarray(x, jnp.float32)
@@ -252,17 +276,13 @@ def _vdsr_float_forward(params, x, track=None):
 
 def calibrate_vdsr_scales(params, sample_batches, margin=1.0):
     """Static activation scales for the int8 VDSR forward (absmax calibration)."""
-    maxes = {}
-
-    def track(name, h):
-        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
-        return h
+    track, maxes = _absmax_tracker()
 
     if not sample_batches:
         raise ValueError('no calibration batches provided.')
     for x in sample_batches:
         _vdsr_float_forward(params, x, track=track)
-    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+    return _finalize_scales(maxes, margin)
 
 
 def vdsr_int8_forward_static(qparams, act_scales, x):
@@ -283,10 +303,7 @@ def vdsr_int8_forward_static(qparams, act_scales, x):
 def quantize_srmd_params(params):
     """Quantize an SRMD parameter tree (models/advanced.py naming: conv_0..conv_N
     + conv_tail) — a plain conv chain over RGB+metadata maps."""
-    def q(entry):
-        qk, s = quantize_kernel_int8(entry['kernel'])
-        return {'kernel': qk, 'scale': s,
-                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+    q = _q_entry
 
     return {k: q(v) for k, v in params.items()
             if k.startswith('conv_') or k == 'conv_tail'}
@@ -299,11 +316,7 @@ def _srmd_float_forward(params, x, scale, track=None):
 
     tr = track or (lambda name, h: h)
 
-    def fconv(entry, h):
-        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
-                                            ('NHWC', 'HWIO', 'NHWC'))
-        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
-                                            dimension_numbers=dn) + entry['bias']
+    fconv = _fconv
 
     n = sum(1 for k in params if k.startswith('conv_') and k != 'conv_tail')
     out = jnp.asarray(x, jnp.float32)
@@ -315,17 +328,13 @@ def _srmd_float_forward(params, x, scale, track=None):
 
 def calibrate_srmd_scales(params, sample_batches, scale, margin=1.0):
     """Static activation scales for the int8 SRMD forward (absmax calibration)."""
-    maxes = {}
-
-    def track(name, h):
-        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
-        return h
+    track, maxes = _absmax_tracker()
 
     if not sample_batches:
         raise ValueError('no calibration batches provided.')
     for x in sample_batches:
         _srmd_float_forward(params, x, scale, track=track)
-    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+    return _finalize_scales(maxes, margin)
 
 
 def srmd_int8_forward_static(qparams, act_scales, x, scale):
@@ -352,10 +361,7 @@ def quantize_rcan_params(params, n_resgroups=10, n_resblocks=20):
     see ROADMAP 'MXU lane utilization'); each RCAB's channel-attention Dense
     pair stays f32 (negligible FLOPs, and sigmoid gates are precision-sensitive).
     """
-    def q(entry):
-        qk, s = quantize_kernel_int8(entry['kernel'])
-        return {'kernel': qk, 'scale': s,
-                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+    q = _q_entry
 
     out = {'head': q(params['head']), 'body_tail': q(params['body_tail']),
            'tail': q(params['tail']),
@@ -380,11 +386,7 @@ def _rcan_float_forward(params, x, n_resgroups, n_resblocks, track=None):
 
     tr = track or (lambda name, h: h)
 
-    def fconv(entry, h):
-        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
-                                            ('NHWC', 'HWIO', 'NHWC'))
-        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
-                                            dimension_numbers=dn) + entry['bias']
+    fconv = _fconv
 
     def ca(entry, h):
         a = jnp.mean(h, axis=(1, 2))
@@ -427,11 +429,7 @@ def _check_rcan_upsampler_pow2(upsampler):
 def calibrate_rcan_scales(params, sample_batches, n_resgroups=10, n_resblocks=20,
                           margin=1.0):
     """Static activation scales for the int8 RCAN forward (absmax calibration)."""
-    maxes = {}
-
-    def track(name, h):
-        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
-        return h
+    track, maxes = _absmax_tracker()
 
     if not sample_batches:
         raise ValueError('no calibration batches provided.')
@@ -439,7 +437,7 @@ def calibrate_rcan_scales(params, sample_batches, n_resgroups=10, n_resblocks=20
         _rcan_float_forward(params, jnp.asarray(x, jnp.float32), n_resgroups,
                             n_resblocks, track=track)
     maxes.pop('_residual')  # RCAN supports only f32/bf16 residual carries (no int16)
-    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+    return _finalize_scales(maxes, margin)
 
 
 def rcan_int8_forward_static(qparams, act_scales, x, n_resgroups=10, n_resblocks=20,
@@ -508,13 +506,9 @@ def quantize_han_params(params, n_resgroups=10, n_resblocks=20):
     (CSAM) + two fusion convs: the 3x3 convs (incl. the wide ``last_conv``
     (N+1)*C->C fusion, the biggest single matmul in the net) go int8; LAM and
     CSAM stay f32 (softmax/sigmoid gates over tiny FLOPs)."""
-    def q(entry):
-        qk, s = quantize_kernel_int8(entry['kernel'])
-        return {'kernel': qk, 'scale': s,
-                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+    q = _q_entry
 
-    def f32(tree):
-        return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
+    f32 = _f32_tree
 
     out = quantize_rcan_params(params, n_resgroups, n_resblocks)
     out['last_conv'] = q(params['last_conv'])
@@ -555,11 +549,7 @@ def _han_float_forward(params, x, n_resgroups, n_resblocks, track=None):
 
     tr = track or (lambda name, h: h)
 
-    def fconv(entry, h):
-        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
-                                            ('NHWC', 'HWIO', 'NHWC'))
-        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
-                                            dimension_numbers=dn) + entry['bias']
+    fconv = _fconv
 
     def ca(entry, h):
         a = jnp.mean(h, axis=(1, 2))
@@ -601,11 +591,7 @@ def _han_float_forward(params, x, n_resgroups, n_resblocks, track=None):
 def calibrate_han_scales(params, sample_batches, n_resgroups=10, n_resblocks=20,
                          margin=1.0):
     """Static activation scales for the int8 HAN forward (absmax calibration)."""
-    maxes = {}
-
-    def track(name, h):
-        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
-        return h
+    track, maxes = _absmax_tracker()
 
     if not sample_batches:
         raise ValueError('no calibration batches provided.')
@@ -613,7 +599,7 @@ def calibrate_han_scales(params, sample_batches, n_resgroups=10, n_resblocks=20,
         _han_float_forward(params, jnp.asarray(x, jnp.float32), n_resgroups,
                            n_resblocks, track=track)
     maxes.pop('_residual')
-    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+    return _finalize_scales(maxes, margin)
 
 
 def han_int8_forward_static(qparams, act_scales, x, n_resgroups=10, n_resblocks=20,
@@ -685,13 +671,9 @@ def quantize_qrcan_params(params, n_resgroups=10, n_resblocks=20):
     pooled/metadata vectors (negligible FLOPs, sigmoid-gated and therefore
     precision-sensitive), and PALayer's two 1x1 convs are C/8-channel.
     """
-    def q(entry):
-        qk, s = quantize_kernel_int8(entry['kernel'])
-        return {'kernel': qk, 'scale': s,
-                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+    q = _q_entry
 
-    def f32(tree):
-        return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
+    f32 = _f32_tree
 
     out = {'head': q(params['head']), 'final_body': q(params['final_body']),
            'tail': q(params['tail']),
@@ -719,13 +701,9 @@ def quantize_san_params(params, n_resgroups=20, n_resblocks=10):
     (1x1 g/theta/phi/w + spatial softmax) and SOCA (covariance + Newton-Schulz
     + sigmoid gate) stay f32 — both are precision-sensitive attention stages
     whose FLOPs are small next to the conv body."""
-    def q(entry):
-        qk, s = quantize_kernel_int8(entry['kernel'])
-        return {'kernel': qk, 'scale': s,
-                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+    q = _q_entry
 
-    def f32(tree):
-        return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
+    f32 = _f32_tree
 
     out = {'head': q(params['head']), 'tail': q(params['tail']),
            'upsampler': {k: q(v) for k, v in params['upsampler'].items()},
@@ -805,11 +783,7 @@ def _san_float_forward(params, x, n_resgroups, n_resblocks, track=None):
 
     tr = track or (lambda name, h: h)
 
-    def fconv(entry, h):
-        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
-                                            ('NHWC', 'HWIO', 'NHWC'))
-        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
-                                            dimension_numbers=dn) + entry['bias']
+    fconv = _fconv
 
     gamma = jnp.asarray(params['gamma'], jnp.float32)
     h = fconv(params['head'], tr('head', jnp.asarray(x, jnp.float32)))
@@ -840,11 +814,7 @@ def _san_float_forward(params, x, n_resgroups, n_resblocks, track=None):
 def calibrate_san_scales(params, sample_batches, n_resgroups=20, n_resblocks=10,
                          margin=1.0):
     """Static activation scales for the int8 SAN forward (absmax calibration)."""
-    maxes = {}
-
-    def track(name, h):
-        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
-        return h
+    track, maxes = _absmax_tracker()
 
     if not sample_batches:
         raise ValueError('no calibration batches provided.')
@@ -852,7 +822,7 @@ def calibrate_san_scales(params, sample_batches, n_resgroups=20, n_resblocks=10,
         _san_float_forward(params, jnp.asarray(x, jnp.float32), n_resgroups,
                            n_resblocks, track=track)
     maxes.pop('_residual')
-    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+    return _finalize_scales(maxes, margin)
 
 
 def san_int8_forward_static(qparams, act_scales, x, n_resgroups=20, n_resblocks=10,
@@ -896,13 +866,9 @@ def san_int8_forward_static(qparams, act_scales, x, n_resgroups=20, n_resblocks=
 def quantize_qsan_params(params, n_resgroups=20, n_resblocks=10):
     """Quantize a QSAN parameter tree to int8: SAN's structure with a ParaCALayer
     gate (f32) inside each residual block."""
-    def q(entry):
-        qk, s = quantize_kernel_int8(entry['kernel'])
-        return {'kernel': qk, 'scale': s,
-                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+    q = _q_entry
 
-    def f32(tree):
-        return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
+    f32 = _f32_tree
 
     out = {'head': q(params['head']), 'tail': q(params['tail']),
            'upsampler': {k: q(v) for k, v in params['upsampler'].items()},
@@ -927,11 +893,7 @@ def _qsan_float_forward(params, x, metadata, n_resgroups, n_resblocks, track=Non
     tr = track or (lambda name, h: h)
     meta = jnp.asarray(metadata, jnp.float32)
 
-    def fconv(entry, h):
-        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
-                                            ('NHWC', 'HWIO', 'NHWC'))
-        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
-                                            dimension_numbers=dn) + entry['bias']
+    fconv = _fconv
 
     gamma = jnp.asarray(params['gamma'], jnp.float32)
     h = fconv(params['head'], tr('head', jnp.asarray(x, jnp.float32)))
@@ -963,11 +925,7 @@ def _qsan_float_forward(params, x, metadata, n_resgroups, n_resblocks, track=Non
 def calibrate_qsan_scales(params, sample_batches, metadata_batches,
                           n_resgroups=20, n_resblocks=10, margin=1.0):
     """Static activation scales for the int8 QSAN forward (absmax calibration)."""
-    maxes = {}
-
-    def track(name, h):
-        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
-        return h
+    track, maxes = _absmax_tracker()
 
     sample_batches = list(sample_batches)
     metadata_batches = list(metadata_batches)
@@ -979,7 +937,7 @@ def calibrate_qsan_scales(params, sample_batches, metadata_batches,
     for x, meta in zip(sample_batches, metadata_batches):
         _qsan_float_forward(params, x, meta, n_resgroups, n_resblocks, track=track)
     maxes.pop('_residual')
-    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+    return _finalize_scales(maxes, margin)
 
 
 def qsan_int8_forward_static(qparams, act_scales, x, metadata, n_resgroups=20,
@@ -1027,25 +985,25 @@ def quantize_sftmd_params(params, num_blocks=16, scale=4):
     The nf-channel conv spine (conv1/2/3, per-block conv1/conv2, conv_mid,
     up_conv*, the 9x9 conv_output) goes int8; SFT layers (32-channel modulation
     branches ending in sigmoid) and any q-injection ParaCALayers stay f32."""
-    def q(entry):
-        qk, s = quantize_kernel_int8(entry['kernel'])
-        return {'kernel': qk, 'scale': s,
-                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+    q = _q_entry
 
-    def f32(tree):
-        return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
+    f32 = _f32_tree
 
     out = {k: q(params[k]) for k in ('conv1', 'conv2', 'conv3', 'conv_mid',
                                      'up_conv1', 'conv_output')}
     if 'up_conv2' in params:
         out['up_conv2'] = q(params['up_conv2'])
-    out['sft'] = f32(params['sft'])
+    # 'weak'/'none' SFT layers are parameter-less: flax omits their entries
+    if 'sft' in params:
+        out['sft'] = f32(params['sft'])
     if 'final_injection' in params:
         out['final_injection'] = f32(params['final_injection'])
     for i in range(1, num_blocks + 1):
         blk = params['sft_residual_%d' % i]
-        qb = {'conv1': q(blk['conv1']), 'conv2': q(blk['conv2']),
-              'sft1': f32(blk['sft1']), 'sft2': f32(blk['sft2'])}
+        qb = {'conv1': q(blk['conv1']), 'conv2': q(blk['conv2'])}
+        for extra in ('sft1', 'sft2'):
+            if extra in blk:
+                qb[extra] = f32(blk[extra])
         for extra in ('q_1', 'q_2'):
             if extra in blk:
                 qb[extra] = f32(blk[extra])
@@ -1055,11 +1013,7 @@ def quantize_sftmd_params(params, num_blocks=16, scale=4):
 
 def _sft_apply(entry, sft_type, fea, para_maps, repeats=None, mask_para=False):
     """SFTLayer math in f32 (mirrors models/sftmd.py SFTLayer/StandardSft/ConcatSft)."""
-    def fconv(e, h):
-        dn = jax.lax.conv_dimension_numbers(h.shape, e['kernel'].shape,
-                                            ('NHWC', 'HWIO', 'NHWC'))
-        return jax.lax.conv_general_dilated(h, e['kernel'], (1, 1), 'SAME',
-                                            dimension_numbers=dn) + e['bias']
+    fconv = _fconv
 
     if sft_type == 'none':
         return fea
@@ -1090,11 +1044,7 @@ def _sftmd_float_forward(params, x, metadata, num_blocks=16, scale=4,
     tr = track or (lambda name, h: h)
     meta = jnp.asarray(metadata, jnp.float32)
 
-    def fconv(e, h):
-        dn = jax.lax.conv_dimension_numbers(h.shape, e['kernel'].shape,
-                                            ('NHWC', 'HWIO', 'NHWC'))
-        return jax.lax.conv_general_dilated(h, e['kernel'], (1, 1), 'SAME',
-                                            dimension_numbers=dn) + e['bias']
+    fconv = _fconv
 
     x = jnp.asarray(x, jnp.float32)
     para_maps = jnp.broadcast_to(meta[:, None, None, :],
@@ -1107,19 +1057,19 @@ def _sftmd_float_forward(params, x, metadata, num_blocks=16, scale=4,
     for i in range(1, num_blocks + 1):
         blk = params['sft_residual_%d' % i]
         pre = 'sft_residual_%d' % i
-        f1 = jax.nn.relu(_sft_apply(blk['sft1'], sft_type, fea_in, para_maps,
+        f1 = jax.nn.relu(_sft_apply(blk.get('sft1'), sft_type, fea_in, para_maps,
                                     repeats, mask_para))
         if 'q_1' in blk:
             f1 = f1 * _para_ca_apply(blk['q_1'], meta)[:, None, None, :]
         f1 = fconv(blk['conv1'], tr(pre + '.conv1', f1))
-        f2 = jax.nn.relu(_sft_apply(blk['sft2'], sft_type, f1, para_maps,
+        f2 = jax.nn.relu(_sft_apply(blk.get('sft2'), sft_type, f1, para_maps,
                                     repeats, mask_para))
         if 'q_2' in blk:
             f2 = f2 * _para_ca_apply(blk['q_2'], meta)[:, None, None, :]
         f3 = fconv(blk['conv2'], tr(pre + '.conv2', f2))
         fea_in = fea_in + f3
     fea_add = fea_in + fea_bef
-    fea_fin = _sft_apply(params['sft'], sft_type, fea_add, para_maps, repeats,
+    fea_fin = _sft_apply(params.get('sft'), sft_type, fea_add, para_maps, repeats,
                          mask_para)
     if 'final_injection' in params:
         fea_fin = fea_fin * _para_ca_apply(params['final_injection'],
@@ -1141,11 +1091,7 @@ def calibrate_sftmd_scales(params, sample_batches, metadata_batches, num_blocks=
                            scale=4, sft_type='standard', mask_para=False,
                            repeats=None, margin=1.0):
     """Static activation scales for the int8 SFTMD forward (absmax calibration)."""
-    maxes = {}
-
-    def track(name, h):
-        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
-        return h
+    track, maxes = _absmax_tracker()
 
     sample_batches = list(sample_batches)
     metadata_batches = list(metadata_batches)
@@ -1157,7 +1103,7 @@ def calibrate_sftmd_scales(params, sample_batches, metadata_batches, num_blocks=
     for x, meta in zip(sample_batches, metadata_batches):
         _sftmd_float_forward(params, x, meta, num_blocks, scale, sft_type,
                              mask_para, repeats, track=track)
-    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+    return _finalize_scales(maxes, margin)
 
 
 def sftmd_int8_forward_static(qparams, act_scales, x, metadata, num_blocks=16,
@@ -1183,19 +1129,19 @@ def sftmd_int8_forward_static(qparams, act_scales, x, metadata, num_blocks=16,
     for i in range(1, num_blocks + 1):
         blk = qparams['sft_residual_%d' % i]
         pre = 'sft_residual_%d' % i
-        f1 = jax.nn.relu(_sft_apply(blk['sft1'], sft_type, fea_in, para_maps,
+        f1 = jax.nn.relu(_sft_apply(blk.get('sft1'), sft_type, fea_in, para_maps,
                                     repeats, mask_para))
         if 'q_1' in blk:
             f1 = f1 * _para_ca_apply(blk['q_1'], meta)[:, None, None, :]
         f1 = qconv(pre + '.conv1', blk['conv1'], f1)
-        f2 = jax.nn.relu(_sft_apply(blk['sft2'], sft_type, f1, para_maps,
+        f2 = jax.nn.relu(_sft_apply(blk.get('sft2'), sft_type, f1, para_maps,
                                     repeats, mask_para))
         if 'q_2' in blk:
             f2 = f2 * _para_ca_apply(blk['q_2'], meta)[:, None, None, :]
         f3 = qconv(pre + '.conv2', blk['conv2'], f2)
         fea_in = fea_in + f3
     fea_add = fea_in + fea_bef
-    fea_fin = _sft_apply(qparams['sft'], sft_type, fea_add, para_maps, repeats,
+    fea_fin = _sft_apply(qparams.get('sft'), sft_type, fea_add, para_maps, repeats,
                          mask_para)
     if 'final_injection' in qparams:
         fea_fin = fea_fin * _para_ca_apply(qparams['final_injection'],
@@ -1217,13 +1163,9 @@ def quantize_qhan_params(params, n_resgroups=10, n_resblocks=20):
     """Quantize a QHAN parameter tree to int8: HAN's outer structure (LAM/CSAM +
     fusion convs) with QRCAN-style meta-attention groups — convs int8, every
     attention stage (QCA/ParaCA/LAM/CSAM) f32."""
-    def q(entry):
-        qk, s = quantize_kernel_int8(entry['kernel'])
-        return {'kernel': qk, 'scale': s,
-                'bias': jnp.asarray(entry['bias'], jnp.float32)}
+    q = _q_entry
 
-    def f32(tree):
-        return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
+    f32 = _f32_tree
 
     out = {'head': q(params['head']), 'body_tail': q(params['body_tail']),
            'tail': q(params['tail']),
@@ -1253,11 +1195,7 @@ def _qhan_float_forward(params, x, metadata, n_resgroups, n_resblocks, track=Non
     tr = track or (lambda name, h: h)
     meta = jnp.asarray(metadata, jnp.float32)
 
-    def fconv(entry, h):
-        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
-                                            ('NHWC', 'HWIO', 'NHWC'))
-        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
-                                            dimension_numbers=dn) + entry['bias']
+    fconv = _fconv
 
     h = fconv(params['head'], tr('head', jnp.asarray(x, jnp.float32)))
     res = tr('_residual', h)
@@ -1300,11 +1238,7 @@ def calibrate_qhan_scales(params, sample_batches, metadata_batches,
                           n_resgroups=10, n_resblocks=20, margin=1.0):
     """Static activation scales for the int8 QHAN forward (absmax calibration);
     ``metadata_batches`` is the handler-prepared metadata per sample batch."""
-    maxes = {}
-
-    def track(name, h):
-        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
-        return h
+    track, maxes = _absmax_tracker()
 
     sample_batches = list(sample_batches)
     metadata_batches = list(metadata_batches)
@@ -1316,7 +1250,7 @@ def calibrate_qhan_scales(params, sample_batches, metadata_batches,
     for x, meta in zip(sample_batches, metadata_batches):
         _qhan_float_forward(params, x, meta, n_resgroups, n_resblocks, track=track)
     maxes.pop('_residual')
-    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+    return _finalize_scales(maxes, margin)
 
 
 def qhan_int8_forward_static(qparams, act_scales, x, metadata, n_resgroups=10,
@@ -1438,11 +1372,7 @@ def _qrcan_float_forward(params, x, metadata, style, n_resgroups, n_resblocks,
     tr = track or (lambda name, h: h)
     meta = jnp.asarray(metadata, jnp.float32)
 
-    def fconv(entry, h):
-        dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
-                                            ('NHWC', 'HWIO', 'NHWC'))
-        return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
-                                            dimension_numbers=dn) + entry['bias']
+    fconv = _fconv
 
     h = fconv(params['head'], tr('head', jnp.asarray(x, jnp.float32)))
     res = tr('_residual', h)
@@ -1479,11 +1409,7 @@ def calibrate_qrcan_scales(params, sample_batches, metadata_batches, style='modu
     ``metadata_batches`` must be the HANDLER-PREPARED metadata (key-masked, and
     scale_qpi-expanded for style='modulate') matching each sample batch.
     """
-    maxes = {}
-
-    def track(name, h):
-        maxes[name] = max(maxes.get(name, 0.0), float(jnp.max(jnp.abs(h))))
-        return h
+    track, maxes = _absmax_tracker()
 
     sample_batches = list(sample_batches)
     metadata_batches = list(metadata_batches)
@@ -1497,7 +1423,7 @@ def calibrate_qrcan_scales(params, sample_batches, metadata_batches, style='modu
         _qrcan_float_forward(params, x, meta, style, n_resgroups, n_resblocks,
                              track=track)
     maxes.pop('_residual')
-    return {k: np.float32(max(v * margin, 1e-12) / 127.0) for k, v in maxes.items()}
+    return _finalize_scales(maxes, margin)
 
 
 def qrcan_int8_forward_static(qparams, act_scales, x, metadata, style='modulate',

@@ -213,7 +213,8 @@ def test_vdsr_int8_static_quality_and_handler():
 
 @pytest.mark.parametrize('sft_type,q_injection', [('standard', False),
                                                   ('standard', True),
-                                                  ('concat', False)])
+                                                  ('concat', False),
+                                                  ('weak', False)])
 def test_sftmd_int8_static_quality_and_handler(sft_type, q_injection):
     """Quantized SFTMD (int8 conv spine + f32 SFT modulation / q-injection)
     >35 dB vs f32, for the standard and concat SFT types."""
@@ -224,11 +225,14 @@ def test_sftmd_int8_static_quality_and_handler(sft_type, q_injection):
                                            sftmd_int8_forward_static,
                                            _sftmd_float_forward)
     rng = np.random.RandomState(43)
-    cfg = dict(num_features=16, num_blocks=2, scale=4, input_para=10,
+    # 'weak' multiplies feature maps by the para maps directly: it needs
+    # broadcastable metadata (1 channel), same constraint as the reference
+    n_meta = 1 if sft_type == 'weak' else 10
+    cfg = dict(num_features=16, num_blocks=2, scale=4, input_para=n_meta,
                sft_type=sft_type, q_injection=q_injection)
     model = SFTMD(**cfg)
     x = jnp.asarray(rng.rand(1, 10, 10, 3), jnp.float32)
-    meta = jnp.asarray(rng.rand(1, 10), jnp.float32)
+    meta = jnp.asarray(rng.rand(1, n_meta), jnp.float32)
     variables = model.init(jax.random.PRNGKey(10), x, meta)
     out_f32 = np.asarray(model.apply(variables, x, meta))
 
@@ -246,17 +250,52 @@ def test_sftmd_int8_static_quality_and_handler(sft_type, q_injection):
                                                sft_type=sft_type))
     assert psnr(out, out_f32, max_value=1.0) > 35
 
+    keys = ['qpi'] if sft_type == 'weak' else ['blur_kernel'] * 10
     h = define_model('sftmd', eval_mode=True, scale=4, num_features=16,
                      num_blocks=2, SFT_type=sft_type, q_injection=q_injection,
-                     metadata=['blur_kernel'])
-    h.set_metadata_keys(['blur_kernel'] * 10)
+                     metadata=['qpi'] if sft_type == 'weak' else ['blur_kernel'])
+    h.set_metadata_keys(keys)
     h.init_state(spatial=(10, 10))
     xb = rng.rand(1, 10, 10, 3).astype(np.float32)
-    mb = rng.rand(1, 10).astype(np.float32)
+    mb = rng.rand(1, n_meta).astype(np.float32)
     ref, _, _ = h.run_eval(xb, metadata=mb)
     h.set_int8(True)
     out, _, _ = h.run_eval(xb, metadata=mb)
     assert psnr(out, ref, max_value=1.0) > 35
+
+
+def test_vdsr_int8_fused_eval_calibrates_on_model_input():
+    """--fused_eval --int8 on VDSR: calibration must see the pre-upscaled
+    Y-channel input the int8 program consumes, not the raw LR RGB batch
+    (which crashes on a conv channel mismatch and has the wrong statistics)."""
+    from sisr_tpu.models.handlers import define_model
+    rng = np.random.RandomState(47)
+    h = define_model('vdsr', eval_mode=True, scale=2, kernel_pattern=[3] * 4,
+                     channel_pattern=[1] + [16] * 3 + [1])
+    h.init_state(spatial=(16, 16))
+    h.set_int8(True)
+    batch = {'lr': rng.rand(2, 8, 8, 3).astype(np.float32),
+             'hr': rng.rand(2, 16, 16, 3).astype(np.float32)}
+    (keys, vals), _ = h.run_eval_fused(batch, metrics=('PSNR',))
+    vals = np.asarray(vals)
+    assert vals.shape == (len(keys), 2) and np.isfinite(vals).all()
+
+
+def test_tiled_int8_calibration_crops_to_tile_size():
+    """Tiled families must calibrate on a tile-sized crop — an eager full-image
+    f32 forward is exactly what the tile grid exists to avoid (OOM on large
+    eval images)."""
+    from sisr_tpu.models.handlers import define_model
+    h = define_model('san', eval_mode=True, scale=4, n_feats=16, n_resgroups=1,
+                     n_resblocks=1, reduction=8, max_combined_im_size=600)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    crop = h._int8_calibration_input(x)
+    side = int(np.sqrt(600))
+    assert crop.shape == (1, side, side, 3)
+    # non-tiled handlers pass through unchanged
+    h2 = define_model('edsr', eval_mode=True, scale=4, num_features=8,
+                      num_blocks=1)
+    assert h2._int8_calibration_input(x).shape == x.shape
 
 
 def test_srmd_int8_static_quality_and_handler():
