@@ -331,6 +331,18 @@ class BaseHandler:
                 fwd = jax.jit(lambda qp_, xx, mm: qz.qhan_int8_forward_static(
                     qp_, scales, xx, mm, n_resgroups=m.n_resgroups,
                     n_resblocks=m.n_resblocks, residual_dtype=rd))
+            elif self.int8_family == 'qedsr':
+                if meta is None:
+                    raise RuntimeError('int8 QEDSR calibration needs a metadata '
+                                       'batch alongside the first LR batch.')
+                cfg = dict(num_blocks=m.num_blocks, scale=self.scale,
+                           res_scale=m.res_scale,
+                           nonlinearity=m.q_layer_nonlinearity)
+                qp = qz.quantize_qedsr_params(params, m.num_blocks)
+                scales = qz.calibrate_qedsr_scales(params, [x], [meta],
+                                                   margin=1.1, **cfg)
+                fwd = jax.jit(lambda qp_, xx, mm: qz.qedsr_int8_forward_static(
+                    qp_, scales, xx, mm, residual_dtype=rd, **cfg))
             elif self.int8_family == 'qrcan':
                 if meta is None:
                     raise RuntimeError('int8 QRCAN calibration needs a metadata '
@@ -1232,6 +1244,7 @@ class QRCANHandler(QHandler):
 class QEDSRHandler(QHandler):
     """(ref: attention_manipulators/handlers.py:57-76)"""
     colorspace = 'augmented_rgb'
+    int8_family = 'qedsr'  # int8 EDSR spine; per-block ParaCALayer gates f32
 
     def build_module(self, scale, dtype, in_features=3, num_features=64, num_blocks=16,
                      res_scale=0.1, q_layer_nonlinearity=False, **kwargs):

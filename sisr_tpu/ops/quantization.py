@@ -1338,14 +1338,16 @@ def _qca_apply(entry, pooled, meta, style):
     return y
 
 
-def _para_ca_apply(entry, meta):
-    """ParaCALayer math in f32 (models/q_layers.py:30-59; nonlinearity=True as used
-    by QRCAB's q_node)."""
+def _para_ca_apply(entry, meta, nonlinearity=True):
+    """ParaCALayer math in f32 (models/q_layers.py:30-59).  ``nonlinearity`` mirrors
+    the flax flag: relu between fc layers (True for QRCAB's q_node / QSAN's q_layer;
+    QEDSR's per-block attention defaults False, ref attention_manipulators/
+    architectures.py:332-356)."""
     n_fc = sum(1 for k in entry if k.startswith('fc_'))
     y = meta
     for i in range(n_fc):
         y = _dense_apply(entry['fc_%d' % i], y)
-        if i < n_fc - 1:
+        if nonlinearity and i < n_fc - 1:
             y = jax.nn.relu(y)
     return jax.nn.sigmoid(y)
 
@@ -1472,6 +1474,114 @@ def qrcan_int8_forward_static(qparams, act_scales, x, metadata, style='modulate'
     for i in range(sum(1 for k in qparams['upsampler'] if k.startswith('conv_'))):
         res = qconv('upsampler.conv_%d' % i, qparams['upsampler']['conv_%d' % i], res)
         res = pixel_shuffle(res, 2)
+    return qconv('tail', qparams['tail'], res)
+
+
+def quantize_qedsr_params(params, num_blocks=16):
+    """Quantize a QEDSR parameter tree (models/qmodels.py naming) to int8.
+
+    The EDSR conv spine (head, per-block conv_0/conv_1, final_body, upsampler,
+    tail) goes int8; each block's ParaCALayer attention (a metadata-side Dense
+    chain producing a per-channel sigmoid gate) stays f32."""
+    q = _q_entry
+    out = {'head': q(params['head']), 'final_body': q(params['final_body']),
+           'tail': q(params['tail']),
+           'upsampler': {k: q(v) for k, v in params['upsampler'].items()}}
+    for i in range(num_blocks):
+        blk = params['block_%d' % i]
+        out['block_%d' % i] = {'conv_0': q(blk['conv_0']),
+                               'conv_1': q(blk['conv_1']),
+                               'attention': _f32_tree(blk['attention'])}
+    return out
+
+
+def _qedsr_float_forward(params, x, metadata, num_blocks, scale, res_scale,
+                         nonlinearity=False, track=None):
+    """f32 QEDSR forward used for calibration (mirrors models/qmodels.py QEDSR:
+    EDSR spine + per-block ParaCALayer gate applied AFTER the res_scale multiply,
+    ref attention_manipulators/architectures.py:332-399)."""
+    from ..models.blocks import pixel_shuffle
+
+    tr = track or (lambda name, h: h)
+    meta = jnp.asarray(metadata, jnp.float32)
+
+    h = _fconv(params['head'], tr('head', jnp.asarray(x, jnp.float32)))
+    res = tr('_residual', h)
+    for i in range(num_blocks):
+        blk = params['block_%d' % i]
+        y = jax.nn.relu(_fconv(blk['conv_0'], tr('block_%d.conv_0' % i, res)))
+        y = _fconv(blk['conv_1'], tr('block_%d.conv_1' % i, y))
+        y = y * res_scale
+        gate = _para_ca_apply(blk['attention'], meta, nonlinearity=nonlinearity)
+        y = y * (gate if gate.ndim == y.ndim else gate[:, None, None, :])
+        res = tr('_residual', y + res)
+    res = _fconv(params['final_body'], tr('final_body', res)) + h
+    n_up = {2: 1, 4: 2, 8: 3, 3: 1}[scale]
+    for i in range(n_up):
+        res = _fconv(params['upsampler']['conv_%d' % i],
+                     tr('upsampler.conv_%d' % i, res))
+        res = pixel_shuffle(res, 3 if scale == 3 else 2)
+    return _fconv(params['tail'], tr('tail', res))
+
+
+def calibrate_qedsr_scales(params, sample_batches, metadata_batches, num_blocks=16,
+                           scale=4, res_scale=0.1, nonlinearity=False, margin=1.0):
+    """Static activation scales for the int8 QEDSR forward (absmax calibration).
+
+    ``metadata_batches`` must be the HANDLER-PREPARED metadata (key-masked)
+    matching each sample batch."""
+    track, maxes = _absmax_tracker()
+
+    sample_batches = list(sample_batches)
+    metadata_batches = list(metadata_batches)
+    if not sample_batches:
+        raise ValueError('calibrate_qedsr_scales: no calibration batches provided.')
+    if len(sample_batches) != len(metadata_batches):
+        raise ValueError('calibrate_qedsr_scales: %d sample batches but %d metadata '
+                         'batches — zip would silently truncate the calibration set.'
+                         % (len(sample_batches), len(metadata_batches)))
+    for x, meta in zip(sample_batches, metadata_batches):
+        _qedsr_float_forward(params, x, meta, num_blocks, scale, res_scale,
+                             nonlinearity, track=track)
+    maxes.pop('_residual')
+    return _finalize_scales(maxes, margin)
+
+
+def qedsr_int8_forward_static(qparams, act_scales, x, metadata, num_blocks=16,
+                              scale=4, res_scale=0.1, nonlinearity=False,
+                              residual_dtype='bfloat16'):
+    """Quantized QEDSR forward: int8 EDSR conv spine + f32 ParaCALayer gates.
+
+    Same static-scale recipe as EDSR; the per-block meta-gate (a Dense chain on
+    the (B, M) metadata vector — no image-sized f32 tensors) re-applies as a
+    per-channel scale on the int8 conv output (ref attention_manipulators/
+    architectures.py:332-399)."""
+    from ..models.blocks import pixel_shuffle
+
+    if residual_dtype not in ('float32', 'bfloat16'):
+        raise ValueError('residual_dtype must be float32 | bfloat16')
+    carry_t = jnp.float32 if residual_dtype == 'float32' else jnp.bfloat16
+    meta = jnp.asarray(metadata, jnp.float32)
+
+    def qconv(name, tree, h):
+        return conv_int8_static(h, tree['kernel'], tree['scale'], act_scales[name],
+                                tree['bias'])
+
+    h = qconv('head', qparams['head'], x).astype(carry_t)
+    res = h
+    for i in range(num_blocks):
+        blk = qparams['block_%d' % i]
+        y = jax.nn.relu(qconv('block_%d.conv_0' % i, blk['conv_0'], res))
+        y = qconv('block_%d.conv_1' % i, blk['conv_1'], y)
+        gate = _para_ca_apply(blk['attention'], meta, nonlinearity=nonlinearity)
+        y = (y * res_scale) * (gate if gate.ndim == y.ndim
+                               else gate[:, None, None, :])
+        res = y.astype(carry_t) + res
+    res = qconv('final_body', qparams['final_body'], res) + h.astype(jnp.float32)
+    n_up = {2: 1, 4: 2, 8: 3, 3: 1}[scale]
+    for i in range(n_up):
+        res = qconv('upsampler.conv_%d' % i, qparams['upsampler']['conv_%d' % i], res)
+        res = pixel_shuffle(res, 3 if scale == 3 else 2)
     return qconv('tail', qparams['tail'], res)
 
 

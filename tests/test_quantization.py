@@ -650,3 +650,56 @@ def test_qrcan_int8_fused_eval_matches_standard():
                                         im_type='jpg'))[..., 0]
     want = [psnr(sr_y[i], hr_y[i], max_value=1.0) for i in range(2)]
     np.testing.assert_allclose(vals['model>PSNR'], want, atol=1e-3)
+
+
+@pytest.mark.parametrize('nonlinearity', [False, True])
+def test_qedsr_int8_static_quality(nonlinearity):
+    """Quantized QEDSR (int8 EDSR spine + f32 per-block ParaCALayer gates) stays
+    >35 dB vs the f32 module, for both q_layer_nonlinearity settings."""
+    from sisr_tpu.models.qmodels import QEDSR
+    from sisr_tpu.ops.quantization import (calibrate_qedsr_scales,
+                                           quantize_qedsr_params,
+                                           qedsr_int8_forward_static,
+                                           _qedsr_float_forward)
+    rng = np.random.RandomState(23)
+    model = QEDSR(num_features=16, num_blocks=2, scale=4, res_scale=0.1,
+                  input_para=10, q_layer_nonlinearity=nonlinearity)
+    x = jnp.asarray(rng.rand(1, 12, 12, 3), jnp.float32)
+    meta = jnp.asarray(rng.rand(1, 10), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), x, meta)
+    out_f32 = np.asarray(model.apply(variables, x, meta))
+
+    # the calibration-path float mirror must match the flax model bit-for-bit
+    mirror = np.asarray(_qedsr_float_forward(variables['params'], x, meta, 2, 4,
+                                             0.1, nonlinearity))
+    assert np.array_equal(mirror, out_f32)
+
+    qparams = quantize_qedsr_params(variables['params'], 2)
+    scales = calibrate_qedsr_scales(variables['params'], [np.asarray(x)],
+                                    [np.asarray(meta)], num_blocks=2, scale=4,
+                                    res_scale=0.1, nonlinearity=nonlinearity)
+    for dtype in ('float32', 'bfloat16'):
+        out = np.asarray(qedsr_int8_forward_static(
+            qparams, scales, x, meta, num_blocks=2, scale=4, res_scale=0.1,
+            nonlinearity=nonlinearity, residual_dtype=dtype))
+        assert out.shape == out_f32.shape
+        assert psnr(out, out_f32, max_value=1.0) > 35, (nonlinearity, dtype)
+
+
+def test_handler_int8_qedsr_serving_path():
+    """eval_sisr --int8 on QEDSR through the handler: metadata threads through
+    calibration and the quantized forward; output stays close to the f32 eval."""
+    from sisr_tpu.models.handlers import define_model
+    from sisr_tpu.ops.metrics import psnr
+    rng = np.random.RandomState(29)
+    h = define_model('qedsr', eval_mode=True, scale=4, num_features=16,
+                     num_blocks=2, metadata=['blur_kernel'])
+    h.set_metadata_keys(['blur_kernel'] * 10)
+    h.init_state(spatial=(12, 12))
+    x = rng.rand(2, 12, 12, 3).astype(np.float32)
+    meta = rng.rand(2, 10).astype(np.float32)
+    ref, _, _ = h.run_eval(x, metadata=meta)
+    h.set_int8(True)
+    out, _, runtime = h.run_eval(x, metadata=meta, timing=True)
+    assert out.shape == ref.shape and runtime is not None
+    assert psnr(out, ref, max_value=1.0) > 35
