@@ -15,6 +15,13 @@ Export shapes are static per artifact (XLA serving reality: one compiled program
 per shape); export several shapes — or shape-bucket upstream (``--eval_buckets``
 pads to a handful of shapes) — for mixed-size serving.  ``--platform`` may be
 repeated to produce one multi-platform artifact (e.g. export on CPU, serve on TPU).
+
+``--int8`` freezes the QUANTIZED serving program instead (ops/quantization.py:
+per-channel int8 conv spine at 2x the bf16 MXU rate, attention stages f32, static
+activation scales) — weights ship as int8 constants, so the artifact is ~4x
+smaller.  Activation scales are calibrated on REAL images: pass
+``--calibration_images`` (a directory of PNGs; metadata models also read its
+``degradation_metadata.csv``, the data-layer contract).
 """
 import os
 
@@ -56,10 +63,80 @@ def build_serving_fn(handler):
     return fn
 
 
+def build_int8_serving_fn(handler):
+    """The quantized serving forward, closed over the calibrated int8 context.
+
+    Same contract as :func:`build_serving_fn` (x f32 [0,1] or uint8 0-255,
+    optional (B, num_keys) metadata) but the conv spine runs as int8 MXU ops
+    with static calibrated activation scales; weights serialize as int8
+    constants.  Requires ``handler.set_int8(True)`` plus a calibration batch
+    through ``_ensure_int8_ctx`` before export (see ``export_experiment``)."""
+    if handler.state is None:
+        raise RuntimeError('handler has no state - load a checkpoint first')
+    if handler._int8_ctx is None:
+        raise RuntimeError('int8 export needs a calibrated context — set_int8(True) '
+                           'and run _ensure_int8_ctx on a real calibration batch '
+                           'first (the CLI does this via --calibration_images)')
+    fwd, qp = handler._int8_ctx
+
+    def fn(x, metadata=None):
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        x = x.astype(jnp.float32)
+        meta = handler.prepare_metadata(x, metadata) if handler.uses_metadata \
+            else None
+        return fwd(qp, x, meta).astype(jnp.float32)
+
+    return fn
+
+
+def _load_calibration_batch(handler, calibration_dir, limit=8):
+    """Real-data calibration inputs for --int8: images from ``calibration_dir``
+    (center-cropped to the smallest common size, stacked) plus the per-image
+    metadata vectors from its ``degradation_metadata.csv`` when the model
+    consumes metadata.  Interp-input families expect the images to already be
+    in the model's input form (pre-upscaled), same as the serving contract."""
+    from PIL import Image
+    names = sorted(f for f in os.listdir(calibration_dir)
+                   if f.lower().endswith(('.png', '.jpg', '.jpeg', '.bmp')))[:limit]
+    if not names:
+        raise RuntimeError('no calibration images found in %s' % calibration_dir)
+    imgs = [np.asarray(Image.open(os.path.join(calibration_dir, n)).convert('RGB'),
+                       np.float32) / 255.0 for n in names]
+    hmin = min(i.shape[0] for i in imgs)
+    wmin = min(i.shape[1] for i in imgs)
+
+    def crop(i):
+        hs = (i.shape[0] - hmin) // 2
+        ws = (i.shape[1] - wmin) // 2
+        return i[hs:hs + hmin, ws:ws + wmin]
+
+    x = np.stack([crop(i) for i in imgs])
+    meta = None
+    if handler.uses_metadata or handler.channel_concat:
+        csv_path = os.path.join(calibration_dir, 'degradation_metadata.csv')
+        if not os.path.isfile(csv_path):
+            raise RuntimeError(
+                'metadata model: the --calibration_images directory needs a '
+                'degradation_metadata.csv (the data-layer contract, keyed by '
+                'filename) so the int8 gates calibrate on real metadata')
+        from ..data.datasets import read_augmentation_list
+        aug, keys = read_augmentation_list(csv_path, filenames=names)
+        expected = len(handler.metadata_keys or [])
+        if len(keys) != expected:
+            raise RuntimeError(
+                'calibration metadata has %d serving columns (%s) but the model '
+                'expects %d (%s) — point --calibration_images at data prepared '
+                'like the training set' % (len(keys), sorted(set(keys)), expected,
+                                           sorted(set(handler.metadata_keys or []))))
+        meta = np.stack([np.asarray(aug[n], np.float32) for n in names])
+    return x, meta
+
+
 def export_handler(handler, batch_size, height, width, platforms=None,
-                   input_dtype=jnp.float32):
+                   input_dtype=jnp.float32, int8=False):
     """Serialize the handler's serving forward at a static shape -> bytes."""
-    fn = build_serving_fn(handler)
+    fn = build_int8_serving_fn(handler) if int8 else build_serving_fn(handler)
     x_spec = jax.ShapeDtypeStruct((batch_size, height, width,
                                    handler.in_channels), input_dtype)
     args = [x_spec]
@@ -80,7 +157,8 @@ def load_serving(path):
 
 def export_experiment(model_loc, experiment, epoch, batch_size, height, width,
                       out_path=None, platforms=None, metadata_keys=None,
-                      uint8_input=False):
+                      uint8_input=False, int8=False, calibration_images=None,
+                      int8_residual='bfloat16'):
     """Load an experiment (ModelInterface path, identical to eval_sisr) and export."""
     from ..models.interface import ModelInterface
 
@@ -118,11 +196,28 @@ def export_experiment(model_loc, experiment, epoch, batch_size, height, width,
                    getattr(handler, 'metadata', None)))
     if handler.state is None:
         handler.init_state(spatial=(height, width))
+    if int8:
+        if handler.int8_family is None:
+            raise RuntimeError('no int8 serving path for this architecture '
+                               '(%s) — export without --int8'
+                               % type(handler).__name__)
+        if calibration_images is None:
+            raise RuntimeError('--int8 needs --calibration_images: activation '
+                               'scales are calibrated on real images, not '
+                               'random data')
+        handler.set_int8(True, residual_dtype=int8_residual)
+        x_cal, meta_full = _load_calibration_batch(handler, calibration_images)
+        x_cal = handler._int8_calibration_input(jnp.asarray(x_cal, jnp.float32))
+        meta_cal = handler.prepare_metadata(x_cal, jnp.asarray(meta_full)) \
+            if meta_full is not None else None
+        handler._ensure_int8_ctx(x_cal, meta_cal)
     blob = export_handler(handler, batch_size, height, width, platforms=platforms,
-                          input_dtype=jnp.uint8 if uint8_input else jnp.float32)
+                          input_dtype=jnp.uint8 if uint8_input else jnp.float32,
+                          int8=int8)
     if out_path is None:
-        out_path = '%s_%s_%dx%dx%d%s' % (experiment, iface.model_epoch, batch_size,
-                                         height, width, FILE_SUFFIX)
+        out_path = '%s_%s_%dx%dx%d%s%s' % (experiment, iface.model_epoch,
+                                           batch_size, height, width,
+                                           '_int8' if int8 else '', FILE_SUFFIX)
     with open(out_path, 'wb') as f:
         f.write(blob)
     return out_path
@@ -145,14 +240,28 @@ def export_experiment(model_loc, experiment, epoch, batch_size, height, width,
                    'default: the model config\'s list).')
 @click.option('--uint8', 'uint8_input', is_flag=True,
               help='Take uint8 0-255 input (minimal-transport serving).')
+@click.option('--int8', is_flag=True,
+              help='Freeze the int8-quantized serving program (int8 conv spine, '
+                   'f32 attention; ~4x smaller artifact).')
+@click.option('--calibration_images', default=None,
+              type=click.Path(exists=True, file_okay=False),
+              help='Directory of real images (+ degradation_metadata.csv for '
+                   'metadata models) to calibrate int8 activation scales on. '
+                   'Required with --int8.')
+@click.option('--int8_residual', default='bfloat16', show_default=True,
+              type=click.Choice(['float32', 'bfloat16']),
+              help='Residual-carry dtype of the int8 program.')
 def export_serving_cli(model_loc, experiment, epoch, batch_size, height, width,
-                       out, platform, metadata, uint8_input):
+                       out, platform, metadata, uint8_input, int8,
+                       calibration_images, int8_residual):
     if epoch not in ('best', 'last'):
         epoch = int(epoch)
     path = export_experiment(model_loc, experiment, epoch, batch_size, height,
                              width, out_path=out, platforms=list(platform) or None,
                              metadata_keys=list(metadata) or None,
-                             uint8_input=uint8_input)
+                             uint8_input=uint8_input, int8=int8,
+                             calibration_images=calibration_images,
+                             int8_residual=int8_residual)
     size_mb = os.path.getsize(path) / 1e6
     print('exported %s (%.1f MB)' % (path, size_mb))
 

@@ -138,3 +138,82 @@ def test_export_experiment_metadata_layout(tmp_path):
         export_experiment(model_loc, 'exp_meta', 0, 1, 8, 8,
                           metadata_keys=['blur_kernel'] * 10,
                           out_path=str(tmp_path / 'bad.sisr-hlo'))
+
+
+def test_export_int8_edsr():
+    """--int8 export: the frozen quantized program reproduces the live int8
+    serving path, and the artifact is smaller than the f32 one (int8 weights)."""
+    h = define_model('edsr', eval_mode=True, scale=2, num_features=8, num_blocks=2)
+    h.init_state(spatial=(10, 12))
+    rng = np.random.RandomState(21)
+    x = rng.rand(2, 10, 12, 3).astype(np.float32)
+    blob_f32 = export_handler(h, 2, 10, 12)
+    h.set_int8(True)
+    ref, _, _ = h.run_eval(x)  # calibrates the int8 ctx on this batch
+    blob = export_handler(h, 2, 10, 12, int8=True)
+    fn = _roundtrip(blob)
+    np.testing.assert_allclose(np.asarray(fn(x)), ref, atol=2e-5)
+    assert len(bytes(blob)) < len(bytes(blob_f32))
+
+
+def test_export_int8_qedsr_metadata():
+    """--int8 export of a q-model: metadata reaches the f32 ParaCA gates inside
+    the quantized artifact."""
+    h = define_model('qedsr', eval_mode=True, scale=2, num_features=16,
+                     num_blocks=2, metadata=['blur_kernel'])
+    h.set_metadata_keys(['blur_kernel'] * 10)
+    h.init_state(spatial=(8, 8))
+    rng = np.random.RandomState(31)
+    x = rng.rand(1, 8, 8, 3).astype(np.float32)
+    meta = rng.rand(1, 10).astype(np.float32)
+    h.set_int8(True)
+    ref, _, _ = h.run_eval(x, metadata=meta)
+    fn = _roundtrip(export_handler(h, 1, 8, 8, int8=True))
+    np.testing.assert_allclose(np.asarray(fn(x, meta)), ref, atol=2e-5)
+    assert np.abs(np.asarray(fn(x, meta * 0.1)) - ref).max() > 1e-6
+
+
+def test_export_int8_requires_calibration():
+    h = define_model('edsr', eval_mode=True, scale=2, num_features=8, num_blocks=1)
+    h.init_state(spatial=(8, 8))
+    with pytest.raises(RuntimeError, match='calibrat'):
+        export_handler(h, 1, 8, 8, int8=True)
+
+
+def test_export_cli_int8_with_real_calibration(tmp_path):
+    """End-to-end --int8 export through the CLI, calibrating on the real Set5
+    blurred-LR images + their degradation_metadata.csv."""
+    from sisr_tpu.models.interface import ModelInterface
+    from sisr_tpu.ops.metrics import psnr
+    from sisr_tpu.utils import toml_io
+    internal = dict(scale=4, num_features=16, num_blocks=2,
+                    metadata=['blur_kernel'])
+    base = tmp_path / 'Results' / 'exp_i8'
+    (base / 'saved_models').mkdir(parents=True)
+    with open(base / 'config.toml', 'w') as f:
+        toml_io.dump({'model': {'name': 'qedsr', 'internal_params': internal}}, f)
+    h = define_model('qedsr', eval_mode=False, **internal)
+    h.set_metadata_keys(['blur_kernel'] * 10)
+    h.init_state(spatial=(8, 8))
+    h.save_model('train_model', 0, str(base / 'saved_models'))
+
+    out = str(tmp_path / 'qedsr_int8.sisr-hlo')
+    result = CliRunner().invoke(export_serving_cli, [
+        '--model_loc', str(tmp_path / 'Results'), '--experiment', 'exp_i8',
+        '--epoch', '0', '--batch_size', '1', '--height', '8', '--width', '8',
+        '--out', out, '--int8', '--calibration_images',
+        '/root/reference/Data/example_data/Set5/lr_random_blur'],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+
+    fn = load_serving(out)
+    rng = np.random.RandomState(41)
+    x = rng.rand(1, 8, 8, 3).astype(np.float32)
+    meta = rng.rand(1, 10).astype(np.float32)
+    iface = ModelInterface(str(tmp_path / 'Results'), 'exp_i8', mode='eval',
+                           load_epoch=0)
+    iface.model.set_metadata_keys(['blur_kernel'] * 10)
+    ref, _, _ = iface.model.run_eval(x, metadata=meta)
+    out_sr = np.asarray(fn(x, meta))
+    assert out_sr.shape == ref.shape
+    assert psnr(out_sr, ref, max_value=1.0) > 35
