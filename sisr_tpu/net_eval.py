@@ -128,6 +128,8 @@ def eval_run(model_only, **kwargs):
     Main function that controls the creation, configuration and running of a SISR
     evaluation experiment.
     """
+    from .utils.platform import apply_platform_env
+    apply_platform_env()
     from .evaluation.standard_eval import EvalHub
     eval_hub = EvalHub(model_only=model_only, **kwargs)
     if model_only:

@@ -37,6 +37,8 @@ def experiment_setup(parameters, experiment_name, **kwargs):
     Main function that controls the creation, configuration and running of a SISR
     experiment.  All functionality can be controlled via the PARAMETERS config toml file.
     """
+    from .utils.platform import apply_platform_env
+    apply_platform_env()
     params = toml_io.load(parameters)
 
     kwargs = {k: v for (k, v) in kwargs.items() if v is not None}

@@ -766,6 +766,8 @@ def import_reference_model_cli():
                        '(needs the reference code tree: SISR_REFERENCE_CODE).')
     def run(checkpoint, out_dir, experiment, model_name, epoch, scale, verify):
         """Convert a reference torch checkpoint into an evaluable experiment folder."""
+        from ..utils.platform import apply_platform_env
+        apply_platform_env()
         base = import_reference_experiment(checkpoint, out_dir, experiment=experiment,
                                            model_name=model_name, epoch=epoch,
                                            scale=scale)

@@ -315,6 +315,8 @@ class ConversionHub:
 def manipulation_hub(source_dir, output_dir, pipeline, seed, recursive, **kwargs):
     """Main function for degrading and preparing images for SR
     (ref: data_converter.py:273-325)."""
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()
     random.seed(seed)
     if 'blur' in pipeline:
         g_utils.set_random_seed(seed)

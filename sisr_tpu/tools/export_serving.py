@@ -254,6 +254,8 @@ def export_experiment(model_loc, experiment, epoch, batch_size, height, width,
 def export_serving_cli(model_loc, experiment, epoch, batch_size, height, width,
                        out, platform, metadata, uint8_input, int8,
                        calibration_images, int8_residual):
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()
     if epoch not in ('best', 'last'):
         epoch = int(epoch)
     path = export_experiment(model_loc, experiment, epoch, batch_size, height,

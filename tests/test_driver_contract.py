@@ -36,6 +36,20 @@ def test_bench_emits_structured_error_when_tpu_unreachable():
     assert rec['metric'].startswith('images_per_sec_per_chip')
 
 
+def test_cli_respects_jax_platforms_env_with_tpu_unreachable():
+    """JAX_PLATFORMS=cpu must select CPU in the console scripts even though the
+    axon sitecustomize pre-imports jax (env-var platform selection is latched at
+    import) — otherwise any CLI run while the tunnel is down hangs forever."""
+    env = {**DEAD_TPU_ENV, 'JAX_PLATFORMS': 'cpu'}
+    code = ("from sisr_tpu.utils.platform import apply_platform_env; "
+            "apply_platform_env(); import jax; "
+            "print('PLAT', jax.devices()[0].platform)")
+    res = subprocess.run([sys.executable, '-c', code], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert 'PLAT cpu' in res.stdout
+
+
 def test_dryrun_multichip_completes_with_tpu_unreachable():
     code = ("import sys; sys.path.insert(0, %r); "
             "import __graft_entry__ as g; g.dryrun_multichip(4); "
