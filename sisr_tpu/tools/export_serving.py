@@ -90,6 +90,28 @@ def build_int8_serving_fn(handler):
     return fn
 
 
+def _key_counts(keys):
+    """Compact 'name xN' rendering of a metadata-column layout, in order."""
+    out = []
+    for k in keys:
+        if out and out[-1][0] == k:
+            out[-1][1] += 1
+        else:
+            out.append([k, 1])
+    return ['%s x%d' % (k, n) if n > 1 else k for k, n in out]
+
+
+def _layout_permutation(src_keys, dst_keys):
+    """Indices into ``src_keys`` that rearrange it into ``dst_keys`` (same
+    multiset; repeats of a key keep their relative order, matching how vector
+    metadata expands one column per element on both sides)."""
+    from collections import defaultdict, deque
+    slots = defaultdict(deque)
+    for i, k in enumerate(src_keys):
+        slots[k].append(i)
+    return np.array([slots[k].popleft() for k in dst_keys], np.intp)
+
+
 def _load_calibration_batch(handler, calibration_dir, limit=8):
     """Real-data calibration inputs for --int8: images from ``calibration_dir``
     (center-cropped to the smallest common size, stacked) plus the per-image
@@ -121,15 +143,25 @@ def _load_calibration_batch(handler, calibration_dir, limit=8):
                 'degradation_metadata.csv (the data-layer contract, keyed by '
                 'filename) so the int8 gates calibrate on real metadata')
         from ..data.datasets import read_augmentation_list
-        aug, keys = read_augmentation_list(csv_path, filenames=names)
-        expected = len(handler.metadata_keys or [])
-        if len(keys) != expected:
+        try:
+            aug, keys = read_augmentation_list(csv_path, filenames=names)
+        except KeyError as exc:
             raise RuntimeError(
-                'calibration metadata has %d serving columns (%s) but the model '
-                'expects %d (%s) — point --calibration_images at data prepared '
-                'like the training set' % (len(keys), sorted(set(keys)), expected,
-                                           sorted(set(handler.metadata_keys or []))))
-        meta = np.stack([np.asarray(aug[n], np.float32) for n in names])
+                'calibration image %s has no row in %s — the CSV must be keyed '
+                'by the exact filenames in --calibration_images (the data-layer '
+                'contract written by image_manipulate)' % (exc, csv_path)) from exc
+        expected = list(handler.metadata_keys or [])
+        # column IDENTITY must match, not just the count: the CSV yields columns
+        # in file order while the serving layout is canonical (attributes first,
+        # blur_kernel last) — reorder matching columns, refuse real mismatches
+        if sorted(keys) != sorted(expected):
+            raise RuntimeError(
+                'calibration metadata columns %s do not match the model\'s '
+                'serving layout %s — point --calibration_images at data '
+                'prepared like the training set'
+                % (_key_counts(keys), _key_counts(expected)))
+        perm = _layout_permutation(keys, expected)
+        meta = np.stack([np.asarray(aug[n], np.float32)[perm] for n in names])
     return x, meta
 
 

@@ -24,5 +24,11 @@ def apply_platform_env():
         try:
             import jax
             jax.config.update('jax_platforms', p)
-        except Exception:
-            pass
+        except Exception as exc:
+            # a silent failure here reintroduces the backend-init hang this
+            # hook exists to prevent — surface it, then keep the CLI running
+            # with JAX's own platform selection
+            import sys
+            print('sisr_tpu: could not apply JAX_PLATFORMS=%s to jax.config '
+                  '(%s: %s); platform selection falls back to JAX defaults'
+                  % (p, type(exc).__name__, exc), file=sys.stderr)

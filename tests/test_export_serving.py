@@ -180,6 +180,56 @@ def test_export_int8_requires_calibration():
         export_handler(h, 1, 8, 8, int8=True)
 
 
+def _write_calibration_dir(path, csv_text, n_images=2):
+    from PIL import Image
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.RandomState(9)
+    names = ['a.png', 'b.png'][:n_images]
+    for n in names:
+        Image.fromarray(rng.randint(0, 256, (8, 8, 3), np.uint8)).save(
+            os.path.join(path, n))
+    with open(os.path.join(path, 'degradation_metadata.csv'), 'w') as f:
+        f.write(csv_text)
+    return names
+
+
+def test_calibration_metadata_column_identity(tmp_path):
+    """Calibration CSVs are validated by column IDENTITY and reordered into the
+    model's serving layout — a permuted-but-matching CSV calibrates identically;
+    a same-count different-identity CSV fails loudly; a missing row names the
+    file instead of a bare KeyError."""
+    from sisr_tpu.tools.export_serving import _load_calibration_batch
+    h = define_model('qedsr', eval_mode=True, scale=2, num_features=16,
+                     num_blocks=1, metadata=['qpi', 'blur_kernel'])
+    h.set_metadata_keys(['qpi'] + ['blur_kernel'] * 10)
+
+    import json
+    bk = json.dumps(np.linspace(0.01, 0.1, 10).tolist())
+    canonical = ('image,QPI,blur_kernel\na.png,25,"%s"\nb.png,35,"%s"\n'
+                 % (bk, bk))
+    permuted = ('image,blur_kernel,QPI\na.png,"%s",25\nb.png,"%s",35\n'
+                % (bk, bk))
+    _, meta_c = _load_calibration_batch(
+        h, str(_write_calibration_dir(tmp_path / 'canon', canonical)
+               and (tmp_path / 'canon')))
+    _, meta_p = _load_calibration_batch(h, str(
+        _write_calibration_dir(tmp_path / 'perm', permuted)
+        and (tmp_path / 'perm')))
+    np.testing.assert_array_equal(meta_c, meta_p)
+    assert meta_c.shape == (2, 11)
+
+    wrong = ('image,noise,blur_kernel\na.png,0.1,"%s"\nb.png,0.2,"%s"\n'
+             % (bk, bk))
+    _write_calibration_dir(tmp_path / 'wrong', wrong)
+    with pytest.raises(RuntimeError, match='serving layout'):
+        _load_calibration_batch(h, str(tmp_path / 'wrong'))
+
+    missing = 'image,QPI,blur_kernel\na.png,25,"%s"\n' % bk
+    _write_calibration_dir(tmp_path / 'missing', missing)
+    with pytest.raises(RuntimeError, match='calibration image.*b.png'):
+        _load_calibration_batch(h, str(tmp_path / 'missing'))
+
+
 def test_export_cli_int8_with_real_calibration(tmp_path):
     """End-to-end --int8 export through the CLI, calibrating on the real Set5
     blurred-LR images + their degradation_metadata.csv."""
