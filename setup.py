@@ -24,6 +24,7 @@ setup(
             'model_report=sisr_tpu.tools.helper_cli:model_compare',
             'import_reference_model=sisr_tpu.tools.convert_weights:import_reference_model_cli',
             'export_serving=sisr_tpu.tools.export_serving:export_serving_cli',
+            'run_serving=sisr_tpu.tools.run_serving:run_serving_cli',
         ],
     },
 )

@@ -181,10 +181,16 @@ def export_handler(handler, batch_size, height, width, platforms=None,
     return exported.serialize()
 
 
+def load_exported(path):
+    """Deserialize an exported artifact -> the jax.export Exported object
+    (signature in ``.in_avals``/``.out_avals``, callable in ``.call``)."""
+    with open(path, 'rb') as f:
+        return jax_export.deserialize(bytearray(f.read()))
+
+
 def load_serving(path):
     """Deserialize an exported artifact -> callable (the jax.export round-trip)."""
-    with open(path, 'rb') as f:
-        return jax_export.deserialize(bytearray(f.read())).call
+    return load_exported(path).call
 
 
 def export_experiment(model_loc, experiment, epoch, batch_size, height, width,
@@ -252,6 +258,26 @@ def export_experiment(model_loc, experiment, epoch, batch_size, height, width,
                                            '_int8' if int8 else '', FILE_SUFFIX)
     with open(out_path, 'wb') as f:
         f.write(blob)
+    # sidecar manifest: everything a deployment runner needs that the StableHLO
+    # signature alone cannot carry (scale, colorspace/interp input contract,
+    # metadata column layout) — consumed by tools/run_serving.py
+    import json
+    manifest = {
+        'format': 'sisr-hlo-manifest/1',
+        'model': iface.name, 'experiment': experiment,
+        'epoch': iface.model_epoch, 'scale': handler.scale,
+        'colorspace': handler.colorspace, 'im_input': handler.im_input,
+        'in_channels': handler.in_channels,
+        'batch_size': batch_size, 'height': height, 'width': width,
+        'input_dtype': 'uint8' if uint8_input else 'float32',
+        'metadata_keys': list(handler.metadata_keys)
+            if (handler.uses_metadata or handler.channel_concat) else None,
+        'int8': bool(int8),
+        'int8_residual': int8_residual if int8 else None,
+        'platforms': list(platforms) if platforms else None,
+    }
+    with open(out_path + '.json', 'w') as f:
+        json.dump(manifest, f, indent=1)
     return out_path
 
 
