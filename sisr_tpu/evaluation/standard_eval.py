@@ -32,7 +32,7 @@ class EvalHub:
                  dataset_name, image_shortlist, metadata_file, sp_gpu, time_models,
                  recursive, mesh=False, eval_buckets=None, int8=False,
                  device_metrics=False, fused_eval=False, face_model='lightcnn',
-                 face_weights=None, cache_decoded=True):
+                 face_weights=None, cache_decoded=True, cache_device=None):
         """Main eval class; param info in net_eval.py (mirrors the reference CLI)."""
         self.out_dir = os.path.join(out_loc, results_name)
         self.eval_name = results_name
@@ -170,7 +170,11 @@ class EvalHub:
         # images are already in HBM — re-uploading identical bytes over the
         # device tunnel every pass is pure waste).  Capped; populated only on a
         # complete pass; bypassed entirely by the standard protocol.
+        # cache_device=False keeps the decoded-image cache but re-uploads every
+        # pass (benchmarks use it to isolate the wire-bound regime).
         self.cache_decoded = bool(cache_decoded)
+        self.cache_device = self.cache_decoded if cache_device is None \
+            else bool(cache_device)
         self._device_batch_cache = None
         self._device_batch_cache_cap = 1 << 30
 
@@ -316,7 +320,7 @@ class EvalHub:
             batches = iter(self._device_batch_cache)
         else:
             batches = device_prefetch(iter(self.rgb_data), size=2)
-            if self.cache_decoded:
+            if self.cache_device:
                 collect = []
                 batches = self._collecting_iter(batches, collect)
         # results download on a BACKGROUND thread as soon as each batch dispatches:

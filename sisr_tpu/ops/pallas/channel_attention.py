@@ -24,9 +24,18 @@ Measured on TPU v5e (f32, C=64, batch 8): bit-exact vs XLA at every shape; stand
 latency 0.65-3.4 ms vs XLA's 0.55-2.4 ms — XLA's fusion pipeline already runs this
 memory-bound op at speed-of-light, and inside a full model it additionally fuses the
 scale into neighbouring convs.  The kernel is therefore provided as an op
-(``fused_channel_attention``) but NOT wired into CALayer by default; it is the
-foundation for a future conv-epilogue fusion where a hand-written kernel can actually
-beat the compiler.
+(``fused_channel_attention``) but NOT wired into CALayer by default.
+
+ARCHIVED AS A PLAYBOOK (round 4).  The last candidate win — running the int8 RCAB
+block tail (requant'd conv output -> CA scale -> residual add) as one kernel
+(``fused_channel_attention_residual``) — was measured on v5e via
+``tools/bench_pallas_epilogue``: standalone 0.81-1.00x XLA (bit-exact), and the
+full int8 RCAN (10x20, batch 8, 128^2) runs at **0.47x** with the Pallas epilogue
+(199.1 ms vs XLA's 94.3 ms per forward) — XLA fuses the whole f32 epilogue into
+one elementwise pass over the int32 conv accumulator, while a separate kernel
+dispatch must round-trip the feature map through HBM again.  Decision rule from
+VERDICT r3 item 7 (wire only if e2e >= 1.05x): both kernels stay as bit-exact,
+tested ops and a worked TPU-kernel playbook; no model path uses them by default.
 """
 import functools
 

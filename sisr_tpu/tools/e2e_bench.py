@@ -121,13 +121,15 @@ def build_experiment(root, name, model, internal, spatial, metadata_cols=0):
 
 
 def measure_e2e(lr_dir, hr_dir, model_loc, out_root, experiment, batch_size,
-                n_images, fused=True, scale=4, int8=False, cache_decoded=True):
+                n_images, fused=True, scale=4, int8=False, cache_decoded=True,
+                cache_device=None):
     """Wall-clock the full product eval protocol; second pass (compiles amortized).
 
     ``cache_decoded=False`` disables BOTH the decoded-image cache and the fused
     protocol's device-batch reuse, so every timed pass performs the full protocol
     (decode -> prep -> upload -> forward -> metrics) — the number comparable to a
-    baseline that also decodes every image."""
+    baseline that also decodes every image.  ``cache_device=False`` keeps the
+    decoded-image cache but re-uploads every pass: the wire-bound regime."""
     from ..evaluation.standard_eval import EvalHub
     hub = EvalHub(
         hr_dir=hr_dir, lr_dir=lr_dir, model_and_epoch=[(experiment, '0')],
@@ -138,7 +140,7 @@ def measure_e2e(lr_dir, hr_dir, model_loc, out_root, experiment, batch_size,
         num_image_save=0, qpi_selection=(None, None), data_attributes=None,
         dataset_name=None, image_shortlist=None, metadata_file=None, sp_gpu=0,
         time_models=False, recursive=False, device_metrics=True, fused_eval=fused,
-        int8=int8, cache_decoded=cache_decoded)
+        int8=int8, cache_decoded=cache_decoded, cache_device=cache_device)
     log('warmup protocol run (compiles)...')
     hub.full_image_protocol()
     # median-of-K with spread: the remote device tunnel's throughput varies run to

@@ -165,6 +165,39 @@ def test_fused_device_batch_cache_reuse(tmp_path):
                                atol=2e-2)
 
 
+def test_fused_cache_device_off_keeps_decode_cache(tmp_path):
+    """cache_device=False (the benchmark's wire-bound regime) never populates the
+    device-batch cache — every pass re-uploads — while the decoded-image cache
+    stays on; results are identical across passes."""
+    from sisr_tpu.evaluation.standard_eval import EvalHub
+    lr_dir, hr_dir = build_workload(str(tmp_path), 4, lr_size=32)
+    save_loc = str(tmp_path / 'Results')
+    os.makedirs(save_loc)
+    _make_experiment(save_loc, 'exp', 'edsr',
+                     {'scale': 4, 'num_features': 8, 'num_blocks': 1}, 0)
+    out_loc = str(tmp_path / 'out')
+    os.makedirs(out_loc)
+    hub = EvalHub(
+        hr_dir=hr_dir, lr_dir=lr_dir, model_and_epoch=[('exp', '0')],
+        results_name='r', gpu=False, metrics=['PSNR', 'SSIM'], data_split='all',
+        save_im=False, batch_size=2, full_directory=True, lr_dir_interp=None,
+        model_only=False, scale=4, model_loc=save_loc, out_loc=out_loc,
+        use_test_group=False, no_image_comparison=True, num_image_save=0,
+        qpi_selection=(None, None), data_attributes=None, dataset_name=None,
+        image_shortlist=None, metadata_file=None, sp_gpu=0, time_models=False,
+        recursive=False, fused_eval=True, cache_decoded=True, cache_device=False)
+    assert hub.cache_decoded and not hub.cache_device
+    csv_path = os.path.join(out_loc, 'r', 'standard_metrics',
+                            'individual_metrics.csv')
+    hub.full_image_protocol()
+    first = pd.read_csv(csv_path, header=[0, 1], index_col=0)
+    assert hub._device_batch_cache is None  # never populated in this regime
+    hub.full_image_protocol()
+    second = pd.read_csv(csv_path, header=[0, 1], index_col=0)
+    pd.testing.assert_frame_equal(first, second)
+    assert hub._device_batch_cache is None
+
+
 def test_fused_mesh_tiled_matches_standard(tmp_path):
     """Mesh-sharded tiled eval (SAN, context-parallel tiles across the 8-device CPU
     mesh) through the FUSED protocol must match the standard protocol — the tile
