@@ -83,12 +83,24 @@ def _f32_tree(tree):
     return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
 
 
-def _fconv(entry, h):
-    """f32 SAME conv + bias (the calibration mirrors' conv primitive)."""
-    dn = jax.lax.conv_dimension_numbers(h.shape, entry['kernel'].shape,
-                                        ('NHWC', 'HWIO', 'NHWC'))
-    return jax.lax.conv_general_dilated(h, entry['kernel'], (1, 1), 'SAME',
-                                        dimension_numbers=dn) + entry['bias']
+def _fconv(entry, h, compute_dtype=None):
+    """SAME conv + bias (the calibration mirrors' conv primitive).
+
+    Default: plain f32.  ``compute_dtype=jnp.bfloat16`` runs the conv with bf16
+    operands (f32 MXU accumulation) and returns bf16 — the serving forwards use
+    it so the float attention/modulation stages match the bf16 model's HBM
+    traffic instead of doubling it (measured: f32 LAM/CSAM/SFT stages made the
+    int8 HAN/SFTMD forwards *slower* than the bf16 models they serve)."""
+    k, b = entry['kernel'], entry['bias']
+    if compute_dtype is not None:
+        h, k = h.astype(compute_dtype), k.astype(compute_dtype)
+    dn = jax.lax.conv_dimension_numbers(h.shape, k.shape, ('NHWC', 'HWIO', 'NHWC'))
+    out = jax.lax.conv_general_dilated(h, k, (1, 1), 'SAME',
+                                       dimension_numbers=dn,
+                                       preferred_element_type=jnp.float32)
+    if compute_dtype is not None:
+        return out.astype(compute_dtype) + b.astype(compute_dtype)
+    return out + b
 
 
 def _absmax_tracker():
@@ -190,7 +202,10 @@ def calibrate_edsr_scales(params, sample_batches, num_blocks=16, scale=4, res_sc
 
 def conv_int8_static(x, q_kernel, w_scale, x_scale, bias=None):
     """int8 conv with a precomputed (static) activation scale — no runtime max-reduce."""
-    x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    # quantize in f32 even for bf16 feeds (bf16's 8-bit mantissa would add ~0.4%
+    # pre-round noise); the cast fuses into the elementwise quantize pass
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                   -127, 127).astype(jnp.int8)
     dn = jax.lax.conv_dimension_numbers(x_q.shape, q_kernel.shape,
                                         ('NHWC', 'HWIO', 'NHWC'))
     acc = jax.lax.conv_general_dilated(x_q, q_kernel, (1, 1), 'SAME',
@@ -518,29 +533,45 @@ def quantize_han_params(params, n_resgroups=10, n_resblocks=20):
     return out
 
 
-def _lam_apply(entry, stack_f32):
-    """LAM on the (B, N, H, W, C) f32 stack (mirrors models/advanced.py LAM)."""
-    b, n, h, w, c = stack_f32.shape
-    flat = stack_f32.reshape(b, n, -1)
+def _lam_apply(entry, stack, compute_dtype=None):
+    """LAM on the (B, N, H, W, C) stack (mirrors models/advanced.py LAM).
+
+    f32 by default (calibration mirrors); the int8 serving forwards pass
+    ``compute_dtype=jnp.bfloat16`` so the N-deep stacked volume — the largest
+    tensor in the whole model — moves through HBM at the bf16 model's rate.
+    The (B, N, N) gram/softmax stays f32 (tiny, accuracy-critical)."""
+    if compute_dtype is not None:
+        stack = stack.astype(compute_dtype)
+    b, n, h, w, c = stack.shape
+    flat = stack.reshape(b, n, -1)
     energy = jnp.einsum('bnd,bmd->bnm', flat, flat,
                         preferred_element_type=jnp.float32)
     energy_new = jnp.max(energy, axis=-1, keepdims=True) - energy
-    attention = jax.nn.softmax(energy_new, axis=-1)
-    out = jnp.einsum('bnm,bmd->bnd', attention, flat)
-    out = entry['gamma'] * out.reshape(b, n, h, w, c) + stack_f32
+    attention = jax.nn.softmax(energy_new, axis=-1).astype(flat.dtype)
+    out = jnp.einsum('bnm,bmd->bnd', attention, flat,
+                     preferred_element_type=jnp.float32).astype(flat.dtype)
+    out = (entry['gamma'].astype(flat.dtype) * out.reshape(b, n, h, w, c)
+           + stack)
     return out.transpose(0, 2, 3, 1, 4).reshape(b, h, w, n * c)
 
 
-def _csam_apply(entry, h_f32):
-    """CSAM on the (B, H, W, C) f32 map (mirrors models/advanced.py CSAM)."""
-    vol = h_f32.transpose(0, 3, 1, 2)[..., None]
-    dn = jax.lax.conv_dimension_numbers(vol.shape, entry['conv3d_kernel'].shape,
+def _csam_apply(entry, h_in, compute_dtype=None):
+    """CSAM on the (B, H, W, C) map (mirrors models/advanced.py CSAM).
+
+    f32 by default; ``compute_dtype=jnp.bfloat16`` in the int8 serving forwards
+    (f32 MXU accumulation via preferred_element_type)."""
+    k = entry['conv3d_kernel']
+    if compute_dtype is not None:
+        h_in, k = h_in.astype(compute_dtype), k.astype(compute_dtype)
+    vol = h_in.transpose(0, 3, 1, 2)[..., None]
+    dn = jax.lax.conv_dimension_numbers(vol.shape, k.shape,
                                         ('NDHWC', 'DHWIO', 'NDHWC'))
-    out = jax.lax.conv_general_dilated(vol, entry['conv3d_kernel'], (1, 1, 1),
-                                       'SAME', dimension_numbers=dn)
-    out = jax.nn.sigmoid(out + entry['conv3d_bias'])
-    out = entry['gamma'] * out[..., 0].transpose(0, 2, 3, 1)
-    return h_f32 * out + h_f32
+    out = jax.lax.conv_general_dilated(vol, k, (1, 1, 1), 'SAME',
+                                       dimension_numbers=dn,
+                                       preferred_element_type=jnp.float32)
+    out = jax.nn.sigmoid(out + entry['conv3d_bias']).astype(h_in.dtype)
+    out = entry['gamma'].astype(h_in.dtype) * out[..., 0].transpose(0, 2, 3, 1)
+    return h_in * out + h_in
 
 
 def _han_float_forward(params, x, n_resgroups, n_resblocks, track=None):
@@ -604,11 +635,13 @@ def calibrate_han_scales(params, sample_batches, n_resgroups=10, n_resblocks=20,
 
 def han_int8_forward_static(qparams, act_scales, x, n_resgroups=10, n_resblocks=20,
                             residual_dtype='bfloat16', ca_epilogue='xla'):
-    """Quantized HAN forward: int8 convs + f32 channel/layer/spatial attention.
+    """Quantized HAN forward: int8 convs, f32 per-block channel attention, bf16
+    LAM/CSAM (f32 MXU accumulation, f32 gram/softmax).
 
-    Same recipe as :func:`rcan_int8_forward_static`; the LAM stack and CSAM
-    volume attention run once per image in f32 (their cost is dwarfed by the
-    n_resgroups*n_resblocks conv body)."""
+    Same recipe as :func:`rcan_int8_forward_static`.  The LAM stack is the
+    biggest tensor in the model (N+1 stacked feature maps); running it in f32
+    made int8 HAN *slower* than the bf16 model (0.73x measured on v5e), so the
+    serving path moves it at bf16 — the bf16 model's own rate."""
     from ..models.blocks import pixel_shuffle
 
     if residual_dtype not in ('float32', 'bfloat16'):
@@ -650,11 +683,11 @@ def han_int8_forward_static(qparams, act_scales, x, n_resgroups=10, n_resblocks=
         stack.append(res)
     res = qconv('body_tail', qparams['body_tail'], res)
     stack.append(res.astype(carry_t))
-    res1 = jnp.stack(stack[::-1], axis=1).astype(jnp.float32)
-    la = _lam_apply(qparams['la'], res1)
+    res1 = jnp.stack(stack[::-1], axis=1)
+    la = _lam_apply(qparams['la'], res1, compute_dtype=jnp.bfloat16)
     out2 = qconv('last_conv', qparams['last_conv'], la)
-    out1 = _csam_apply(qparams['csa'], res.astype(jnp.float32))
-    out = jnp.concatenate([out1, out2], axis=-1)
+    out1 = _csam_apply(qparams['csa'], res, compute_dtype=jnp.bfloat16)
+    out = jnp.concatenate([out1.astype(jnp.float32), out2], axis=-1)
     res = qconv('last', qparams['last'], out) + h.astype(jnp.float32)
     _check_rcan_upsampler_pow2(qparams['upsampler'])
     for i in range(sum(1 for k in qparams['upsampler'] if k.startswith('conv_'))):
@@ -1011,9 +1044,18 @@ def quantize_sftmd_params(params, num_blocks=16, scale=4):
     return out
 
 
-def _sft_apply(entry, sft_type, fea, para_maps, repeats=None, mask_para=False):
-    """SFTLayer math in f32 (mirrors models/sftmd.py SFTLayer/StandardSft/ConcatSft)."""
+def _sft_apply(entry, sft_type, fea, para_maps, repeats=None, mask_para=False,
+               compute_dtype=None):
+    """SFTLayer math (mirrors models/sftmd.py SFTLayer/StandardSft/ConcatSft).
+
+    f32 by default (the calibration mirrors); the int8 serving forward passes
+    ``compute_dtype=jnp.bfloat16`` — the SFT branch convs carry roughly as many
+    FLOPs as the nf-channel spine, so leaving them f32 made quantized SFTMD
+    slower than the bf16 model (0.72x measured on v5e)."""
     fconv = _fconv
+    if compute_dtype is not None:
+        fea = fea.astype(compute_dtype)
+        para_maps = para_maps.astype(compute_dtype)
 
     if sft_type == 'none':
         return fea
@@ -1021,16 +1063,16 @@ def _sft_apply(entry, sft_type, fea, para_maps, repeats=None, mask_para=False):
         return fea * para_maps
     if sft_type == 'concat':
         cat = jnp.concatenate([fea, para_maps], axis=-1)
-        return fconv(entry['sft_module']['conv'], cat)
+        return fconv(entry['sft_module']['conv'], cat, compute_dtype)
     # standard
     mod = entry['sft_module']
     if repeats is not None:
         para_maps = jnp.tile(para_maps, (1, 1, 1, repeats))
     cat = fea if mask_para else jnp.concatenate([fea, para_maps], axis=-1)
-    mul = jax.nn.leaky_relu(fconv(mod['mul_conv1'], cat), 0.2)
-    mul = jax.nn.sigmoid(fconv(mod['mul_conv2'], mul))
-    add = jax.nn.leaky_relu(fconv(mod['add_conv1'], cat), 0.2)
-    add = fconv(mod['add_conv2'], add)
+    mul = jax.nn.leaky_relu(fconv(mod['mul_conv1'], cat, compute_dtype), 0.2)
+    mul = jax.nn.sigmoid(fconv(mod['mul_conv2'], mul, compute_dtype))
+    add = jax.nn.leaky_relu(fconv(mod['add_conv1'], cat, compute_dtype), 0.2)
+    add = fconv(mod['add_conv2'], add, compute_dtype)
     return fea * mul + add
 
 
@@ -1109,7 +1151,9 @@ def calibrate_sftmd_scales(params, sample_batches, metadata_batches, num_blocks=
 def sftmd_int8_forward_static(qparams, act_scales, x, metadata, num_blocks=16,
                               scale=4, sft_type='standard', mask_para=False,
                               repeats=None):
-    """Quantized SFTMD forward: int8 conv spine + f32 SFT modulation / q-injection."""
+    """Quantized SFTMD forward: int8 conv spine + bf16 SFT modulation (f32 MXU
+    accumulation) + f32 q-injection gates.  The SFT branches carry ~half the
+    model's FLOPs, so they run at the bf16 model's rate rather than f32's."""
     from ..models.blocks import pixel_shuffle
 
     meta = jnp.asarray(metadata, jnp.float32)
@@ -1122,6 +1166,7 @@ def sftmd_int8_forward_static(qparams, act_scales, x, metadata, num_blocks=16,
         return conv_int8_static(h, tree['kernel'], tree['scale'], act_scales[name],
                                 tree['bias'])
 
+    bf16 = jnp.bfloat16
     fea = jax.nn.leaky_relu(qconv('conv1', qparams['conv1'], x), 0.2)
     fea = jax.nn.leaky_relu(qconv('conv2', qparams['conv2'], fea), 0.2)
     fea_bef = qconv('conv3', qparams['conv3'], fea)
@@ -1130,19 +1175,19 @@ def sftmd_int8_forward_static(qparams, act_scales, x, metadata, num_blocks=16,
         blk = qparams['sft_residual_%d' % i]
         pre = 'sft_residual_%d' % i
         f1 = jax.nn.relu(_sft_apply(blk.get('sft1'), sft_type, fea_in, para_maps,
-                                    repeats, mask_para))
+                                    repeats, mask_para, compute_dtype=bf16))
         if 'q_1' in blk:
-            f1 = f1 * _para_ca_apply(blk['q_1'], meta)[:, None, None, :]
+            f1 = f1 * _para_ca_apply(blk['q_1'], meta)[:, None, None, :].astype(f1.dtype)
         f1 = qconv(pre + '.conv1', blk['conv1'], f1)
         f2 = jax.nn.relu(_sft_apply(blk.get('sft2'), sft_type, f1, para_maps,
-                                    repeats, mask_para))
+                                    repeats, mask_para, compute_dtype=bf16))
         if 'q_2' in blk:
-            f2 = f2 * _para_ca_apply(blk['q_2'], meta)[:, None, None, :]
+            f2 = f2 * _para_ca_apply(blk['q_2'], meta)[:, None, None, :].astype(f2.dtype)
         f3 = qconv(pre + '.conv2', blk['conv2'], f2)
         fea_in = fea_in + f3
     fea_add = fea_in + fea_bef
     fea_fin = _sft_apply(qparams.get('sft'), sft_type, fea_add, para_maps, repeats,
-                         mask_para)
+                         mask_para, compute_dtype=bf16)
     if 'final_injection' in qparams:
         fea_fin = fea_fin * _para_ca_apply(qparams['final_injection'],
                                            meta)[:, None, None, :]
@@ -1255,7 +1300,8 @@ def calibrate_qhan_scales(params, sample_batches, metadata_batches,
 
 def qhan_int8_forward_static(qparams, act_scales, x, metadata, n_resgroups=10,
                              n_resblocks=20, residual_dtype='bfloat16'):
-    """Quantized QHAN forward: int8 convs + f32 meta/layer/spatial attention."""
+    """Quantized QHAN forward: int8 convs + f32 meta-attention gates + bf16
+    LAM/CSAM (f32 MXU accumulation; see :func:`han_int8_forward_static`)."""
     from ..models.blocks import pixel_shuffle
 
     if residual_dtype not in ('float32', 'bfloat16'):
@@ -1293,11 +1339,11 @@ def qhan_int8_forward_static(qparams, act_scales, x, metadata, n_resgroups=10,
         stack.append(res)
     res = qconv('body_tail', qparams['body_tail'], res)
     stack.append(res.astype(carry_t))
-    res1 = jnp.stack(stack[::-1], axis=1).astype(jnp.float32)
-    la = _lam_apply(qparams['la'], res1)
+    res1 = jnp.stack(stack[::-1], axis=1)
+    la = _lam_apply(qparams['la'], res1, compute_dtype=jnp.bfloat16)
     out2 = qconv('last_conv', qparams['last_conv'], la)
-    out1 = _csam_apply(qparams['csa'], res.astype(jnp.float32))
-    out = jnp.concatenate([out1, out2], axis=-1)
+    out1 = _csam_apply(qparams['csa'], res, compute_dtype=jnp.bfloat16)
+    out = jnp.concatenate([out1.astype(jnp.float32), out2], axis=-1)
     res = qconv('last', qparams['last'], out) + h.astype(jnp.float32)
     _check_rcan_upsampler_pow2(qparams['upsampler'])
     for i in range(sum(1 for k in qparams['upsampler'] if k.startswith('conv_'))):

@@ -91,14 +91,15 @@ def _han_section():
 
     bf16_tput = _timed(_make_loop(lambda h: model.apply(variables, h)), x)
     print('han bf16 model            : %8.1f img/s' % bf16_tput)
-    for epi in ('xla', 'pallas'):
-        fwd = lambda h, e=epi: han_int8_forward_static(qparams, scales, h,
-                                                       ca_epilogue=e)
-        tput = _timed(_make_loop(fwd), x)
-        err = np.abs(np.asarray(fwd(x[:1])) - ref)
-        fid = 10 * np.log10(1.0 / max(float((err ** 2).mean()), 1e-12))
-        print('han int8 %-6s, bf16 res: %8.1f img/s  (%.2fx bf16, %4.1f dB vs f32)'
-              % (epi, tput, tput / bf16_tput, fid))
+    # xla epilogue only: the pallas CA+residual epilogue is archived (0.47x e2e
+    # on int8 RCAN — see ops/pallas/channel_attention.py) and VMEM-OOMs at
+    # batch 16 besides
+    fwd = lambda h: han_int8_forward_static(qparams, scales, h)
+    tput = _timed(_make_loop(fwd), x)
+    err = np.abs(np.asarray(fwd(x[:1])) - ref)
+    fid = 10 * np.log10(1.0 / max(float((err ** 2).mean()), 1e-12))
+    print('han int8 static, bf16 res : %8.1f img/s  (%.2fx bf16, %4.1f dB vs f32)'
+          % (tput, tput / bf16_tput, fid))
 
 
 def _qrcan_section():
