@@ -56,6 +56,11 @@ def define_model(name, **kwargs):
     return available_models[name](**kwargs)
 
 
+# Families where --int8 was MEASURED end-to-end slower than bf16 on v5e (README
+# "int8 serving" table, batch 16, 4x 128->512); set_int8 warns at the point of use.
+INT8_MEASURED_SLOWER = {'sftmd': '0.83x bf16', 'han': '0.73x', 'qhan': '0.73x'}
+
+
 class BaseHandler:
     """Functional handler base (replaces ref models/__init__.py:257-575 BaseModel)."""
 
@@ -188,6 +193,13 @@ class BaseHandler:
             print('%s: no int8 serving path for this architecture — ignoring.'
                   % type(self).__name__)
             return
+        if enabled and self.int8_family in INT8_MEASURED_SLOWER:
+            import warnings
+            warnings.warn(
+                'int8 measured SLOWER than bf16 for the %s family on v5e (%s; '
+                'per-block modulation/attention breaks the int8 conv chain) — '
+                'engaging anyway as requested. See README "int8 serving".'
+                % (self.int8_family, INT8_MEASURED_SLOWER[self.int8_family]))
         self.int8_mode = bool(enabled)
         self.int8_residual_dtype = residual_dtype
         self._int8_ctx = None
@@ -441,6 +453,11 @@ class BaseHandler:
         """One training step (ref BaseModel.run_train, models/__init__.py:466-489)."""
         if self.eval_mode:
             raise RuntimeError('Model initialized in eval mode, training not possible.')
+        shard_factor = int(batch.pop('_shard_factor', 1) or 1)
+        if shard_factor > 1 and self.mesh_ctx is None:
+            raise RuntimeError('Received a process-local batch shard (multihost input '
+                               'sharding) but no device mesh is set — multi-process '
+                               'launches require gpu="multi".')
         ragged_probe = batch['hr'] if self.device_degrade else batch['lr']
         if isinstance(ragged_probe, (list, tuple)):
             raise RuntimeError('Training batch contains differently-sized images — use a '
@@ -457,7 +474,7 @@ class BaseHandler:
         dev_batch = {k: batch[k] for k in self._train_batch_keys()
                      if k in batch and batch[k] is not None}
         if self.mesh_ctx is not None:
-            dev_batch = self.mesh_ctx.shard_batch(dev_batch)
+            dev_batch = self.mesh_ctx.shard_batch(dev_batch, shard_factor=shard_factor)
         self.state, loss = self._train_step(self.state, dev_batch)
         return loss, None
 
@@ -476,16 +493,22 @@ class BaseHandler:
             raise RuntimeError('Model initialized in eval mode, training not possible.')
         pre_stacked = isinstance(batches, dict)
         if pre_stacked:
+            shard_factor = int(batches.get('_shard_factor', 1) or 1)
             keys = [k for k in self._train_batch_keys()
                     if k in batches and batches[k] is not None]
             stacked = {k: batches[k] for k in keys}
             ref_spatial = stacked['hr' if self.device_degrade else 'lr'].shape[2:4]
         else:
+            shard_factor = int(batches[0].get('_shard_factor', 1) or 1)
             keys = [k for k in self._train_batch_keys()
                     if k in batches[0] and batches[0][k] is not None]
             stacked = {k: np.stack([np.asarray(b[k]) for b in batches], axis=0)
                        for k in keys}
             ref_spatial = batches[0]['hr' if self.device_degrade else 'lr'].shape[1:3]
+        if shard_factor > 1 and self.mesh_ctx is None:
+            raise RuntimeError('Received process-local batch shards (multihost input '
+                               'sharding) but no device mesh is set — multi-process '
+                               'launches require gpu="multi".')
         if self.state is None:
             spatial = ref_spatial if not self.device_degrade else \
                 (ref_spatial[0] // self.scale, ref_spatial[1] // self.scale)
@@ -502,10 +525,25 @@ class BaseHandler:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(self.mesh_ctx.mesh, P(None, self.mesh_ctx.batch_axis))
-            stacked = {k: jax.device_put(v, sh)
-                       if v.shape[1] % self.mesh_ctx.n_devices == 0
-                       else jax.device_put(v)
-                       for k, v in stacked.items()}
+            if shard_factor > 1:
+                # process-local (K, B/count, ...) shards -> global (K, B, ...)
+                # arrays without materializing remote shards on this host
+                def to_global(v):
+                    gshape = (v.shape[0], v.shape[1] * shard_factor) + \
+                        tuple(v.shape[2:])
+                    if gshape[1] % self.mesh_ctx.n_devices != 0:
+                        raise RuntimeError(
+                            'Process-sharded global batch of %d does not divide '
+                            'the %d-device mesh.' % (gshape[1],
+                                                     self.mesh_ctx.n_devices))
+                    return jax.make_array_from_process_local_data(
+                        sh, np.asarray(v), gshape)
+                stacked = {k: to_global(v) for k, v in stacked.items()}
+            else:
+                stacked = {k: jax.device_put(v, sh)
+                           if v.shape[1] % self.mesh_ctx.n_devices == 0
+                           else jax.device_put(v)
+                           for k, v in stacked.items()}
         self.state, losses = self._multi_train_step(self.state, stacked)
         return losses
 

@@ -703,3 +703,21 @@ def test_handler_int8_qedsr_serving_path():
     out, _, runtime = h.run_eval(x, metadata=meta, timing=True)
     assert out.shape == ref.shape and runtime is not None
     assert psnr(out, ref, max_value=1.0) > 35
+
+
+def test_int8_warns_for_measured_slower_families():
+    """set_int8 warns at the point of use for families the README table measured
+    slower than bf16 (sftmd/han/qhan) and stays silent for winners (VERDICT r4 #7)."""
+    import warnings
+    from sisr_tpu.models.handlers import define_model, INT8_MEASURED_SLOWER
+    assert set(INT8_MEASURED_SLOWER) == {'sftmd', 'han', 'qhan'}
+    h = define_model('han', eval_mode=True, scale=4, n_resgroups=2, n_resblocks=1,
+                     n_feats=16)
+    with pytest.warns(UserWarning, match='measured SLOWER.*han'):
+        h.set_int8(True)
+    assert h.int8_mode
+    h2 = define_model('edsr', eval_mode=True, scale=4, num_features=16, num_blocks=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        h2.set_int8(True)
+    assert h2.int8_mode
