@@ -11,6 +11,11 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
+# Diagnostic probe: items this process actually loaded (dataset.__getitem__ calls
+# issued by any DataLoader).  test_multiprocess asserts each rank's loader touched
+# only its 1/process_count shard of the training data.
+ITEMS_LOADED = 0
+
 
 class ConcatDataset:
     """Minimal torch-style dataset concatenation."""
@@ -59,6 +64,10 @@ class CelebaSplitSampler:
             self.negative_indices += [i + offset for i in n]
             offset += length
         self.length = offset
+        # dedicated RNG (seeded from the global stream once, identical across
+        # ranks): epoch orders must not depend on per-item RNG consumption —
+        # see DataLoader._shuffle_rng
+        self._rng = np.random.RandomState(np.random.randint(0, 2 ** 31))
 
     def _index_with_attribute(self, dataset):
         metadata_pos = int(np.where([self.discriminatory_attribute in m
@@ -70,9 +79,9 @@ class CelebaSplitSampler:
         return positive, negative, len(dataset.metadata)
 
     def __iter__(self):
-        pos = np.random.choice(self.positive_indices, len(self.positive_indices),
+        pos = self._rng.choice(self.positive_indices, len(self.positive_indices),
                                replace=False).tolist()
-        neg = np.random.choice(self.negative_indices, len(self.negative_indices),
+        neg = self._rng.choice(self.negative_indices, len(self.negative_indices),
                                replace=False).tolist()
         return iter(pos + neg)
 
@@ -131,7 +140,8 @@ class DataLoader:
     """Order-preserving threaded batch loader."""
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=8,
-                 drop_last=False, sampler=None, prefetch_batches=3):
+                 drop_last=False, sampler=None, prefetch_batches=3,
+                 process_shard=None):
         self.dataset = dataset
         # opt-in: keep uniform uint8 images as lists so device_prefetch stacks
         # them in HBM instead of a host memcpy (fused-eval fast path)
@@ -142,19 +152,55 @@ class DataLoader:
         self.drop_last = drop_last
         self.sampler = sampler
         self.prefetch_batches = prefetch_batches
+        # multihost input sharding: (rank, process_count).  Every rank builds the
+        # SAME global batch index order (the seed is global), but loads only its
+        # contiguous 1/count slice of each batch; MeshContext.shard_batch then
+        # assembles the global device array from the process-local shards
+        # (jax.make_array_from_process_local_data) — no rank decodes data another
+        # host consumes.  Contiguity matters: the (dcn, data) mesh is host-major
+        # on its leading axis, so global batch positions [r*B/count, (r+1)*B/count)
+        # are exactly rank r's addressable shards.  Per-item augmentation draws
+        # (crops/flips/online kernels) come from each rank's own RNG stream, so
+        # crop POSITIONS differ from a single-process run (statistically
+        # equivalent); global batch MEMBERSHIP is identical because shuffling uses
+        # the dedicated RNG below, insulated from per-item consumption.
+        self.process_shard = tuple(process_shard) if process_shard else None
+        # Dedicated shuffle RNG, seeded from the global stream ONCE at
+        # construction (identical on every rank — construction precedes any
+        # divergent per-item loading).  Epoch shuffles must not depend on how many
+        # global-RNG draws item loading consumed: under process sharding ranks
+        # load different items, and threaded decode already makes the global
+        # stream's draw order racy.
+        self._shuffle_rng = _random.Random(_random.getrandbits(64))
 
     def _index_batches(self):
+        """Global batch index lists, each paired with this process's slice and the
+        shard factor (1 = load the whole batch; N = load a 1/N contiguous slice)."""
         if self.sampler is not None:
             indices = list(iter(self.sampler))
         else:
             indices = list(range(len(self.dataset)))
             if self.shuffle:
-                _random.shuffle(indices)
+                self._shuffle_rng.shuffle(indices)
         batches = [indices[i:i + self.batch_size]
                    for i in range(0, len(indices), self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
-        return batches
+        if not self.process_shard:
+            return [(b, 1) for b in batches]
+        rank, count = self.process_shard
+        out = []
+        for b in batches:
+            if count > 1 and len(b) % count == 0:
+                per = len(b) // count
+                out.append((b[rank * per:(rank + 1) * per], count))
+            else:
+                # a batch that doesn't divide the process count (the ragged tail)
+                # degrades to the replicated path: every rank loads it whole, the
+                # device put shards it globally (same rule as shard_batch's
+                # divisibility fallback)
+                out.append((b, 1))
+        return out
 
     def __len__(self):
         n = len(self.dataset)
@@ -162,12 +208,19 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _finish(self, items, factor):
+        global ITEMS_LOADED
+        ITEMS_LOADED += len(items)
+        out = _collate(items, device_images=self.device_collate)
+        if factor > 1:
+            out['_shard_factor'] = factor
+        return out
+
     def __iter__(self):
         batches = self._index_batches()
         if self.num_workers <= 1:
-            for batch in batches:
-                yield _collate([self.dataset[i] for i in batch],
-                               device_images=self.device_collate)
+            for batch, factor in batches:
+                yield self._finish([self.dataset[i] for i in batch], factor)
             return
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -179,17 +232,16 @@ class DataLoader:
             pending = deque()
             it = iter(batches)
             for _ in range(max(1, self.prefetch_batches)):  # 0 would yield nothing
-                b = next(it, None)
-                if b is None:
+                nxt = next(it, None)
+                if nxt is None:
                     break
-                pending.append(submit(b))
+                pending.append((submit(nxt[0]), nxt[1]))
             while pending:
-                futs = pending.popleft()
-                b = next(it, None)
-                if b is not None:
-                    pending.append(submit(b))
-                yield _collate([f.result() for f in futs],
-                               device_images=self.device_collate)
+                futs, factor = pending.popleft()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append((submit(nxt[0]), nxt[1]))
+                yield self._finish([f.result() for f in futs], factor)
 
 
 def device_prefetch(iterator, size=2, sharding=None):

@@ -81,10 +81,25 @@ def sisr_data_setup(training_sets, eval_sets, batch_size=16, eval_batch_size=1,
     else:
         raise RuntimeError('Selected data sampler not recognized.')
 
+    # multihost input sharding: on a multi-process launch each rank decodes only
+    # its 1/process_count slice of every global training batch (the global batch
+    # composition — seeded shuffle over the same index space — is identical on
+    # every rank, so the assembled global arrays match a single-process run
+    # bit-for-bit).  Validation stays replicated: eval batches default to size 1
+    # and the per-epoch val set is small; rank-0 gating covers the writes.
+    process_shard = None
+    try:
+        import jax
+        if jax.process_count() > 1:
+            process_shard = (jax.process_index(), jax.process_count())
+    except Exception:
+        pass
+
     train_dataloader = DataLoader(dataset=all_train_data, batch_size=batch_size,
                                   shuffle=sampler is None,
                                   num_workers=8 if dataloader_threads is None else dataloader_threads,
                                   drop_last=bool(drop_last_training_batch),
-                                  sampler=sampler)
+                                  sampler=sampler,
+                                  process_shard=process_shard)
     val_dataloader = DataLoader(dataset=all_val_data, batch_size=eval_batch_size)
     return train_dataloader, val_dataloader

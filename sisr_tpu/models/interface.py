@@ -137,7 +137,8 @@ class ModelInterface:
         if metadata_keys is not None and self.model.metadata_keys is None:
             self.model.set_metadata_keys(metadata_keys)
         return self.model.run_train(lr=lr, hr=hr, metadata=metadata,
-                                    blur_kernels=blur_kernels)
+                                    blur_kernels=blur_kernels,
+                                    _shard_factor=kwargs.get('_shard_factor', 1))
 
     def train_batch_multi(self, batches):
         """Fused K-step dispatch (see BaseHandler.run_train_multi).  ``batches`` is a

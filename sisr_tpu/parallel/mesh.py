@@ -124,12 +124,30 @@ class MeshContext:
     def replicate(self, tree):
         return jax.device_put(tree, self.replicated)
 
-    def shard_batch(self, batch):
-        """Shard dict entries on their leading axis (must divide by mesh size)."""
+    def shard_batch(self, batch, shard_factor=1):
+        """Shard dict entries on their leading axis (must divide by mesh size).
+
+        ``shard_factor > 1`` marks the arrays as PROCESS-LOCAL shards of a global
+        batch ``shard_factor`` times larger (multihost input sharding: each rank's
+        loader decoded only its contiguous slice — DataLoader ``process_shard``).
+        The global device array is assembled from the local shards with
+        ``jax.make_array_from_process_local_data``; no host materializes, decodes
+        or uploads another host's data.
+        """
         out = {}
         for k, v in batch.items():
-            if hasattr(v, 'ndim') and getattr(v, 'ndim', 0) >= 1 \
-                    and v.shape[0] % self.n_devices == 0:
+            if not (hasattr(v, 'ndim') and getattr(v, 'ndim', 0) >= 1):
+                out[k] = v
+            elif shard_factor > 1:
+                gshape = (v.shape[0] * shard_factor,) + tuple(v.shape[1:])
+                if gshape[0] % self.n_devices != 0:
+                    raise RuntimeError(
+                        'Process-sharded global batch of %d does not divide the '
+                        '%d-device mesh — choose a batch_size divisible by the '
+                        'device count.' % (gshape[0], self.n_devices))
+                out[k] = jax.make_array_from_process_local_data(
+                    self.batch_sharding, np.asarray(v), gshape)
+            elif v.shape[0] % self.n_devices == 0:
                 out[k] = jax.device_put(v, self.batch_sharding)
             else:
                 out[k] = v

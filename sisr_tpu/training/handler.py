@@ -201,7 +201,11 @@ class TrainingHandler:
                             # raise its crop/batch_size guidance
                             yield single(batch)
                             continue
-                        sig = (np.shape(batch.get('hr')), np.shape(batch.get('lr')))
+                        # factor is part of the signature: a ragged-tail batch that
+                        # every rank loaded whole must not stack with process-local
+                        # shards of the same shape
+                        sig = (np.shape(batch.get('hr')), np.shape(batch.get('lr')),
+                               batch.get('_shard_factor', 1))
                         if expected_sig is None:
                             expected_sig = sig
                         if sig != expected_sig:

@@ -42,6 +42,8 @@ try:
 except SystemExit as e:
     if e.code not in (0, None):
         raise
+import sisr_tpu.data.loader as _loader
+print('ITEMS_LOADED %%d rank=%%d' %% (_loader.ITEMS_LOADED, jax.process_index()))
 print('RANK_DONE %%d' %% jax.process_index())
 """
 
@@ -72,7 +74,12 @@ metrics = [ "PSNR" ]
 
 
 def _build_data(tmp_path, n=16):
-    """16-image dataset (Set5 tiled) so global batches divide the 8-device mesh."""
+    """16-image dataset (Set5 tiled) so global batches divide the 8-device mesh.
+
+    Images are pre-cropped to exactly 16x16 LR / 64x64 HR: the config's crop=16
+    then has zero freedom (randint(0,0)), so per-item augmentation RNG — which is
+    rank-local under multihost input sharding — cannot perturb the trajectory
+    comparison against the single-process run."""
     lr_dir = str(tmp_path / 'lr')
     hr_dir = str(tmp_path / 'hr')
     os.makedirs(lr_dir)
@@ -81,10 +88,10 @@ def _build_data(tmp_path, n=16):
     for i in range(n):
         src = names[i % len(names)]
         # re-encode so every file is a self-contained PNG with a unique name
-        Image.open(os.path.join(SET5, 'lr_random_blur', src)).save(
-            os.path.join(lr_dir, 'im%02d.png' % i))
-        Image.open(os.path.join(SET5, 'hr', src)).save(
-            os.path.join(hr_dir, 'im%02d.png' % i))
+        Image.open(os.path.join(SET5, 'lr_random_blur', src)).crop(
+            (0, 0, 16, 16)).save(os.path.join(lr_dir, 'im%02d.png' % i))
+        Image.open(os.path.join(SET5, 'hr', src)).crop(
+            (0, 0, 64, 64)).save(os.path.join(hr_dir, 'im%02d.png' % i))
     return lr_dir, hr_dir
 
 
@@ -163,6 +170,17 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert len(summary_b) == 1
     # rank 1's log shows it ran the same loop without owning the writes
     assert 'will start training' in outs[1] or 'Handler for experiment' in outs[1]
+
+    # (b2) multihost input sharding: each rank's loader decoded ONLY its half of
+    # the 16 training items (+ the replicated 2-image val set) — 8 + 2 = 10 —
+    # while the single-process run decoded all 16 + 2 = 18
+    import re
+    counts = {int(m.group(2)): int(m.group(1))
+              for out in outs
+              for m in [re.search(r'ITEMS_LOADED (\d+) rank=(\d+)', out)] if m}
+    assert counts == {0: 10, 1: 10}, counts
+    m = re.search(r'ITEMS_LOADED (\d+) rank=0', out_a8)
+    assert m and int(m.group(1)) == 18, out_a8
 
     # (c) trajectory parity: 2x4-process run == 1x8-device DP run
     summary_a = pd.read_csv(os.path.join(loc_a8, 'mp_edsr', 'result_outputs',
