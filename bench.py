@@ -85,21 +85,7 @@ def probe_backend(budget=None, retries=None):
     return None
 
 
-def edsr_flops_per_image(lr=128, feats=64, blocks=16, scale=4):
-    """Analytic forward FLOPs (2*MACs) for the benchmarked EDSR: head + residual
-    body + body-tail conv + PixelShuffle upsampler + tail, all 3x3 convs."""
-    conv = lambda hw, cin, cout: 2.0 * hw * hw * cin * cout * 9
-    total = conv(lr, 3, feats)                       # head
-    total += blocks * 2 * conv(lr, feats, feats)     # body (2 convs per block)
-    total += conv(lr, feats, feats)                  # body tail
-    hw = lr
-    s = scale
-    while s > 1:                                     # conv->PixelShuffle(2) stages
-        total += conv(hw, feats, feats * 4)
-        hw *= 2
-        s //= 2
-    total += conv(hw, feats, 3)                      # tail at HR resolution
-    return total
+from sisr_tpu.tools.flops import edsr_flops_per_image
 
 
 def emit(value, vs_baseline, extra=None):
@@ -166,7 +152,7 @@ def get_baseline():
     return cache['torch_cpu_e2e_img_per_sec']
 
 
-def measure_forward_only():
+def measure_forward_only(feats=64, blocks=16, batch=16, iters=None):
     """Steady-state device-side forward throughput (round-1 headline, for the record).
 
     The timed loop runs INSIDE one jitted program (data-dependent fori_loop) and
@@ -176,8 +162,9 @@ def measure_forward_only():
     import jax.numpy as jnp
     from sisr_tpu.models.advanced import EDSR
 
-    model = EDSR(net_features=64, num_blocks=16, scale=4, dtype=jnp.bfloat16)
-    x = jnp.asarray(np.random.rand(16, 128, 128, 3), jnp.float32)
+    iters = ITERS if iters is None else iters
+    model = EDSR(net_features=feats, num_blocks=blocks, scale=4, dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.rand(batch, 128, 128, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
 
     @jax.jit
@@ -185,13 +172,13 @@ def measure_forward_only():
         def body(i, carry):
             y = model.apply({'params': params}, carry)
             return (y[:, ::4, ::4, :] * 0.999).astype(carry.dtype)
-        return jnp.sum(jax.lax.fori_loop(0, ITERS, body, x))
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
 
     float(np.asarray(loop(variables['params'], x)))
     t0 = time.perf_counter()
     float(np.asarray(loop(variables['params'], x)))
-    dt = (time.perf_counter() - t0) / ITERS
-    return 16 / dt
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
 
 
 def _apply_platform_env():
@@ -250,6 +237,21 @@ def run_measurements():
         extra['mfu'] = round(mfu, 4)
     except Exception as exc:  # forward-only is informational; never fail
         log('forward-only measurement failed: %s' % exc)
+    if os.environ.get('BENCH_SKIP_PAPER') != '1':
+        try:
+            # PAPER-scale flagship (the SPL recipe: EDSR 256 feats / 32 blocks, ref
+            # Documentation/sample_config_files/div2k/edsr.toml:43-57).  The dev-size
+            # MFU above is lane-limited at C=64; this is the flagship-size figure.
+            # Compile dominates (~4 min over the tunnel); the timed loop is short.
+            fwd_p = measure_forward_only(feats=256, blocks=32, batch=8, iters=6)
+            mfu_p = fwd_p * edsr_flops_per_image(feats=256, blocks=32) \
+                / (PEAK_TFLOPS * 1e12)
+            log('PAPER-scale forward (EDSR 256f/32b, batch 8): %.1f img/s/chip '
+                '(%.1f%% MFU)' % (fwd_p, 100 * mfu_p))
+            extra['forward_only_paper_img_per_sec'] = round(fwd_p, 1)
+            extra['mfu_paper_scale'] = round(mfu_p, 4)
+        except Exception as exc:
+            log('paper-scale forward measurement failed: %s' % exc)
     log('e2e eval protocol: %.2f img/s/chip uncached, %.2f decode-cached '
         '(wire-bound), %.2f fully cached | torch-CPU e2e baseline: %.2f img/s'
         % (e2e, e2e_wire, e2e_cached, baseline))
@@ -283,7 +285,7 @@ def main():
             [sys.executable, os.path.abspath(__file__)],
             env={**os.environ, '_SISR_BENCH_CHILD': '1'},
             capture_output=True, text=True,
-            timeout=float(os.environ.get('SISR_BENCH_TIMEOUT', '1800')))
+            timeout=float(os.environ.get('SISR_BENCH_TIMEOUT', '2700')))
     except subprocess.TimeoutExpired as exc:
         sys.stderr.write((exc.stderr or b'').decode(errors='replace')
                          if isinstance(exc.stderr, bytes) else (exc.stderr or ''))

@@ -17,6 +17,11 @@ in img/s per chip: ``python -m sisr_tpu.tools.bench_models --e2e [config ...]``.
 ``--train``: end-to-end training-epoch throughput (decode + crops + prefetch +
 jitted fwd/bwd/adam) for EDSR 64f/16b; add ``--fused-dispatch`` for the 8-step
 lax.scan dispatch and ``--vs-torch`` for the torch-CPU train-step baseline.
+
+``--paper``: PAPER-scale (flagship) forward benchmarks with MFU — EDSR at the SPL
+recipe size (256f/32b) and RCAN/QRCAN at the SPL 10x20x64 config, bf16 + int8
+(``--no-int8`` to skip the quantized rows; compile is several minutes per row
+over the tunnel).
 """
 import sys
 import time
@@ -93,6 +98,87 @@ def main_e2e(only):
                                            str(e)[:60]))
 
 
+def main_paper(args):
+    """PAPER-scale (flagship) forward benchmarks with MFU, on the real chip.
+
+    Rows: EDSR at the SPL recipe size (256 feats / 32 blocks — ref
+    Documentation/sample_config_files/div2k/edsr.toml:43-57) and RCAN/QRCAN at the
+    SPL 10 groups x 20 blocks x 64 feats config, bf16 and (where serving-relevant)
+    int8.  The dev-size table above is MXU-lane-limited at C=64; these are the
+    flagship-size figures the paper recipe actually runs at.
+    """
+    import time as _t
+    from .flops import edsr_flops_per_image, rcan_flops_per_image
+    peak = float(__import__('os').environ.get('BENCH_PEAK_TFLOPS', '197')) * 1e12
+    rng = jax.random.PRNGKey(0)
+    rows = []
+
+    def timed(fn, x, out_stride=4, iters=5):
+        @jax.jit
+        def loop(h):
+            def body(i, carry):
+                y = fn(carry)
+                return (y[:, ::out_stride, ::out_stride, :] * 0.999).astype(carry.dtype)
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, h))
+        float(np.asarray(loop(x)))
+        t0 = _t.perf_counter()
+        float(np.asarray(loop(x)))
+        return x.shape[0] / ((_t.perf_counter() - t0) / iters)
+
+    # --- EDSR 256f/32b (batch 8: the upsampler's 1024-ch maps at 256^2 are the
+    # memory high-water mark; batch 8 fits comfortably with the fori_loop carry)
+    from ..models.advanced import EDSR, RCAN
+    fl_e = edsr_flops_per_image(feats=256, blocks=32)
+    x8 = jnp.asarray(np.random.rand(8, LR, LR, 3), jnp.float32)
+    model = EDSR(net_features=256, num_blocks=32, scale=4, dtype=jnp.bfloat16)
+    variables = model.init(rng, x8)
+    bf16_e = timed(lambda h: model.apply(variables, h), x8)
+    rows.append(('edsr 256f/32b bf16', bf16_e, fl_e / 1e9, bf16_e * fl_e / peak, None))
+
+    if '--no-int8' not in args:
+        from ..ops.quantization import (calibrate_edsr_scales,
+                                        edsr_int8_forward_static,
+                                        quantize_edsr_params)
+        qp = quantize_edsr_params(variables['params'])
+        scales = calibrate_edsr_scales(variables['params'], [np.asarray(x8[:2])],
+                                       num_blocks=32)
+        int8_e = timed(lambda h: edsr_int8_forward_static(
+            qp, scales, h, num_blocks=32, residual_dtype='bfloat16'), x8)
+        rows.append(('edsr 256f/32b int8', int8_e, fl_e / 1e9, None, int8_e / bf16_e))
+
+    # --- RCAN / QRCAN at the SPL config (their defaults ARE the paper size)
+    fl_r = rcan_flops_per_image()
+    x16 = jnp.asarray(np.random.rand(16, LR, LR, 3), jnp.float32)
+    rcan = RCAN(dtype=jnp.bfloat16)
+    vr = rcan.init(rng, x16)
+    bf16_r = timed(lambda h: rcan.apply(vr, h), x16)
+    rows.append(('rcan 10x20x64 bf16', bf16_r, fl_r / 1e9, bf16_r * fl_r / peak, None))
+    if '--no-int8' not in args:
+        from ..ops.quantization import (calibrate_rcan_scales, quantize_rcan_params,
+                                        rcan_int8_forward_static)
+        qp = quantize_rcan_params(vr['params'])
+        scales = calibrate_rcan_scales(vr['params'], [np.asarray(x16[:2])])
+        int8_r = timed(lambda h: rcan_int8_forward_static(
+            qp, scales, h, residual_dtype='bfloat16'), x16)
+        rows.append(('rcan 10x20x64 int8', int8_r, fl_r / 1e9, None, int8_r / bf16_r))
+
+    from ..models import qmodels
+    qrcan = qmodels.QRCAN(style='modulate', num_metadata=1, include_q_layer=True,
+                          dtype=jnp.bfloat16)
+    meta = jnp.zeros((16, 1), jnp.float32)
+    vq = qrcan.init(rng, x16, meta)
+    bf16_q = timed(lambda h: qrcan.apply(vq, h, meta), x16)
+    rows.append(('qrcan SPL bf16', bf16_q, fl_r / 1e9, bf16_q * fl_r / peak, None))
+
+    print('%-20s %9s %11s %7s %8s   (4x 128->512; MFU at %.0f bf16 peak TFLOP/s)'
+          % ('config', 'img/s', 'GFLOP/img', 'MFU', 'vs bf16', peak / 1e12))
+    for name, tput, gf, mfu, ratio in rows:
+        print('%-20s %9.1f %11.1f %7s %8s'
+              % (name, tput, gf,
+                 '—' if mfu is None else '%.1f%%' % (100 * mfu),
+                 '—' if ratio is None else '%.2fx' % ratio))
+
+
 def main_train(args):
     from .e2e_bench import measure_train_torch, run_train_bench
     k = 8 if '--fused-dispatch' in args else 1
@@ -117,6 +203,8 @@ def main_val():
 
 def main():
     args = sys.argv[1:]
+    if '--paper' in args:
+        return main_paper(set(args))
     if '--val' in args:
         return main_val()
     if '--train' in args:
