@@ -998,10 +998,16 @@ class BaseHandler:
             self.state = self.state.replace(params=params, opt_state=opt_state,
                                             batch_stats=batch_stats,
                                             step=jnp.asarray(state_dict['step']))
-        # from_state_dict restores HOST numpy leaves; commit them to the accelerator
-        # once, or every subsequent jitted call re-uploads the full parameter set
+        # from_state_dict restores HOST numpy leaves (topology-portable by
+        # construction: orbax/msgpack checkpoints carry no sharding metadata, so a
+        # run saved on an 8-device mesh restores on 1 chip and vice versa); commit
+        # them to the accelerator once — replicated over the mesh when one is set —
+        # or every subsequent jitted call re-uploads the full parameter set
         # (60 MB/step for RCAN-sized models on a remote-attached chip)
-        self.state = jax.device_put(self.state)
+        if self.mesh_ctx is not None:
+            self.state = self.mesh_ctx.replicate(self.state)
+        else:
+            self.state = jax.device_put(self.state)
         if self._int8_ctx is not None or self.int8_mode:
             # int8 quantized weights are derived from (now-replaced) params and baked
             # as trace constants — drop them so the next call requantizes/recompiles

@@ -50,12 +50,24 @@ def save_orbax(path, state_dict):
 
 
 def restore_orbax(path):
-    """Restore a state dict written by :func:`save_orbax`."""
+    """Restore a state dict written by :func:`save_orbax`.
+
+    Arrays are restored as HOST numpy, which makes checkpoints topology-portable
+    by construction: a run saved from an 8-device mesh restores on 1 device (and
+    vice versa) with no sharding metadata involved — the caller re-places the tree
+    for the current mesh (load_model device_puts / MeshContext.replicate).
+    Restoring without explicit types would instead read the saved per-array
+    sharding file and warn that it is unsafe on a different topology."""
+    import jax
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckpt = ocp.PyTreeCheckpointer()
-    state_dict = ckpt.restore(os.path.join(path, _TREE_NAME))
+    tree_path = os.path.join(path, _TREE_NAME)
+    meta_tree = ckpt.metadata(tree_path).item_metadata.tree
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree)
+    state_dict = ckpt.restore(tree_path, restore_args=restore_args)
     with open(os.path.join(path, _META_NAME)) as f:
         meta = json.load(f)
     state_dict = dict(state_dict)
