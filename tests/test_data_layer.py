@@ -412,3 +412,73 @@ def test_group_tag_regex_ignores_directories(tmp_path):
     assert sorted(v for vs in only20.values() for v in vs) == [
         os.path.join('high_quality', 'x.png'),
         os.path.join('high_quality', 'y_q20.png')]
+
+
+def test_disk_decode_cache_sidecar(tmp_path):
+    """cache_decoded='sidecar' persists decoded uint8 .npy sidecars: a fresh
+    dataset instance (cold process analog) serves identical pixels WITHOUT
+    touching the PNG decoder, and editing the source invalidates the sidecar."""
+    import time
+    lr = tmp_path / 'lr'
+    hr = tmp_path / 'hr'
+    lr.mkdir()
+    hr.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(2):
+        Image.fromarray((rng.rand(8, 8, 3) * 255).astype(np.uint8)).save(
+            lr / ('im%d.png' % i))
+        Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+            hr / ('im%d.png' % i))
+
+    def make():
+        return SuperResImages(str(lr), str(hr), split='all', colorspace='rgb',
+                              y_only=False, scale=4, cache_decoded='sidecar')
+
+    ds = make()
+    first = [np.asarray(ds[i]['lr']) for i in range(2)]
+    side_lr = lr / '.decoded_u8'
+    assert side_lr.is_dir() and len(list(side_lr.glob('*.npy'))) == 2
+    assert (hr / '.decoded_u8').is_dir()
+
+    # cold instance: sidecars serve the pixels; the PNG decoder must not run
+    ds2 = make()
+    orig = SuperResImages.__dict__['read_image']  # keep the staticmethod wrapper
+    try:
+        SuperResImages.read_image = staticmethod(
+            lambda f: (_ for _ in ()).throw(AssertionError('decoded %s' % f)))
+        again = [np.asarray(ds2[i]['lr']) for i in range(2)]
+    finally:
+        SuperResImages.read_image = orig
+    for a, b in zip(first, again):
+        np.testing.assert_array_equal(a, b)
+
+    # editing the source invalidates: new pixels, stale sidecar replaced
+    new = (np.random.RandomState(9).rand(8, 8, 3) * 255).astype(np.uint8)
+    time.sleep(0.01)  # mtime_ns tick
+    Image.fromarray(new).save(lr / 'im0.png')
+    ds3 = make()
+    item = np.asarray(ds3[0]['lr'])
+    assert not np.array_equal(item, first[0])
+    assert len(list(side_lr.glob('im0.png.*.npy'))) == 1  # stale one cleaned
+
+
+def test_disk_decode_cache_directory_mode(tmp_path):
+    """cache_decoded=<dir> stores hashed sidecars under that directory (for
+    read-only data dirs)."""
+    lr = tmp_path / 'lr'
+    hr = tmp_path / 'hr'
+    cache = tmp_path / 'cache'
+    lr.mkdir()
+    hr.mkdir()
+    rng = np.random.RandomState(5)
+    Image.fromarray((rng.rand(8, 8, 3) * 255).astype(np.uint8)).save(lr / 'a.png')
+    Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(hr / 'a.png')
+    ds = SuperResImages(str(lr), str(hr), split='all', colorspace='rgb',
+                        y_only=False, scale=4, cache_decoded=str(cache))
+    ref = np.asarray(ds[0]['lr'])
+    files = list(cache.glob('*.npy'))
+    assert len(files) == 2  # lr + hr
+    assert not (lr / '.decoded_u8').exists()
+    ds2 = SuperResImages(str(lr), str(hr), split='all', colorspace='rgb',
+                         y_only=False, scale=4, cache_decoded=str(cache))
+    np.testing.assert_array_equal(np.asarray(ds2[0]['lr']), ref)
