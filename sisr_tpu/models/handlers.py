@@ -89,6 +89,13 @@ class BaseHandler:
         # 'msgpack' (default, the reference's single-file contract) or 'orbax'
         # (directory checkpoints via orbax.checkpoint; loading auto-detects either)
         self.checkpoint_backend = kwargs.pop('checkpoint_backend', 'msgpack')
+        # background checkpoint writes (utils/async_ckpt.py): the epoch loop resumes
+        # stepping while the state crosses to the host and hits disk.  On a remote-
+        # attached chip the full-state save, not compute, set the epoch pace
+        # (measured: 517 MB at ~35 MB/s for EDSR 256f).  Readers/deleters fence via
+        # wait_pending_checkpoints().  `async_checkpoint = false` restores the
+        # reference's synchronous-save behavior exactly.
+        self.async_checkpoint = bool(kwargs.pop('async_checkpoint', True))
         self.dtype = jnp.bfloat16 if dtype in ('bf16', 'bfloat16') else jnp.float32
         self.max_combined_im_size = max_combined_im_size
         if grad_clip == 0:  # explicit 0 DISABLES clipping, incl. subclass defaults
@@ -955,17 +962,45 @@ class BaseHandler:
                     state_dict[ref_key] = serialization.to_state_dict(
                         self.gan_state[ours])
         path = os.path.join(model_save_dir, '%s_%s' % (model_save_name, model_idx))
+        from ..utils import async_ckpt
+        if self.async_checkpoint and not self.eval_mode:
+            # fresh on-device buffers: the next epoch's donated train step would
+            # otherwise delete these arrays under the background writer
+            state_dict = async_ckpt.snapshot_device(state_dict)
+        # parallel device->host copies for ALL leaves up front: serialization used to
+        # fetch leaf-by-leaf, paying one tunnel round-trip per tensor
+        state_dict = async_ckpt.start_fetch(state_dict)
+
         if self.checkpoint_backend == 'orbax':
             from ..utils.orbax_ckpt import save_orbax
-            save_orbax(path, state_dict)
+
+            def job(sd=state_dict, p=path):
+                save_orbax(p, async_ckpt.realize(sd))
+        else:
+            def job(sd=state_dict, p=path):
+                if os.path.isdir(p):
+                    # overwriting an epoch previously saved with the orbax backend
+                    import shutil
+                    shutil.rmtree(p)
+                payload = serialization.msgpack_serialize(async_ckpt.realize(sd))
+                async_ckpt.atomic_write_bytes(p, payload)
+        if not self.async_checkpoint:
+            job()
             return
-        if os.path.isdir(path):
-            # overwriting an epoch previously saved with the orbax backend
-            import shutil
-            shutil.rmtree(path)
-        payload = serialization.msgpack_serialize(state_dict)
-        with open(path, 'wb') as f:
-            f.write(payload)
+        async_ckpt.WRITER.submit(path, job)
+
+    def wait_pending_checkpoints(self):
+        """Fence: block until every background checkpoint write is on disk (and
+        re-raise the first failure).  Call before reading or deleting checkpoint
+        files.  No-op when nothing is queued.  Fences the PROCESS-global writer:
+        checkpoints are often loaded through a different handler object than the
+        one that saved them."""
+        from ..utils import async_ckpt
+        async_ckpt.WRITER.wait()
+
+    def pending_checkpoint_paths(self):
+        from ..utils import async_ckpt
+        return async_ckpt.WRITER.pending_paths
 
     def load_model(self, model_save_name, model_idx, model_save_dir, load_override=None,
                    preloaded_state=None):
@@ -973,6 +1008,7 @@ class BaseHandler:
         # models/__init__.py:411-464) has no equivalent here — reference checkpoints
         # enter through convert_weights, which performs the legacy key rewriting.
         load_dir = load_override or model_save_dir
+        self.wait_pending_checkpoints()  # a just-saved epoch may still be in flight
         path = os.path.join(load_dir, '%s_%s' % (model_save_name, model_idx))
         if preloaded_state is not None:
             state_dict = preloaded_state

@@ -210,7 +210,9 @@ class ModelInterface:
     def save(self, name='train_model', override=False, dry_run=False):
         save_path = os.path.join(self.saved_models,
                                  '{}_{}'.format(name, str(self.model_epoch)))
-        if os.path.exists(save_path) and not override:  # file (msgpack) or dir (orbax)
+        pending = save_path in getattr(self.model, 'pending_checkpoint_paths', lambda: ())()
+        if (os.path.exists(save_path) or pending) and not override:
+            # file (msgpack), dir (orbax), or a background write still in flight
             raise RuntimeError('Saving this model will result in overwriting existing '
                                'data!  Change model location or enable override.')
         if not dry_run:
@@ -249,6 +251,10 @@ class ModelInterface:
 
     def epoch_end_calls(self):
         self.model.epoch_end_calls()
+
+    def wait_pending_checkpoints(self):
+        """Fence for background checkpoint writes (see BaseHandler.save_model)."""
+        self.model.wait_pending_checkpoints()
 
     def get_learning_rate(self):
         return self.model.get_learning_rate()

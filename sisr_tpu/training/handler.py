@@ -412,6 +412,14 @@ class TrainingHandler:
                 self.best_val_model_idx = int(loaded['epoch'][best_row]) \
                     if 'epoch' in loaded else best_row
 
+        try:
+            return self._epoch_loop(total_losses)
+        finally:
+            # background checkpoint writes must be durable before the run is
+            # reported complete (and before any caller evals the saved epochs)
+            self.model.wait_pending_checkpoints()
+
+    def _epoch_loop(self, total_losses):
         improvement_count = 0
         for i, epoch_idx in enumerate(range(self.starting_epoch,
                                             self.starting_epoch + self.num_epochs)):
@@ -488,6 +496,9 @@ class TrainingHandler:
             if self._primary and self.model_cleanup_frequency is not None and i != 0 \
                     and i % self.model_cleanup_frequency == 0:
                 from ..tools.helper_cli import clean_models
+                # fence: cleanup deletes checkpoint files by directory listing, so
+                # every background write must be on disk (and considered) first
+                self.model.wait_pending_checkpoints()
                 clean_models(self.model.base_folder, clean_samples=True)
 
             if self.tracker is not None:

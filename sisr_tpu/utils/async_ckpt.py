@@ -1,0 +1,145 @@
+"""Background checkpoint writer: overlap the device->host fetch and disk write of a
+checkpoint with the next epoch's compute.
+
+Motivation (measured, paper-scale soak `soak_runs/edsr_paper/`): EDSR 256f trains 512
+images in ~4.9 s/epoch on one v5e, but the per-epoch full-state checkpoint (517 MB of
+params + Adam moments) crossing a ~35 MB/s remote tunnel pushed the epoch wall-clock to
+~35 s — the save, not the chip, set the pace.  The reference saves synchronously every
+epoch (ref: Code/SISR/models/__init__.py:349-380 combined with train_model.py's epoch
+loop); this module keeps that every-epoch contract but makes the save asynchronous:
+
+1. ``start_fetch`` kicks ``copy_to_host_async()`` on every device-array leaf — the
+   DMA/tunnel transfers for ALL leaves proceed in parallel (msgpack serialization used
+   to fetch leaf-by-leaf, paying a round-trip latency per tensor).
+2. ``submit`` queues the blocking part (realize numpy leaves, serialize, atomic write)
+   on a single ordered worker thread, so the epoch loop returns to stepping immediately.
+
+The train step donates its state buffers (training/state.py:63-90), and donation marks
+the passed-in arrays DELETED at dispatch time — a background ``np.asarray`` racing the
+next epoch's first step would raise "Array has been deleted".  ``snapshot_device``
+therefore copies every leaf into fresh on-device buffers first (one jitted program for
+the whole tree; ~GB/ms HBM-side, negligible next to the host transfer it unblocks) so
+nothing the writer touches can be donated away underneath it.
+
+Ordering and durability:
+
+* one worker thread => writes land in submission order (an overwrite of the same epoch
+  path cannot be reordered before the original).
+* ``wait()`` is the fence; callers MUST fence before reading or deleting checkpoint
+  files (load, cleanup, end of training).  Worker exceptions are re-raised there (and
+  on the next ``submit``), so a failed write cannot pass silently.
+* the pool's threads are non-daemonic and ``concurrent.futures`` joins them at
+  interpreter exit, so a CLI that saves and returns still flushes its queue.
+* writes go to a ``<path>.tmp-<pid>`` sibling then ``os.replace`` — a crash mid-write
+  never leaves a truncated checkpoint under the real name.
+"""
+import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import numpy as np
+
+
+_JIT_COPY_CACHE = {}
+
+
+def snapshot_device(tree):
+    """Copy every jax.Array leaf into a fresh on-device buffer (one jitted program
+    per distinct leaf count, cached).  The copies cannot be deleted by a later
+    donated train step, so a background writer may realize them at leisure."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    idx = [i for i, leaf in enumerate(leaves) if isinstance(leaf, jax.Array)]
+    if idx:
+        import jax.numpy as jnp
+        fn = _JIT_COPY_CACHE.get(len(idx))
+        if fn is None:
+            fn = _JIT_COPY_CACHE[len(idx)] = jax.jit(
+                lambda xs: [jnp.copy(x) for x in xs])
+        copies = fn([leaves[i] for i in idx])
+        for i, copy in zip(idx, copies):
+            leaves[i] = copy
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def start_fetch(tree):
+    """Begin parallel device->host copies for every jax.Array leaf of ``tree``.
+
+    Returns ``tree`` unchanged; ``np.asarray`` on a leaf later blocks only until its
+    own (already in-flight) copy completes.  Non-array leaves pass through.
+    """
+    def _kick(leaf):
+        if isinstance(leaf, jax.Array):
+            try:
+                leaf.copy_to_host_async()
+            except (RuntimeError, ValueError):
+                pass  # deleted/committed-elsewhere arrays: np.asarray still works
+        return leaf
+    return jax.tree_util.tree_map(_kick, tree)
+
+
+def realize(tree):
+    """Materialize every leaf as host numpy (blocks on the in-flight copies)."""
+    return jax.tree_util.tree_map(
+        lambda leaf: np.asarray(leaf) if isinstance(leaf, jax.Array) else leaf, tree)
+
+
+def atomic_write_bytes(path, payload):
+    tmp = '%s.tmp-%d' % (path, os.getpid())
+    with open(tmp, 'wb') as f:
+        f.write(payload)
+    os.replace(tmp, path)
+
+
+class AsyncCheckpointWriter:
+    """Single-threaded ordered background writer with fence-time error propagation."""
+
+    def __init__(self):
+        self._pool = None
+        self._lock = threading.Lock()
+        self._pending = []   # (path, future), submission order
+        self._failed = None  # first worker exception, re-raised at the next fence
+
+    def submit(self, path, job):
+        """Queue ``job()`` (the blocking fetch+serialize+write). Raises any error a
+        previously queued write produced."""
+        self._reap(raise_failed=True)
+        with self._lock:
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(max_workers=1,
+                                                thread_name_prefix='ckpt-writer')
+            self._pending.append((path, self._pool.submit(job)))
+
+    def _reap(self, raise_failed):
+        with self._lock:
+            done, still = [], []
+            for path, fut in self._pending:
+                (done if fut.done() else still).append((path, fut))
+            self._pending = still
+        for path, fut in done:
+            err = fut.exception()
+            if err is not None and self._failed is None:
+                self._failed = (path, err)
+        if raise_failed and self._failed is not None:
+            path, err = self._failed
+            self._failed = None
+            raise RuntimeError('background checkpoint write of %r failed' % path) from err
+
+    def wait(self):
+        """Block until every queued write is on disk; re-raise the first failure."""
+        with self._lock:
+            pending = list(self._pending)
+        for _path, fut in pending:
+            fut.exception()  # waits; error handled below so ALL writes drain first
+        self._reap(raise_failed=True)
+
+    @property
+    def pending_paths(self):
+        with self._lock:
+            return [path for path, _ in self._pending]
+
+
+# process-global writer: checkpoints are frequently LOADED through a different handler
+# object than the one that saved them (train -> eval in one process), so the fence must
+# cover every pending write in the process, not one handler's
+WRITER = AsyncCheckpointWriter()

@@ -172,6 +172,7 @@ def test_orbax_roundtrip_on_mesh(tmp_path):
              'hr': np.random.RandomState(1).rand(8, 32, 32, 3).astype(np.float32)}
     h.run_train(**batch)
     h.save_model('train_model', 0, str(tmp_path))
+    h.wait_pending_checkpoints()  # saves are asynchronous by default
     assert os.path.isdir(os.path.join(str(tmp_path), 'train_model_0'))
 
     h2 = define_model('edsr', scale=4, net_features=8, num_blocks=1,
@@ -271,13 +272,16 @@ def test_cross_format_checkpoint_overwrite(tmp_path):
     h = define_model('edsr', **internal)
     h.init_state()
     h.save_model('train_model', 0, save_dir)          # msgpack file
+    h.wait_pending_checkpoints()  # saves are asynchronous by default
     path = os.path.join(save_dir, 'train_model_0')
     assert os.path.isfile(path)
     h.checkpoint_backend = 'orbax'
     h.save_model('train_model', 0, save_dir)          # orbax dir over the file
+    h.wait_pending_checkpoints()
     assert os.path.isdir(path)
     h.checkpoint_backend = 'msgpack'
     h.save_model('train_model', 0, save_dir)          # msgpack over the dir
+    h.wait_pending_checkpoints()
     assert os.path.isfile(path)
     h2 = define_model('edsr', **internal)
     h2.load_model('train_model', 0, save_dir)

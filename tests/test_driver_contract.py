@@ -5,7 +5,12 @@ died with a bare traceback (no JSON line) and `dryrun_multichip` hung forever in
 backend-init retries (rc=124).  Both must now degrade structurally: bench prints
 ONE parseable JSON line with an error field, and the dryrun completes on the
 virtual CPU platform regardless of real-backend availability.  The dead TPU is
-reproduced by pointing the axon pool at a closed local port.
+reproduced by unsetting PALLAS_AXON_POOL_IPS while keeping JAX_PLATFORMS=axon: the
+sitecustomize boot then never registers the axon PJRT plugin and jax.devices()
+raises "unknown backend" — the same class of backend-init failure as an outage.
+(The previous simulation pointed the pool at a closed local port, but the relay
+boot now strips the port from the address and dials the real local relay, so a
+"dead" port quietly connects to the live TPU and the test runs a real benchmark.)
 """
 import json
 import os
@@ -17,9 +22,8 @@ import pytest
 pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DEAD_TPU_ENV = {**os.environ,
-                'JAX_PLATFORMS': 'axon',
-                'PALLAS_AXON_POOL_IPS': '127.0.0.1:1'}
+DEAD_TPU_ENV = {k: v for k, v in os.environ.items() if k != 'PALLAS_AXON_POOL_IPS'}
+DEAD_TPU_ENV['JAX_PLATFORMS'] = 'axon'
 
 
 def test_bench_emits_structured_error_when_tpu_unreachable():

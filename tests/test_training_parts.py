@@ -106,6 +106,7 @@ def test_orbax_checkpoint_backend_roundtrip(tmp_path):
              'hr': np.random.rand(2, 32, 32, 3).astype(np.float32)}
     h.run_train(**batch)
     h.save_model('train_model', 0, str(tmp_path))
+    h.wait_pending_checkpoints()  # saves are asynchronous by default
     assert os.path.isdir(os.path.join(str(tmp_path), 'train_model_0'))
 
     h2 = define_model('edsr', scale=4, net_features=8, num_blocks=1)  # default backend
