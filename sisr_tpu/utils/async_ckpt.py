@@ -25,6 +25,11 @@ Ordering and durability:
 
 * one worker thread => writes land in submission order (an overwrite of the same epoch
   path cannot be reordered before the original).
+* bounded queue => bounded memory: every queued save pins its device snapshot (~state
+  size of HBM) until the worker realizes it, and epochs can outpace the tunnel drain
+  (4.9 s compute vs ~15 s transfer at paper scale), so ``submit`` BLOCKS once
+  ``max_pending`` saves are in flight.  The steady-state epoch pace is then
+  max(compute, one transfer) instead of unbounded backlog growth.
 * ``wait()`` is the fence; callers MUST fence before reading or deleting checkpoint
   files (load, cleanup, end of training).  Worker exceptions are re-raised there (and
   on the next ``submit``), so a failed write cannot pass silently.
@@ -94,16 +99,26 @@ def atomic_write_bytes(path, payload):
 class AsyncCheckpointWriter:
     """Single-threaded ordered background writer with fence-time error propagation."""
 
-    def __init__(self):
+    def __init__(self, max_pending=2):
         self._pool = None
         self._lock = threading.Lock()
         self._pending = []   # (path, future), submission order
         self._failed = None  # first worker exception, re-raised at the next fence
+        self.max_pending = max_pending
 
     def submit(self, path, job):
         """Queue ``job()`` (the blocking fetch+serialize+write). Raises any error a
-        previously queued write produced."""
+        previously queued write produced.  Blocks (backpressure) while
+        ``max_pending`` saves are already in flight — each queued save pins its
+        device snapshot in HBM, so the queue must stay bounded."""
         self._reap(raise_failed=True)
+        while True:
+            with self._lock:
+                in_flight = [f for _, f in self._pending if not f.done()]
+            if len(in_flight) < self.max_pending:
+                break
+            in_flight[0].exception()  # wait for the oldest write to drain
+            self._reap(raise_failed=True)
         with self._lock:
             if self._pool is None:
                 self._pool = ThreadPoolExecutor(max_workers=1,

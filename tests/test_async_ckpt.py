@@ -34,6 +34,30 @@ def test_writer_orders_same_path_writes(tmp_path):
         assert f.read() == b'payload-3'  # last submission wins, never reordered
 
 
+def test_writer_backpressure_bounds_the_queue(tmp_path):
+    """submit() blocks while max_pending saves are in flight: every queued save pins
+    its device snapshot in HBM, so unbounded backlog (epochs outpacing the tunnel
+    drain) would OOM the chip on a long run."""
+    w = AsyncCheckpointWriter(max_pending=2)
+    path = str(tmp_path / 'ckpt')
+    high_water = []
+
+    def job(i):
+        def _run():
+            with w._lock:
+                high_water.append(len([1 for _, f in w._pending if not f.done()]))
+            time.sleep(0.05)
+            atomic_write_bytes(path, b'p%d' % i)
+        return _run
+
+    for i in range(6):
+        w.submit(path, job(i))
+    w.wait()
+    assert max(high_water) <= 2
+    with open(path, 'rb') as f:
+        assert f.read() == b'p5'
+
+
 def test_writer_raises_failure_at_fence(tmp_path):
     w = AsyncCheckpointWriter()
 
