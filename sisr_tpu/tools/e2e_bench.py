@@ -117,6 +117,7 @@ def build_experiment(root, name, model, internal, spatial, metadata_cols=0):
         h.set_metadata_keys(['blur_kernel'] * metadata_cols)
     h.init_state(spatial=spatial)
     h.save_model('train_model', 0, saved)
+    h.wait_pending_checkpoints()  # epoch resolution below lists the dir on disk
     return os.path.join(root, 'Results')
 
 
