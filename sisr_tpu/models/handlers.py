@@ -96,6 +96,16 @@ class BaseHandler:
         # wait_pending_checkpoints().  `async_checkpoint = false` restores the
         # reference's synchronous-save behavior exactly.
         self.async_checkpoint = bool(kwargs.pop('async_checkpoint', True))
+        # 'f32' (default: the reference's exact full-state contract) or
+        # 'bf16_moments': Adam moments cross to the host and land on disk as
+        # bfloat16 — 2/3 of the state bytes halve, cutting the per-epoch transfer
+        # floor on a remote-attached chip.  Resume is approximate in the moments
+        # (<0.4% relative rounding, params always exact); load casts them back to
+        # the optimizer template's dtypes so training continues at full precision.
+        self.checkpoint_dtype = kwargs.pop('checkpoint_dtype', 'f32')
+        if self.checkpoint_dtype not in ('f32', 'bf16_moments'):
+            raise ValueError("checkpoint_dtype must be 'f32' or 'bf16_moments', got %r"
+                             % (self.checkpoint_dtype,))
         self.dtype = jnp.bfloat16 if dtype in ('bf16', 'bfloat16') else jnp.float32
         self.max_combined_im_size = max_combined_im_size
         if grad_clip == 0:  # explicit 0 DISABLES clipping, incl. subclass defaults
@@ -963,6 +973,10 @@ class BaseHandler:
                         self.gan_state[ours])
         path = os.path.join(model_save_dir, '%s_%s' % (model_save_name, model_idx))
         from ..utils import async_ckpt
+        if self.checkpoint_dtype == 'bf16_moments' and not self.eval_mode:
+            import jax.numpy as jnp
+            state_dict['optimizer'] = async_ckpt.cast_float_leaves(
+                state_dict['optimizer'], jnp.bfloat16)
         if self.async_checkpoint and not self.eval_mode:
             # fresh on-device buffers: the next epoch's donated train step would
             # otherwise delete these arrays under the background writer
@@ -1031,6 +1045,11 @@ class BaseHandler:
         else:
             opt_state = serialization.from_state_dict(self.state.opt_state,
                                                       state_dict['optimizer'])
+            # a 'bf16_moments' checkpoint restores narrow leaves: cast back to the
+            # live optimizer template's dtypes or the first donated train step
+            # retraces and carries bf16 moments for the rest of the run
+            from ..utils.async_ckpt import cast_to_template_dtypes
+            opt_state = cast_to_template_dtypes(self.state.opt_state, opt_state)
             self.state = self.state.replace(params=params, opt_state=opt_state,
                                             batch_stats=batch_stats,
                                             step=jnp.asarray(state_dict['step']))

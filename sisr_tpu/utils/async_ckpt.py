@@ -67,6 +67,46 @@ def snapshot_device(tree):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+_JIT_CAST_CACHE = {}
+
+
+def cast_float_leaves(tree, dtype):
+    """Cast every inexact-dtype jax.Array leaf of ``tree`` to ``dtype`` on device
+    (one jitted program, cached per (leaf count, dtype)).  Used by the
+    ``checkpoint_dtype='bf16_moments'`` knob: halving the optimizer-moment bytes
+    on DEVICE halves their share of the device->host transfer — the part of the
+    save that a remote tunnel actually charges for.  The cast also yields fresh
+    buffers, so cast leaves are inherently donation-safe."""
+    import jax.numpy as jnp
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    idx = [i for i, leaf in enumerate(leaves)
+           if isinstance(leaf, jax.Array) and jnp.issubdtype(leaf.dtype, jnp.inexact)
+           and leaf.dtype != dtype]
+    if idx:
+        key = (len(idx), jnp.dtype(dtype).name)
+        fn = _JIT_CAST_CACHE.get(key)
+        if fn is None:
+            fn = _JIT_CAST_CACHE[key] = jax.jit(
+                lambda xs: [x.astype(dtype) for x in xs])
+        casts = fn([leaves[i] for i in idx])
+        for i, cast in zip(idx, casts):
+            leaves[i] = cast
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def cast_to_template_dtypes(template, tree):
+    """Cast restored host leaves back to the dtypes of the live ``template`` tree
+    (inverse of ``cast_float_leaves`` at load time: the training step's donated
+    buffers must keep their original dtypes or the first step retraces and the
+    moments stay narrow through the rest of the run)."""
+    def _restore(tmpl, got):
+        if hasattr(tmpl, 'dtype') and hasattr(got, 'dtype') \
+                and got.dtype != tmpl.dtype:
+            return np.asarray(got).astype(tmpl.dtype)
+        return got
+    return jax.tree_util.tree_map(_restore, template, tree)
+
+
 def start_fetch(tree):
     """Begin parallel device->host copies for every jax.Array leaf of ``tree``.
 

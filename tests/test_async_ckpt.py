@@ -145,6 +145,56 @@ def test_pending_path_trips_the_overwrite_guard(tmp_path, monkeypatch):
     h.wait_pending_checkpoints()
 
 
+def test_bf16_moments_checkpoint_roundtrip(tmp_path):
+    """checkpoint_dtype='bf16_moments': Adam moments land on disk as bfloat16 (2/3
+    of the state bytes halved — the device->host transfer is what a remote tunnel
+    charges for), params stay exact, and load casts the moments back to the
+    optimizer template's dtypes so training resumes at full precision."""
+    import jax
+    import jax.numpy as jnp
+    from sisr_tpu.models.handlers import define_model
+    from flax import serialization
+
+    h = define_model('edsr', scale=4, net_features=8, num_blocks=1,
+                     checkpoint_dtype='bf16_moments')
+    rng = np.random.RandomState(3)
+    batch = {'lr': rng.rand(2, 8, 8, 3).astype(np.float32),
+             'hr': rng.rand(2, 32, 32, 3).astype(np.float32)}
+    h.run_train(**batch)
+    h.save_model('train_model', 0, str(tmp_path))
+    h.wait_pending_checkpoints()
+
+    with open(tmp_path / 'train_model_0', 'rb') as f:
+        on_disk = serialization.msgpack_restore(f.read())
+    disk_dtypes = {np.dtype(leaf.dtype).name
+                   for leaf in jax.tree_util.tree_leaves(on_disk['optimizer'])
+                   if hasattr(leaf, 'dtype') and jnp.issubdtype(leaf.dtype, jnp.inexact)}
+    assert disk_dtypes == {'bfloat16'}
+    net_dtypes = {np.dtype(leaf.dtype).name
+                  for leaf in jax.tree_util.tree_leaves(on_disk['network'])}
+    assert 'bfloat16' not in net_dtypes  # params are never narrowed
+
+    h2 = define_model('edsr', scale=4, net_features=8, num_blocks=1)
+    h2.load_model('train_model', 0, str(tmp_path))
+    for tmpl, got in zip(jax.tree_util.tree_leaves(h.state.opt_state),
+                         jax.tree_util.tree_leaves(h2.state.opt_state)):
+        assert got.dtype == tmpl.dtype  # cast back to the live template's dtypes
+        np.testing.assert_allclose(np.asarray(tmpl, np.float32),
+                                   np.asarray(got, np.float32),
+                                   rtol=1 / 128, atol=1e-6)  # bf16 rounding only
+    for a, b in zip(jax.tree_util.tree_leaves(h.state.params),
+                    jax.tree_util.tree_leaves(h2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    h2.run_train(**batch)  # resumed training steps at the template dtypes
+
+
+def test_checkpoint_dtype_validation():
+    from sisr_tpu.models.handlers import define_model
+    with pytest.raises(ValueError, match='checkpoint_dtype'):
+        define_model('edsr', scale=4, net_features=8, num_blocks=1,
+                     checkpoint_dtype='fp8')
+
+
 def test_sync_mode_writes_before_returning(tmp_path):
     from sisr_tpu.models.handlers import define_model
 
