@@ -188,6 +188,32 @@ def test_bf16_moments_checkpoint_roundtrip(tmp_path):
     h2.run_train(**batch)  # resumed training steps at the template dtypes
 
 
+def test_bf16_moments_roundtrip_orbax_backend(tmp_path):
+    """The narrow-moments cast happens before the backend split, so orbax
+    directory checkpoints carry bf16 moments too and restore to template dtypes."""
+    import jax
+    from sisr_tpu.models.handlers import define_model
+
+    h = define_model('edsr', scale=4, net_features=8, num_blocks=1,
+                     checkpoint_dtype='bf16_moments', checkpoint_backend='orbax')
+    rng = np.random.RandomState(4)
+    batch = {'lr': rng.rand(2, 8, 8, 3).astype(np.float32),
+             'hr': rng.rand(2, 32, 32, 3).astype(np.float32)}
+    h.run_train(**batch)
+    h.save_model('train_model', 0, str(tmp_path))
+    h.wait_pending_checkpoints()
+    assert os.path.isdir(tmp_path / 'train_model_0')
+
+    h2 = define_model('edsr', scale=4, net_features=8, num_blocks=1)
+    h2.load_model('train_model', 0, str(tmp_path))
+    for tmpl, got in zip(jax.tree_util.tree_leaves(h.state.opt_state),
+                         jax.tree_util.tree_leaves(h2.state.opt_state)):
+        assert got.dtype == tmpl.dtype
+        np.testing.assert_allclose(np.asarray(tmpl, np.float32),
+                                   np.asarray(got, np.float32),
+                                   rtol=1 / 128, atol=1e-6)
+
+
 def test_checkpoint_dtype_validation():
     from sisr_tpu.models.handlers import define_model
     with pytest.raises(ValueError, match='checkpoint_dtype'):
