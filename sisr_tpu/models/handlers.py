@@ -973,14 +973,20 @@ class BaseHandler:
                         self.gan_state[ours])
         path = os.path.join(model_save_dir, '%s_%s' % (model_save_name, model_idx))
         from ..utils import async_ckpt
-        if self.checkpoint_dtype == 'bf16_moments' and not self.eval_mode:
-            import jax.numpy as jnp
-            state_dict['optimizer'] = async_ckpt.cast_float_leaves(
-                state_dict['optimizer'], jnp.bfloat16)
+        import jax.numpy as jnp
+        narrow = self.checkpoint_dtype == 'bf16_moments' and not self.eval_mode
         if self.async_checkpoint and not self.eval_mode:
             # fresh on-device buffers: the next epoch's donated train step would
-            # otherwise delete these arrays under the background writer
-            state_dict = async_ckpt.snapshot_device(state_dict)
+            # otherwise delete these arrays under the background writer.  The
+            # bf16_moments narrowing happens inside the same program (a cast
+            # already yields fresh buffers — copying it again would be waste)
+            state_dict = async_ckpt.snapshot_device(
+                state_dict,
+                narrow_keys=('optimizer',) if narrow else (),
+                narrow_dtype=jnp.bfloat16 if narrow else None)
+        elif narrow:  # synchronous save: cast only, no donation hazard to copy for
+            state_dict['optimizer'] = async_ckpt.cast_float_leaves(
+                state_dict['optimizer'], jnp.bfloat16)
         # parallel device->host copies for ALL leaves up front: serialization used to
         # fetch leaf-by-leaf, paying one tunnel round-trip per tensor
         state_dict = async_ckpt.start_fetch(state_dict)

@@ -90,12 +90,30 @@ class ModelInterface:
                 # branched runs can leave stale duplicate-epoch rows appended to
                 # summary.csv, where idxmax/row-count would pick the wrong checkpoint
                 if load_epoch == 'best':
-                    row = summary['val-PSNR'].idxmax()
-                    load_epoch = int(summary['epoch'].loc[row]) \
-                        if 'epoch' in summary else int(row)
+                    rows = summary['val-PSNR'].sort_values(ascending=False).index
                 else:
-                    load_epoch = int(summary['epoch'].iloc[-1]) \
-                        if 'epoch' in summary else len(summary) - 1
+                    rows = summary.index[::-1]
+                candidates = [int(summary['epoch'].loc[r]) if 'epoch' in summary
+                              else int(r) for r in rows]
+                # summary.csv rows are written before the (background) checkpoint
+                # write is durable, and cleanup may since have deleted epochs: walk
+                # the ranking and take the first checkpoint actually on disk
+                missing = []
+                for cand in candidates:
+                    if os.path.exists(os.path.join(self.saved_models,
+                                                   'train_model_%d' % cand)):
+                        break
+                    missing.append(cand)
+                else:
+                    raise FileNotFoundError(
+                        'summary.csv lists epochs %s but no corresponding '
+                        'train_model_* checkpoint exists in %s'
+                        % (candidates, self.saved_models))
+                if missing:
+                    print('WARNING: %r epoch(s) %s have no checkpoint on disk '
+                          '(failed/cleaned save?) — loading epoch %d instead.'
+                          % (load_epoch, missing, cand))
+                load_epoch = cand
             self.model_epoch = load_epoch
             self.model.load_model(model_save_name='train_model', model_idx=load_epoch,
                                   model_save_dir=self.saved_models,

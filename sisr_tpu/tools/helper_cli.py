@@ -105,7 +105,15 @@ def clean_models(model_dir, keep_epochs=None, clean_samples=False, keep_every=No
     retention schedule for long runs — periodic restore points survive cleanup)."""
     summary = pd.read_csv(os.path.join(model_dir, 'result_outputs/summary.csv'))
     save_dir = os.path.join(model_dir, 'saved_models')
-    model_files = glob.glob(os.path.join(save_dir, 'train_model_*'))
+
+    def _epoch_of(f):
+        try:
+            return int(f.split('train_model_')[1])
+        except ValueError:
+            return None  # stray file (editor droppings, stale tmp): not a checkpoint
+
+    model_files = [f for f in glob.glob(os.path.join(save_dir, 'train_model_*'))
+                   if _epoch_of(f) is not None]
     model_files.sort(key=natural_keys)
     if not model_files:
         return

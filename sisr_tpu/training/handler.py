@@ -413,11 +413,22 @@ class TrainingHandler:
                     if 'epoch' in loaded else best_row
 
         try:
-            return self._epoch_loop(total_losses)
-        finally:
-            # background checkpoint writes must be durable before the run is
-            # reported complete (and before any caller evals the saved epochs)
-            self.model.wait_pending_checkpoints()
+            result = self._epoch_loop(total_losses)
+        except BaseException:
+            # drain the queued writes for durability, but never let a checkpoint
+            # error (or the drain itself) mask the PRIMARY failure — the operator
+            # needs the root cause, with any write failure as a secondary warning
+            try:
+                self.model.wait_pending_checkpoints()
+            except Exception as ckpt_err:
+                import sys
+                print('WARNING: background checkpoint write also failed during '
+                      'shutdown: %r' % (ckpt_err,), file=sys.stderr)
+            raise
+        # background checkpoint writes must be durable before the run is
+        # reported complete (and before any caller evals the saved epochs)
+        self.model.wait_pending_checkpoints()
+        return result
 
     def _epoch_loop(self, total_losses):
         improvement_count = 0

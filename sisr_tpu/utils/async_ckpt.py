@@ -38,7 +38,9 @@ Ordering and durability:
 * writes go to a ``<path>.tmp-<pid>`` sibling then ``os.replace`` — a crash mid-write
   never leaves a truncated checkpoint under the real name.
 """
+import functools
 import os
+import sys
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
@@ -46,22 +48,43 @@ import jax
 import numpy as np
 
 
-_JIT_COPY_CACHE = {}
+@functools.partial(jax.jit, static_argnums=1)
+def _copy_cast_program(xs, dtype_names):
+    """One device program: fresh copies of every leaf, casting where a target
+    dtype name is given (None = plain copy).  jit specializes per (shapes,
+    dtypes, static spec), so every distinct save signature compiles once."""
+    import jax.numpy as jnp
+    return [x.astype(d) if d is not None else jnp.copy(x)
+            for x, d in zip(xs, dtype_names)]
 
 
-def snapshot_device(tree):
-    """Copy every jax.Array leaf into a fresh on-device buffer (one jitted program
-    per distinct leaf count, cached).  The copies cannot be deleted by a later
-    donated train step, so a background writer may realize them at leisure."""
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    idx = [i for i, leaf in enumerate(leaves) if isinstance(leaf, jax.Array)]
+def snapshot_device(tree, narrow_keys=(), narrow_dtype=None):
+    """Copy every jax.Array leaf into a fresh on-device buffer in ONE jitted
+    program.  The copies cannot be deleted by a later donated train step, so a
+    background writer may realize them at leisure.
+
+    Leaves under a top-level dict key in ``narrow_keys`` whose dtype is inexact
+    and wider than ``narrow_dtype`` are CAST to ``narrow_dtype`` in the same
+    program instead of copied (the ``checkpoint_dtype='bf16_moments'`` path) —
+    a cast already yields a fresh buffer, so copying it again would double its
+    HBM footprint for nothing."""
+    import jax.numpy as jnp
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    leaves = [leaf for _, leaf in leaves_with_path]
+    idx, spec = [], []
+    for i, (path, leaf) in enumerate(leaves_with_path):
+        if not isinstance(leaf, jax.Array):
+            continue
+        idx.append(i)
+        top = getattr(path[0], 'key', None) if path else None
+        if narrow_dtype is not None and top in narrow_keys \
+                and jnp.issubdtype(leaf.dtype, jnp.inexact) \
+                and leaf.dtype != jnp.dtype(narrow_dtype):
+            spec.append(jnp.dtype(narrow_dtype).name)
+        else:
+            spec.append(None)
     if idx:
-        import jax.numpy as jnp
-        fn = _JIT_COPY_CACHE.get(len(idx))
-        if fn is None:
-            fn = _JIT_COPY_CACHE[len(idx)] = jax.jit(
-                lambda xs: [jnp.copy(x) for x in xs])
-        copies = fn([leaves[i] for i in idx])
+        copies = _copy_cast_program([leaves[i] for i in idx], tuple(spec))
         for i, copy in zip(idx, copies):
             leaves[i] = copy
     return jax.tree_util.tree_unflatten(treedef, leaves)
@@ -130,7 +153,11 @@ def realize(tree):
 
 
 def atomic_write_bytes(path, payload):
-    tmp = '%s.tmp-%d' % (path, os.getpid())
+    # dot-prefixed sibling (same filesystem for os.replace): a crash-leftover tmp
+    # must never match the 'train_model_*' globs that clean_models / epoch
+    # resolution scan, or cleanup would try to parse it as an epoch number
+    head, base = os.path.split(path)
+    tmp = os.path.join(head, '.tmp-%d-%s' % (os.getpid(), base))
     with open(tmp, 'wb') as f:
         f.write(payload)
     os.replace(tmp, path)
@@ -143,7 +170,7 @@ class AsyncCheckpointWriter:
         self._pool = None
         self._lock = threading.Lock()
         self._pending = []   # (path, future), submission order
-        self._failed = None  # first worker exception, re-raised at the next fence
+        self._failed = []    # every worker failure since the last fence
         self.max_pending = max_pending
 
     def submit(self, path, job):
@@ -173,11 +200,16 @@ class AsyncCheckpointWriter:
             self._pending = still
         for path, fut in done:
             err = fut.exception()
-            if err is not None and self._failed is None:
-                self._failed = (path, err)
-        if raise_failed and self._failed is not None:
-            path, err = self._failed
-            self._failed = None
+            if err is not None:
+                self._failed.append((path, err))
+        if raise_failed and self._failed:
+            failures, self._failed = self._failed, []
+            # every failure is reported: the raise carries the first, the rest
+            # print — an operator must learn that MORE than one epoch is missing
+            for extra_path, extra_err in failures[1:]:
+                print('WARNING: background checkpoint write of %r also failed: %r'
+                      % (extra_path, extra_err), file=sys.stderr)
+            path, err = failures[0]
             raise RuntimeError('background checkpoint write of %r failed' % path) from err
 
     def wait(self):

@@ -35,7 +35,10 @@ def save_orbax(path, state_dict):
             'model_epoch': int(state_dict.pop('model_epoch')),
             'step': int(np.asarray(state_dict.pop('step')))}
     path = os.path.abspath(path)
-    staging = path + '.tmp'
+    # dot-prefixed staging sibling: a crash-leftover must never match the
+    # 'train_model_*' globs that clean_models / epoch resolution scan
+    head, base = os.path.split(path)
+    staging = os.path.join(head, '.tmp-%d-%s' % (os.getpid(), base))
     if os.path.isdir(staging):
         shutil.rmtree(staging)
     ckpt = ocp.PyTreeCheckpointer()

@@ -70,6 +70,94 @@ def test_writer_raises_failure_at_fence(tmp_path):
     w.wait()  # error is consumed; the writer stays usable
 
 
+def test_writer_reports_every_failure_at_fence(tmp_path, capsys):
+    """Two queued writes both fail: the fence raises the FIRST and prints the
+    rest — the operator must learn that more than one epoch is missing."""
+    w = AsyncCheckpointWriter()
+
+    def boom(msg):
+        def _run():
+            time.sleep(0.1)  # keep 'a' in flight while 'b' is submitted
+            raise OSError(msg)
+        return _run
+
+    w.submit(str(tmp_path / 'a'), boom('disk full'))
+    w.submit(str(tmp_path / 'b'), boom('permission denied'))
+    with pytest.raises(RuntimeError, match="write of .*a.* failed"):
+        w.wait()
+    assert 'also failed' in capsys.readouterr().err
+    w.wait()  # all failures consumed; the writer stays usable
+
+
+def test_crash_leftover_tmp_does_not_break_cleanup(tmp_path):
+    """A tmp file left by a killed mid-write process must not match the
+    train_model_* glob (dot-prefixed name), and cleanup must skip any stray
+    unparsable file rather than crash on int()."""
+    import pandas as pd
+    from sisr_tpu.tools.helper_cli import clean_models
+    from sisr_tpu.utils import async_ckpt
+
+    (tmp_path / 'saved_models').mkdir()
+    (tmp_path / 'result_outputs').mkdir()
+    for i in range(4):
+        (tmp_path / 'saved_models' / ('train_model_%d' % i)).write_bytes(b'x')
+    pd.DataFrame({'epoch': range(4), 'val-PSNR': [1.0, 4.0, 2.0, 3.0]}).to_csv(
+        tmp_path / 'result_outputs' / 'summary.csv', index=False)
+
+    # the writer's own tmp naming is dot-prefixed (glob-invisible)
+    target = str(tmp_path / 'saved_models' / 'train_model_9')
+    seen = {}
+    orig_replace = os.replace
+
+    def spy(src, dst):
+        seen['tmp'] = os.path.basename(src)
+        orig_replace(src, dst)
+    async_ckpt.os.replace, _saved = spy, async_ckpt.os.replace
+    try:
+        async_ckpt.atomic_write_bytes(target, b'payload')
+    finally:
+        async_ckpt.os.replace = _saved
+    assert seen['tmp'].startswith('.tmp-')
+    os.remove(target)
+
+    # a stray unparsable file in the glob is skipped, not int()-crashed on
+    stray = tmp_path / 'saved_models' / 'train_model_5.tmp-old'
+    stray.write_bytes(b'partial')
+    clean_models(str(tmp_path))
+    assert stray.exists()  # left alone
+    assert (tmp_path / 'saved_models' / 'train_model_1').exists()  # best kept
+
+
+def test_best_epoch_resolution_skips_missing_checkpoints(tmp_path, capsys):
+    """summary.csv rows are written before the background write is durable: if
+    the best epoch's checkpoint never landed, 'best' resolution falls back to
+    the best epoch that exists on disk (with a warning) instead of crashing."""
+    from sisr_tpu.models.handlers import define_model
+    from sisr_tpu.models.interface import ModelInterface
+    import pandas as pd
+    from sisr_tpu.utils import toml_io
+
+    exp = tmp_path / 'exp'
+    (exp / 'saved_models').mkdir(parents=True)
+    (exp / 'result_outputs').mkdir()
+    with open(exp / 'config.toml', 'w') as f:
+        toml_io.dump({'model': {'name': 'edsr', 'internal_params':
+                                {'scale': 4, 'net_features': 8, 'num_blocks': 1}}}, f)
+    h = define_model('edsr', scale=4, net_features=8, num_blocks=1)
+    h.init_state()
+    for i in range(3):
+        h.set_epoch(i)
+        h.save_model('train_model', i, str(exp / 'saved_models'))
+    h.wait_pending_checkpoints()
+    pd.DataFrame({'epoch': [0, 1, 2], 'val-PSNR': [1.0, 9.0, 5.0]}).to_csv(
+        exp / 'result_outputs' / 'summary.csv', index=False)
+    os.remove(exp / 'saved_models' / 'train_model_1')  # the "best" never landed
+
+    iface = ModelInterface(str(tmp_path), 'exp', mode='eval', load_epoch='best')
+    assert iface.model_epoch == 2  # next-best existing epoch
+    assert 'no checkpoint on disk' in capsys.readouterr().out
+
+
 def test_async_save_bitexact_vs_sync(tmp_path):
     from sisr_tpu.models.handlers import define_model
 
