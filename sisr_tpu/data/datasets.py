@@ -312,6 +312,11 @@ class SuperResImages:
         self._decode_cache_cap = (cache_decoded if isinstance(cache_decoded, int)
                                   and cache_decoded > 1 else 4 << 30)
         self._disk_cache_dir = None
+        # per-directory cached listings for sidecar stale-cleanup (dir -> set of
+        # names, maintained incrementally under _decode_cache_lock): a fresh
+        # os.listdir per STORE would make cold population of a shared cache dir
+        # O(N^2) directory scans
+        self._sidecar_listing = {}
         if isinstance(cache_decoded, str):
             self._disk_cache_dir = 'sidecar' if cache_decoded == 'sidecar' \
                 else os.path.abspath(os.path.expanduser(cache_decoded))
@@ -416,24 +421,44 @@ class SuperResImages:
     def _disk_cache_store(self, filename, arr):
         """Best-effort atomic sidecar write; a read-only data dir disables the
         disk layer for this dataset (one notice, decode continues unaffected)."""
+        import time as _time
         try:
             path = self._sidecar_path(filename)
             d = os.path.dirname(path)
             os.makedirs(d, exist_ok=True)
-            # drop stale sidecars of the same source (old mtime/size)
-            prefix = path.rsplit('.', 3)[0] + '.'
-            for old in os.listdir(d):
+            base = os.path.basename(path)
+            with self._decode_cache_lock:
+                names = self._sidecar_listing.get(d)
+                if names is None:  # one listdir per directory, then incremental
+                    names = self._sidecar_listing[d] = set(os.listdir(d))
+                listing_snapshot = list(names)
+            # drop stale sidecars of the same source (old mtime/size), and reclaim
+            # crash-leftover tmp files old enough that no live writer owns them
+            prefix = base.rsplit('.', 3)[0] + '.'
+            for old in listing_snapshot:
+                if old == base or not old.startswith(prefix):
+                    continue
                 full = os.path.join(d, old)
-                if full != path and full.startswith(prefix) \
-                        and old.endswith('.npy') and '.tmp' not in old:
+                if '.tmp' in old:
                     try:
-                        os.remove(full)
+                        if _time.time() - os.stat(full).st_mtime < 600:
+                            continue  # plausibly a live concurrent writer
                     except OSError:
-                        pass
+                        pass  # already gone: fall through to the discard
+                elif not old.endswith('.npy'):
+                    continue
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+                with self._decode_cache_lock:
+                    names.discard(old)
             tmp = '%s.tmp%d.npy' % (path, os.getpid())
             with open(tmp, 'wb') as f:
                 np.save(f, arr)
             os.replace(tmp, path)
+            with self._decode_cache_lock:
+                names.add(base)
         except OSError as exc:
             print('decoded-image disk cache disabled (%s): %s'
                   % (self._disk_cache_dir, exc))

@@ -7,14 +7,18 @@ in flight while the current one computes — the host->HBM equivalent of pinned-
 double buffering.
 """
 import random as _random
+import threading as _threading
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 # Diagnostic probe: items this process actually loaded (dataset.__getitem__ calls
 # issued by any DataLoader).  test_multiprocess asserts each rank's loader touched
-# only its 1/process_count shard of the training data.
+# only its 1/process_count shard of the training data.  Incremented under a lock:
+# _finish runs on prefetch/uploader threads, and a bare += would lose counts in
+# exactly the threaded configurations the probe is meant to diagnose.
 ITEMS_LOADED = 0
+_ITEMS_LOADED_LOCK = _threading.Lock()
 
 
 class ConcatDataset:
@@ -189,16 +193,25 @@ class DataLoader:
         if not self.process_shard:
             return [(b, 1) for b in batches]
         rank, count = self.process_shard
+        # sharded assembly (make_array_from_process_local_data) requires the GLOBAL
+        # batch to divide the device mesh, not just the process count — a ragged
+        # tail divisible by 2 processes but not 8 devices must degrade here, or
+        # shard_batch raises at the end of every epoch
+        try:
+            import jax
+            n_devices = jax.device_count()
+        except Exception:
+            n_devices = count
         out = []
         for b in batches:
-            if count > 1 and len(b) % count == 0:
+            if count > 1 and len(b) % count == 0 and len(b) % n_devices == 0:
                 per = len(b) // count
                 out.append((b[rank * per:(rank + 1) * per], count))
             else:
-                # a batch that doesn't divide the process count (the ragged tail)
-                # degrades to the replicated path: every rank loads it whole, the
-                # device put shards it globally (same rule as shard_batch's
-                # divisibility fallback)
+                # a batch that doesn't divide the process count or the device mesh
+                # (the ragged tail) degrades to the replicated path: every rank
+                # loads it whole, the device put replicates/shards it (same rule
+                # as shard_batch's divisibility fallback)
                 out.append((b, 1))
         return out
 
@@ -210,7 +223,8 @@ class DataLoader:
 
     def _finish(self, items, factor):
         global ITEMS_LOADED
-        ITEMS_LOADED += len(items)
+        with _ITEMS_LOADED_LOCK:
+            ITEMS_LOADED += len(items)
         out = _collate(items, device_images=self.device_collate)
         if factor > 1:
             out['_shard_factor'] = factor

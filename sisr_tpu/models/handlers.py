@@ -535,32 +535,12 @@ class BaseHandler:
                                                            self._prep_batch,
                                                            self.has_batch_stats)
         if self.mesh_ctx is not None:
-            # shard each step's batch axis (leaves are (K, B, ...)): put with a spec that
-            # shards axis 1; a batch size that doesn't divide the mesh degrades to an
-            # unsharded put, like the single-step path (MeshContext.shard_batch) —
-            # raising only at steps_per_dispatch>1 would be an inconsistent contract
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            sh = NamedSharding(self.mesh_ctx.mesh, P(None, self.mesh_ctx.batch_axis))
-            if shard_factor > 1:
-                # process-local (K, B/count, ...) shards -> global (K, B, ...)
-                # arrays without materializing remote shards on this host
-                def to_global(v):
-                    gshape = (v.shape[0], v.shape[1] * shard_factor) + \
-                        tuple(v.shape[2:])
-                    if gshape[1] % self.mesh_ctx.n_devices != 0:
-                        raise RuntimeError(
-                            'Process-sharded global batch of %d does not divide '
-                            'the %d-device mesh.' % (gshape[1],
-                                                     self.mesh_ctx.n_devices))
-                    return jax.make_array_from_process_local_data(
-                        sh, np.asarray(v), gshape)
-                stacked = {k: to_global(v) for k, v in stacked.items()}
-            else:
-                stacked = {k: jax.device_put(v, sh)
-                           if v.shape[1] % self.mesh_ctx.n_devices == 0
-                           else jax.device_put(v)
-                           for k, v in stacked.items()}
+            # shard each step's batch axis (leaves are (K, B, ...), batch on axis 1):
+            # sharded put, process-local global assembly under multihost input
+            # sharding, unsharded-put fallback when the batch doesn't divide the
+            # mesh — all one rule with the single-step path (MeshContext.shard_batch)
+            stacked = self.mesh_ctx.shard_batch(stacked, shard_factor=shard_factor,
+                                                stacked_steps=True)
         self.state, losses = self._multi_train_step(self.state, stacked)
         return losses
 

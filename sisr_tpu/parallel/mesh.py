@@ -124,8 +124,8 @@ class MeshContext:
     def replicate(self, tree):
         return jax.device_put(tree, self.replicated)
 
-    def shard_batch(self, batch, shard_factor=1):
-        """Shard dict entries on their leading axis (must divide by mesh size).
+    def shard_batch(self, batch, shard_factor=1, stacked_steps=False):
+        """Shard dict entries on their batch axis (must divide by mesh size).
 
         ``shard_factor > 1`` marks the arrays as PROCESS-LOCAL shards of a global
         batch ``shard_factor`` times larger (multihost input sharding: each rank's
@@ -133,22 +133,34 @@ class MeshContext:
         The global device array is assembled from the local shards with
         ``jax.make_array_from_process_local_data``; no host materializes, decodes
         or uploads another host's data.
+
+        ``stacked_steps`` handles the fused K-step dispatch layout: leaves are
+        (K, B, ...) with the batch on axis 1 (axis 0 is the scan axis, never
+        sharded).  Its non-divisible fallback device_puts unsharded — one upload
+        covers K steps — where the per-step layout leaves the host array for jit
+        to stage.
         """
+        axis = 1 if stacked_steps else 0
+        sharding = NamedSharding(self.mesh, P(None, self.batch_axis)) \
+            if stacked_steps else self.batch_sharding
         out = {}
         for k, v in batch.items():
-            if not (hasattr(v, 'ndim') and getattr(v, 'ndim', 0) >= 1):
+            if not (hasattr(v, 'ndim') and getattr(v, 'ndim', 0) > axis):
                 out[k] = v
             elif shard_factor > 1:
-                gshape = (v.shape[0] * shard_factor,) + tuple(v.shape[1:])
-                if gshape[0] % self.n_devices != 0:
+                gshape = tuple(s * shard_factor if i == axis else s
+                               for i, s in enumerate(v.shape))
+                if gshape[axis] % self.n_devices != 0:
                     raise RuntimeError(
                         'Process-sharded global batch of %d does not divide the '
                         '%d-device mesh — choose a batch_size divisible by the '
-                        'device count.' % (gshape[0], self.n_devices))
+                        'device count.' % (gshape[axis], self.n_devices))
                 out[k] = jax.make_array_from_process_local_data(
-                    self.batch_sharding, np.asarray(v), gshape)
-            elif v.shape[0] % self.n_devices == 0:
-                out[k] = jax.device_put(v, self.batch_sharding)
+                    sharding, np.asarray(v), gshape)
+            elif v.shape[axis] % self.n_devices == 0:
+                out[k] = jax.device_put(v, sharding)
+            elif stacked_steps:
+                out[k] = jax.device_put(v)
             else:
                 out[k] = v
         return out

@@ -108,7 +108,8 @@ def main_paper(args):
     flagship-size figures the paper recipe actually runs at.
     """
     import time as _t
-    from .flops import edsr_flops_per_image, rcan_flops_per_image
+    from .flops import (edsr_flops_per_image, qrcan_flops_per_image,
+                        rcan_flops_per_image)
     peak = float(__import__('os').environ.get('BENCH_PEAK_TFLOPS', '197')) * 1e12
     rng = jax.random.PRNGKey(0)
     rows = []
@@ -168,7 +169,8 @@ def main_paper(args):
     meta = jnp.zeros((16, 1), jnp.float32)
     vq = qrcan.init(rng, x16, meta)
     bf16_q = timed(lambda h: qrcan.apply(vq, h, meta), x16)
-    rows.append(('qrcan SPL bf16', bf16_q, fl_r / 1e9, bf16_q * fl_r / peak, None))
+    fl_q = qrcan_flops_per_image()  # +ParaCA meta-MLP terms (ppm-level, but its own model)
+    rows.append(('qrcan SPL bf16', bf16_q, fl_q / 1e9, bf16_q * fl_q / peak, None))
 
     print('%-20s %9s %11s %7s %8s   (4x 128->512; MFU at %.0f bf16 peak TFLOP/s)'
           % ('config', 'img/s', 'GFLOP/img', 'MFU', 'vs bf16', peak / 1e12))

@@ -37,6 +37,19 @@ def edsr_flops_per_image(lr=128, feats=64, blocks=16, scale=4):
     return total
 
 
+def qrcan_flops_per_image(lr=128, feats=64, groups=10, blocks=20, scale=4,
+                          reduction=16, num_metadata=1, q_layers=2):
+    """QRCAN = RCAN + one ParaCALayer per RCAB (q_layer.py MLP on the pooled
+    metadata VECTOR: num_metadata -> feats/2 -> feats per image).  The meta
+    MLP adds ~2*(M*f/2 + f*f/2) FLOPs per block per image — sub-0.01% of a
+    block's convs at the SPL config, but counted so the QRCAN MFU row is
+    labeled with its own model's arithmetic, not RCAN's."""
+    sizes = [num_metadata] + [feats // m for m in range(q_layers, 0, -1)]
+    para_ca = sum(2.0 * a * b for a, b in zip(sizes, sizes[1:]))
+    return rcan_flops_per_image(lr, feats, groups, blocks, scale, reduction) \
+        + groups * blocks * para_ca
+
+
 def rcan_flops_per_image(lr=128, feats=64, groups=10, blocks=20, scale=4,
                          reduction=16):
     """RCAN: head + groups x (blocks x RCAB + group-tail conv) + body-tail +

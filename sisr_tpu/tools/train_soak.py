@@ -105,8 +105,13 @@ def main():
                     if rec.get('name') == 'epoch_time':
                         epoch_times.append(float(rec['value']))
         steady = sorted(epoch_times[1:] or epoch_times)
-        med = steady[len(steady) // 2]
-        tput = args.images / med
+        if steady:
+            med = steady[len(steady) // 2]
+            tput = args.images / med
+        else:
+            # no tracker jsonl found (tracker failed / layout changed): the quality
+            # report must still be produced after hours of training
+            med = tput = None
         df = pd.read_csv(summary_csv)
         best_psnr = float(df['val-PSNR'].max())
 
@@ -137,8 +142,8 @@ def main():
                       '(40000, 1e-7), batch %d, fused 8-step dispatch'
                       % args.batch,
             'steps': epochs * steps_per_epoch,
-            'train_img_per_sec_per_chip': round(tput, 2),
-            'median_epoch_s': round(med, 2),
+            'train_img_per_sec_per_chip': round(tput, 2) if tput else None,
+            'median_epoch_s': round(med, 2) if med else None,
             'best_val_psnr_db': round(best_psnr, 3),
             'bicubic_baseline_psnr_db': round(bicubic, 3),
             'db_over_bicubic': round(best_psnr - bicubic, 3),

@@ -230,7 +230,14 @@ class TrainingHandler:
                         queue(self.model.train_batch(**batch)[0])
                     pbar_train.update(n)
             else:
-                for batch in device_prefetch(self.train_data):
+                # same staging rule as the fused path: under a mesh the sharded
+                # device_put happens inside run_train — prefetching to the default
+                # device first would force a device->host->device round trip per
+                # batch when the handler re-shards it
+                staged = getattr(self.model.model, 'mesh_ctx', None) is None
+                iterator = device_prefetch(self.train_data) if staged \
+                    else self.train_data
+                for batch in iterator:
                     queue(self.model.train_batch(**batch)[0])
                     pbar_train.update(1)
             drain(force=True)

@@ -482,3 +482,56 @@ def test_disk_decode_cache_directory_mode(tmp_path):
     ds2 = SuperResImages(str(lr), str(hr), split='all', colorspace='rgb',
                          y_only=False, scale=4, cache_decoded=str(cache))
     np.testing.assert_array_equal(np.asarray(ds2[0]['lr']), ref)
+
+
+def test_disk_decode_cache_reclaims_crash_leftover_tmp(tmp_path):
+    """A tmp sidecar left by a killed mid-write process (old mtime) is reclaimed
+    by the next store for the same image; a FRESH tmp (plausibly a live
+    concurrent writer) is left alone."""
+    import time
+    lr = tmp_path / 'lr'
+    hr = tmp_path / 'hr'
+    lr.mkdir()
+    hr.mkdir()
+    rng = np.random.RandomState(7)
+    Image.fromarray((rng.rand(8, 8, 3) * 255).astype(np.uint8)).save(lr / 'a.png')
+    Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(hr / 'a.png')
+
+    side = lr / '.decoded_u8'
+    side.mkdir()
+    stale = side / 'a.png.1.1.npy.tmp999.npy'
+    stale.write_bytes(b'partial')
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+    fresh = side / 'a.png.2.2.npy.tmp998.npy'
+    fresh.write_bytes(b'inflight')
+
+    ds = SuperResImages(str(lr), str(hr), split='all', colorspace='rgb',
+                        y_only=False, scale=4, cache_decoded='sidecar')
+    np.asarray(ds[0]['lr'])  # triggers the store (and its stale hunt)
+    assert not stale.exists()
+    assert fresh.exists()
+    assert len(list(side.glob('a.png.*.npy'))) >= 1  # the real sidecar landed
+
+
+def test_process_shard_degrades_on_device_indivisible_tail():
+    """A ragged tail divisible by the process count but NOT the device mesh must
+    degrade to the replicated path — process-sharding it would crash
+    shard_batch's global assembly at the end of every epoch."""
+    from sisr_tpu.data.loader import DataLoader
+
+    class _DS:
+        metadata_keys = []
+
+        def __len__(self):
+            return 20
+
+        def __getitem__(self, i):
+            return {'lr': np.zeros((4, 4, 3), np.float32)}
+
+    loader = DataLoader(_DS(), batch_size=16, shuffle=False, num_workers=1,
+                        process_shard=(0, 2))
+    batches = loader._index_batches()
+    # conftest pins an 8-device CPU platform: 16 % 8 == 0 -> sharded,
+    # tail of 4: 4 % 2 == 0 but 4 % 8 != 0 -> replicated (factor 1, full batch)
+    assert [(len(b), f) for b, f in batches] == [(8, 2), (4, 1)]
