@@ -989,14 +989,14 @@ class BaseHandler:
             return
         async_ckpt.WRITER.submit(path, job)
 
-    def wait_pending_checkpoints(self):
+    def wait_pending_checkpoints(self, timeout=None):
         """Fence: block until every background checkpoint write is on disk (and
         re-raise the first failure).  Call before reading or deleting checkpoint
         files.  No-op when nothing is queued.  Fences the PROCESS-global writer:
         checkpoints are often loaded through a different handler object than the
-        one that saved them."""
+        one that saved them.  ``timeout`` bounds the drain (failure paths)."""
         from ..utils import async_ckpt
-        async_ckpt.WRITER.wait()
+        async_ckpt.WRITER.wait(timeout=timeout)
 
     def pending_checkpoint_paths(self):
         from ..utils import async_ckpt

@@ -85,6 +85,11 @@ class ModelInterface:
 
         if load_epoch is not None:
             if load_epoch in ('best', 'last'):
+                # fence BEFORE the on-disk resolution walk below: a same-process
+                # train->eval flow may still have the best epoch's background
+                # write in flight, and resolving past it would silently load a
+                # worse epoch (load_model's own fence runs too late to help)
+                self.model.wait_pending_checkpoints()
                 summary = pd.read_csv(os.path.join(self.logs, 'summary.csv'))
                 # resolve through the 'epoch' column, not row position: resumed /
                 # branched runs can leave stale duplicate-epoch rows appended to
@@ -270,9 +275,9 @@ class ModelInterface:
     def epoch_end_calls(self):
         self.model.epoch_end_calls()
 
-    def wait_pending_checkpoints(self):
+    def wait_pending_checkpoints(self, timeout=None):
         """Fence for background checkpoint writes (see BaseHandler.save_model)."""
-        self.model.wait_pending_checkpoints()
+        self.model.wait_pending_checkpoints(timeout=timeout)
 
     def get_learning_rate(self):
         return self.model.get_learning_rate()

@@ -218,9 +218,7 @@ class TrainingHandler:
                     for batch in buffer:  # ragged tail: single steps
                         yield single(batch)
 
-                # staged uploads assume the default single-device placement; under a
-                # mesh the sharded device_put happens inside run_train_multi instead
-                staged = getattr(self.model.model, 'mesh_ctx', None) is None
+                staged = self._mesh_free()
                 iterator = device_prefetch(grouped()) if staged else grouped()
                 for batch in iterator:
                     multi, n = batch.pop('_multi'), batch.pop('_count')
@@ -230,11 +228,7 @@ class TrainingHandler:
                         queue(self.model.train_batch(**batch)[0])
                     pbar_train.update(n)
             else:
-                # same staging rule as the fused path: under a mesh the sharded
-                # device_put happens inside run_train — prefetching to the default
-                # device first would force a device->host->device round trip per
-                # batch when the handler re-shards it
-                staged = getattr(self.model.model, 'mesh_ctx', None) is None
+                staged = self._mesh_free()
                 iterator = device_prefetch(self.train_data) if staged \
                     else self.train_data
                 for batch in iterator:
@@ -246,6 +240,14 @@ class TrainingHandler:
         current_epoch_losses['learning-rate'].append(learning_rates)
         self.model.epoch_end_calls()
         return current_epoch_losses
+
+    def _mesh_free(self):
+        """True when no device mesh is set: the single-source rule for whether
+        host batches may be staged to the DEFAULT device before the handler
+        (prefetch/device_collate) — under a mesh, sharded placement happens
+        inside run_train/run_train_multi/run_eval_fused and staging first would
+        force a device->host->device round trip per batch."""
+        return getattr(self.model.model, 'mesh_ctx', None) is None
 
     def _use_fused_val(self):
         if not self.fused_val:
@@ -278,7 +280,7 @@ class TrainingHandler:
         # bit-identically (same as the fused eval CLI path)
         for ds in getattr(self.val_data.dataset, 'datasets', [self.val_data.dataset]):
             ds.keep_uint8 = True
-        mesh_free = getattr(self.model.model, 'mesh_ctx', None) is None
+        mesh_free = self._mesh_free()
         self.val_data.device_collate = mesh_free
 
         def stream():
@@ -292,9 +294,11 @@ class TrainingHandler:
         # result rows download on a background thread as each batch dispatches, so
         # the compute wait + download RTT overlap the next batches' decode/upload
         from concurrent.futures import ThreadPoolExecutor
-        fetcher = ThreadPoolExecutor(max_workers=1)
-        pending = []
-        with tqdm.tqdm(total=len(self.val_data)) as pbar_val:
+        # context manager: an exception mid-epoch must not leak the worker thread
+        # and its pending device_get futures (which pin result arrays)
+        with ThreadPoolExecutor(max_workers=1) as fetcher, \
+                tqdm.tqdm(total=len(self.val_data)) as pbar_val:
+            pending = []
             for index, batch in enumerate(iterator):
                 (keys, vals), _ = self.model.model.run_eval_fused(
                     batch, metrics=metrics, include_lr=False, request_loss=True)
@@ -327,7 +331,7 @@ class TrainingHandler:
                     create_dir_if_empty(samples_folder)
                     safe_image_save(rgb_out, samples_folder, names, config='rgb')
                 pbar_val.update(1)
-        fetcher.shutdown(wait=True)  # all rows fetched (overlapped with the loop)
+        # exiting the `with` joined the fetcher: all rows fetched (overlapped)
         for keys, fut in pending:
             rows = dict(zip(keys, np.asarray(fut.result())))
             # rectangular batches replicate the batch-mean loss per image (mean is a
@@ -410,10 +414,13 @@ class TrainingHandler:
                     # truncated history on the first save of this run
                     self._rewrite_stats = True
             total_losses = defaultdict(list, loaded)
-            if loaded.get('val-PSNR'):
+            if loaded.get('val-PSNR') \
+                    and not np.all(np.isnan(loaded['val-PSNR'])):
                 # resume continues the best-PSNR race instead of restarting it at 0
                 # (the reference resets, deferring early stopping by up to patience
-                # extra epochs after every resume)
+                # extra epochs after every resume).  All-NaN history (PSNR metric
+                # added mid-run, resumed-over rows truncated to the NaN backfill)
+                # skips the seed — nanargmax would raise on an all-NaN slice.
                 best_row = int(np.nanargmax(loaded['val-PSNR']))
                 self.best_val_model_psnr = loaded['val-PSNR'][best_row]
                 self.best_val_model_idx = int(loaded['epoch'][best_row]) \
@@ -424,13 +431,17 @@ class TrainingHandler:
         except BaseException:
             # drain the queued writes for durability, but never let a checkpoint
             # error (or the drain itself) mask the PRIMARY failure — the operator
-            # needs the root cause, with any write failure as a secondary warning
+            # needs the root cause, with any write failure as a secondary warning.
+            # The drain is BOUNDED (a wedged device transport is a likely cause of
+            # the primary failure, and its writes would never finish) and catches
+            # BaseException so a Ctrl-C during the drain still surfaces the
+            # original traceback (the raise below honors the stop intent).
             try:
-                self.model.wait_pending_checkpoints()
-            except Exception as ckpt_err:
+                self.model.wait_pending_checkpoints(timeout=120)
+            except BaseException as ckpt_err:
                 import sys
-                print('WARNING: background checkpoint write also failed during '
-                      'shutdown: %r' % (ckpt_err,), file=sys.stderr)
+                print('WARNING: background checkpoint writes also failed/stalled '
+                      'during shutdown: %r' % (ckpt_err,), file=sys.stderr)
             raise
         # background checkpoint writes must be durable before the run is
         # reported complete (and before any caller evals the saved epochs)

@@ -67,7 +67,15 @@ def snapshot_device(tree, narrow_keys=(), narrow_dtype=None):
     and wider than ``narrow_dtype`` are CAST to ``narrow_dtype`` in the same
     program instead of copied (the ``checkpoint_dtype='bf16_moments'`` path) —
     a cast already yields a fresh buffer, so copying it again would double its
-    HBM footprint for nothing."""
+    HBM footprint for nothing.
+
+    Multihost: save_model runs on rank 0 only, but this is safe because the
+    training state is always FULLY REPLICATED (P()) over the mesh — JAX executes
+    a single-process jit on fully-replicated global arrays against the caller's
+    addressable shards (verified in the real 2-process launch,
+    tests/test_multiprocess.py, which saves through this path).  Sharded
+    (non-replicated) state would need all ranks to participate; nothing in the
+    framework saves such state."""
     import jax.numpy as jnp
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(tree)
     leaves = [leaf for _, leaf in leaves_with_path]
@@ -152,15 +160,54 @@ def realize(tree):
         lambda leaf: np.asarray(leaf) if isinstance(leaf, jax.Array) else leaf, tree)
 
 
+def sweep_stale_tmp(head, base, max_age_s=3600):
+    """Reclaim crash-leftover '.tmp-<pid>-<base>' siblings older than
+    ``max_age_s`` (a SIGKILLed writer can orphan a full-size ~500 MB staging
+    file under a pid a restarted run can never match; cleanup deliberately
+    ignores dot-prefixed names, so the writer itself must sweep them)."""
+    import shutil
+    import time
+    suffix = '-%s' % base
+    try:
+        entries = os.listdir(head)
+    except OSError:
+        return
+    for name in entries:
+        if not (name.startswith('.tmp-') and name.endswith(suffix)):
+            continue
+        full = os.path.join(head, name)
+        try:
+            if time.time() - os.stat(full).st_mtime < max_age_s:
+                continue  # plausibly a live writer (incl. this process's own)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.remove(full)
+        except OSError:
+            pass
+
+
 def atomic_write_bytes(path, payload):
     # dot-prefixed sibling (same filesystem for os.replace): a crash-leftover tmp
     # must never match the 'train_model_*' globs that clean_models / epoch
     # resolution scan, or cleanup would try to parse it as an epoch number
     head, base = os.path.split(path)
+    sweep_stale_tmp(head, base)
     tmp = os.path.join(head, '.tmp-%d-%s' % (os.getpid(), base))
     with open(tmp, 'wb') as f:
         f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())  # os.replace makes the NAME durable, not the data:
+        # without this, power loss after the rename leaves a truncated checkpoint
     os.replace(tmp, path)
+    try:  # make the rename itself durable
+        dfd = os.open(head or '.', os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # platform without directory fsync: best effort
 
 
 class AsyncCheckpointWriter:
@@ -212,12 +259,27 @@ class AsyncCheckpointWriter:
             path, err = failures[0]
             raise RuntimeError('background checkpoint write of %r failed' % path) from err
 
-    def wait(self):
-        """Block until every queued write is on disk; re-raise the first failure."""
+    def wait(self, timeout=None):
+        """Block until every queued write is on disk; re-raise the first failure.
+
+        ``timeout`` (seconds, total across all pending writes) bounds the drain:
+        on expiry a TimeoutError raises with the still-pending paths.  Use a
+        bounded drain on failure paths — an unbounded wait on a wedged device
+        transport would hang the shutdown and bury the root-cause traceback."""
+        import time as _time
+        deadline = None if timeout is None else _time.monotonic() + timeout
         with self._lock:
             pending = list(self._pending)
-        for _path, fut in pending:
-            fut.exception()  # waits; error handled below so ALL writes drain first
+        for path, fut in pending:
+            remaining = None if deadline is None \
+                else max(0.0, deadline - _time.monotonic())
+            try:
+                fut.exception(timeout=remaining)  # waits; errors handled in _reap
+            except TimeoutError:
+                self._reap(raise_failed=True)  # surface failures seen so far first
+                raise TimeoutError(
+                    'background checkpoint writes still pending after %.0fs: %s'
+                    % (timeout, self.pending_paths))
         self._reap(raise_failed=True)
 
     @property

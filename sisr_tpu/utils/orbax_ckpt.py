@@ -38,6 +38,8 @@ def save_orbax(path, state_dict):
     # dot-prefixed staging sibling: a crash-leftover must never match the
     # 'train_model_*' globs that clean_models / epoch resolution scan
     head, base = os.path.split(path)
+    from .async_ckpt import sweep_stale_tmp
+    sweep_stale_tmp(head, base)  # reclaim orphaned staging dirs of dead writers
     staging = os.path.join(head, '.tmp-%d-%s' % (os.getpid(), base))
     if os.path.isdir(staging):
         shutil.rmtree(staging)

@@ -158,6 +158,77 @@ def test_best_epoch_resolution_skips_missing_checkpoints(tmp_path, capsys):
     assert 'no checkpoint on disk' in capsys.readouterr().out
 
 
+def test_wait_timeout_bounds_the_drain(tmp_path):
+    """wait(timeout=...) raises TimeoutError instead of hanging on a wedged
+    write (the failure-path drain must never bury the root-cause traceback)."""
+    import threading
+    w = AsyncCheckpointWriter()
+    release = threading.Event()
+    w.submit(str(tmp_path / 'slow'), release.wait)
+    with pytest.raises(TimeoutError, match='still pending'):
+        w.wait(timeout=0.2)
+    release.set()
+    w.wait()  # unbounded drain completes once the write finishes
+
+
+def test_sweep_reclaims_stale_tmp_only(tmp_path):
+    """atomic_write_bytes sweeps crash-leftover '.tmp-<pid>-<base>' siblings
+    older than the age bound; fresh ones (live writers) survive."""
+    from sisr_tpu.utils.async_ckpt import atomic_write_bytes
+
+    stale = tmp_path / '.tmp-111-train_model_3'
+    stale.write_bytes(b'orphan')
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    fresh = tmp_path / '.tmp-222-train_model_3'
+    fresh.write_bytes(b'inflight')
+    other = tmp_path / '.tmp-111-train_model_4'  # different checkpoint: untouched
+    other.write_bytes(b'orphan')
+    os.utime(other, (old, old))
+
+    atomic_write_bytes(str(tmp_path / 'train_model_3'), b'payload')
+    assert not stale.exists()
+    assert fresh.exists()
+    assert other.exists()
+    with open(tmp_path / 'train_model_3', 'rb') as f:
+        assert f.read() == b'payload'
+
+
+def test_best_resolution_fences_pending_writes(tmp_path, monkeypatch):
+    """ModelInterface(load_epoch='best') must fence BEFORE walking the disk for
+    checkpoints: a still-in-flight write of the best epoch would otherwise make
+    it silently resolve to a worse epoch."""
+    import pandas as pd
+    from sisr_tpu.models.handlers import define_model
+    from sisr_tpu.models.interface import ModelInterface
+    from sisr_tpu.utils import async_ckpt, toml_io
+
+    exp = tmp_path / 'exp'
+    (exp / 'saved_models').mkdir(parents=True)
+    (exp / 'result_outputs').mkdir()
+    with open(exp / 'config.toml', 'w') as f:
+        toml_io.dump({'model': {'name': 'edsr', 'internal_params':
+                                {'scale': 4, 'net_features': 8, 'num_blocks': 1}}}, f)
+    h = define_model('edsr', scale=4, net_features=8, num_blocks=1)
+    h.init_state()
+    h.save_model('train_model', 0, str(exp / 'saved_models'))
+    h.wait_pending_checkpoints()
+
+    orig = async_ckpt.atomic_write_bytes
+
+    def slow_write(path, payload):
+        time.sleep(0.4)
+        orig(path, payload)
+    monkeypatch.setattr(async_ckpt, 'atomic_write_bytes', slow_write)
+    h.set_epoch(1)
+    h.save_model('train_model', 1, str(exp / 'saved_models'))  # the best, in flight
+    pd.DataFrame({'epoch': [0, 1], 'val-PSNR': [1.0, 9.0]}).to_csv(
+        exp / 'result_outputs' / 'summary.csv', index=False)
+
+    iface = ModelInterface(str(tmp_path), 'exp', mode='eval', load_epoch='best')
+    assert iface.model_epoch == 1  # waited for the in-flight write, not epoch 0
+
+
 def test_async_save_bitexact_vs_sync(tmp_path):
     from sisr_tpu.models.handlers import define_model
 
